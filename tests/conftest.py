@@ -1,0 +1,29 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on virtual CPU devices
+(xla_force_host_platform_device_count) since only one real TPU chip is
+available; the driver separately dry-run-compiles the multi-chip path.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = os.environ.get("SVIN_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU PJRT plugin is registered by sitecustomize in every process and
+# its (network-tunneled) lazy init costs ~100 s. Tests are CPU-only: drop the
+# factory before any backend is initialized.
+try:  # pragma: no cover - only present under the axon harness
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
+# SLAM estimation needs f64 for the normal equations; flag must be set at import.
+jax.config.update("jax_enable_x64", True)
