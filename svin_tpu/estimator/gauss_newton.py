@@ -1,0 +1,248 @@
+"""Jitted Levenberg–Marquardt solver with landmark Schur complement.
+
+Replaces Ceres SPARSE_SCHUR + DOGLEG (reference ``Estimator::optimize``,
+``Estimator.cpp:876-929``; ``Map::solve``): one compiled program assembles
+the block normal equations from all factor tables, Schur-eliminates the
+3x3 landmark blocks (exactly the structure Ceres exploits), solves the dense
+reduced camera system (D = S·15 ≤ a few hundred — ideal for one MXU-shaped
+dense solve), back-substitutes landmarks, and runs an accept/reject
+Levenberg–Marquardt trust loop with a static iteration bound.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..imu import ImuParameters
+from ..kinematics import quaternion as quat
+from .factors import (
+    eval_depth,
+    eval_imu,
+    eval_priors,
+    eval_reprojection,
+    eval_sonar,
+    marg_delta,
+)
+from .rig import RigParams
+from .window import Factors, WindowConfig, WindowState
+
+
+class NormalEqs(NamedTuple):
+    H: jnp.ndarray  # (D,D) state-state
+    b: jnp.ndarray  # (D,)
+    Hll: jnp.ndarray  # (L,3,3)
+    bl: jnp.ndarray  # (L,3)
+    W: jnp.ndarray  # (L,3,D) landmark-state coupling
+    cost: jnp.ndarray  # () total robustified cost
+
+
+def assemble(
+    window: WindowState,
+    factors: Factors,
+    rig: RigParams,
+    imu_params: ImuParameters,
+    cfg: WindowConfig,
+) -> NormalEqs:
+    S, L, D = cfg.num_states, cfg.num_landmarks, cfg.state_dim
+    dtype = window.r.dtype
+    Hb = jnp.zeros((S, S, 15, 15), dtype)
+    b = jnp.zeros((S, 15), dtype)
+    cost = jnp.zeros((), dtype)
+
+    # --- reprojection (Schur part) ---
+    re = eval_reprojection(window, factors, rig, cfg)
+    s_idx = factors.reproj.state_idx
+    l_idx = factors.reproj.lm_idx
+    Hpp = jnp.einsum("oia,oib->oab", re.J_pose, re.J_pose)  # (O,6,6)
+    Hll_o = jnp.einsum("oia,oib->oab", re.J_lm, re.J_lm)  # (O,3,3)
+    Wls_o = jnp.einsum("oia,oib->oab", re.J_lm, re.J_pose)  # (O,3,6)
+    bp_o = jnp.einsum("oia,oi->oa", re.J_pose, re.res)  # (O,6)
+    bl_o = jnp.einsum("oia,oi->oa", re.J_lm, re.res)  # (O,3)
+
+    Hpp_s = jax.ops.segment_sum(Hpp, s_idx, num_segments=S)  # (S,6,6)
+    Hb = Hb.at[jnp.arange(S), jnp.arange(S), :6, :6].add(Hpp_s)
+    b = b.at[:, :6].add(jax.ops.segment_sum(bp_o, s_idx, num_segments=S))
+    Hll = jax.ops.segment_sum(Hll_o, l_idx, num_segments=L)  # (L,3,3)
+    bl = jax.ops.segment_sum(bl_o, l_idx, num_segments=L)  # (L,3)
+    Wls = jax.ops.segment_sum(
+        Wls_o, l_idx * S + s_idx, num_segments=L * S
+    ).reshape(L, S, 3, 6)
+    W = jnp.zeros((L, 3, S, 15), dtype)
+    W = W.at[:, :, :, :6].add(jnp.swapaxes(Wls, 1, 2))
+    W = W.reshape(L, 3, D)
+    cost = cost + jnp.sum(re.rho_cost)
+
+    # --- IMU ---
+    im = eval_imu(window, factors, imu_params)
+    i0 = jnp.arange(S - 1)
+    i1 = i0 + 1
+    Hb = Hb.at[i0, i0].add(jnp.einsum("kia,kib->kab", im.J0, im.J0))
+    Hb = Hb.at[i0, i1].add(jnp.einsum("kia,kib->kab", im.J0, im.J1))
+    Hb = Hb.at[i1, i0].add(jnp.einsum("kia,kib->kab", im.J1, im.J0))
+    Hb = Hb.at[i1, i1].add(jnp.einsum("kia,kib->kab", im.J1, im.J1))
+    b = b.at[i0].add(jnp.einsum("kia,ki->ka", im.J0, im.res))
+    b = b.at[i1].add(jnp.einsum("kia,ki->ka", im.J1, im.res))
+    cost = cost + 0.5 * jnp.sum(im.res * im.res)
+
+    # --- depth + sonar (scalar factors on position) ---
+    for ev in (eval_depth(window, factors), eval_sonar(window, factors)):
+        Hb = Hb.at[jnp.arange(S), jnp.arange(S), :3, :3].add(
+            jnp.einsum("sa,sb->sab", ev.J_p, ev.J_p)
+        )
+        b = b.at[:, :3].add(ev.J_p * ev.res[:, None])
+        cost = cost + 0.5 * jnp.sum(ev.res * ev.res)
+
+    # --- priors ---
+    pr = eval_priors(window, factors)
+    Hb = Hb.at[jnp.arange(S), jnp.arange(S), :6, :6].add(
+        jnp.einsum("sia,sib->sab", pr.pose_J, pr.pose_J)
+    )
+    b = b.at[:, :6].add(jnp.einsum("sia,si->sa", pr.pose_J, pr.pose_res))
+    Hb = Hb.at[jnp.arange(S), jnp.arange(S), 6:15, 6:15].add(
+        jnp.einsum("sia,sib->sab", pr.sb_J, pr.sb_J)
+    )
+    b = b.at[:, 6:15].add(jnp.einsum("sia,si->sa", pr.sb_J, pr.sb_res))
+    cost = cost + 0.5 * (
+        jnp.sum(pr.pose_res * pr.pose_res) + jnp.sum(pr.sb_res * pr.sb_res)
+    )
+
+    # --- marginalization prior (FEJ) ---
+    H = Hb.transpose(0, 2, 1, 3).reshape(D, D)
+    bf = b.reshape(D)
+    m = factors.marg
+    dm = marg_delta(window, factors)
+    mw = jnp.where(m.valid, 1.0, 0.0)
+    H = H + mw * m.H
+    bf = bf + mw * (m.b + m.H @ dm)
+    cost = cost + mw * (0.5 * dm @ m.H @ dm + m.b @ dm)
+
+    return NormalEqs(H=H, b=bf, Hll=Hll, bl=bl, W=W, cost=cost)
+
+
+def total_cost(
+    window: WindowState,
+    factors: Factors,
+    rig: RigParams,
+    imu_params: ImuParameters,
+    cfg: WindowConfig,
+) -> jnp.ndarray:
+    """Robustified cost only (for LM accept/reject) — cheap re-evaluation."""
+    re = eval_reprojection(window, factors, rig, cfg)
+    im = eval_imu(window, factors, imu_params)
+    de = eval_depth(window, factors)
+    so = eval_sonar(window, factors)
+    pr = eval_priors(window, factors)
+    m = factors.marg
+    dm = marg_delta(window, factors)
+    mw = jnp.where(m.valid, 1.0, 0.0)
+    return (
+        jnp.sum(re.rho_cost)
+        + 0.5 * jnp.sum(im.res**2)
+        + 0.5 * jnp.sum(de.res**2)
+        + 0.5 * jnp.sum(so.res**2)
+        + 0.5 * jnp.sum(pr.pose_res**2)
+        + 0.5 * jnp.sum(pr.sb_res**2)
+        + mw * (0.5 * dm @ m.H @ dm + m.b @ dm)
+    )
+
+
+def _solve_step(
+    eqs: NormalEqs, window: WindowState, lam: jnp.ndarray, cfg: WindowConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One damped Schur-complement solve → (δx (D,), δl (L,3))."""
+    D = cfg.state_dim
+    dtype = eqs.H.dtype
+    S = cfg.num_states
+
+    # damping + inactive-slot regularization
+    state_active = jnp.repeat(window.state_valid, 15)
+    dH = jnp.diag(eqs.H)
+    damp = lam * jnp.maximum(dH, 1e-6) + jnp.where(state_active, 0.0, 1.0)
+    H = eqs.H + jnp.diag(damp)
+
+    dLl = jnp.einsum("lii->li", eqs.Hll)  # diag of landmark blocks
+    lm_active = window.lm_valid
+    dampl = lam * jnp.maximum(dLl, 1e-6) + jnp.where(lm_active, 0.0, 1.0)[:, None]
+    Hll = eqs.Hll + jax.vmap(jnp.diag)(dampl)
+
+    Hll_inv = jnp.linalg.inv(Hll)  # (L,3,3) batched
+    # reduced camera system
+    Hred = H - jnp.einsum("lad,lab,lbe->de", eqs.W, Hll_inv, eqs.W)
+    bred = eqs.b - jnp.einsum("lad,lab,lb->d", eqs.W, Hll_inv, eqs.bl)
+    # dense solve (D×D)
+    Hred = Hred + 1e-10 * jnp.eye(D, dtype=dtype)
+    cho, lower = jax.scipy.linalg.cho_factor(Hred)
+    dx = -jax.scipy.linalg.cho_solve((cho, lower), bred)
+    dl = -jnp.einsum("lab,lb->la", Hll_inv, eqs.bl + jnp.einsum("lad,d->la", eqs.W, dx))
+    return dx, dl
+
+
+def apply_step(
+    window: WindowState, dx: jnp.ndarray, dl: jnp.ndarray
+) -> WindowState:
+    S = window.r.shape[0]
+    d = dx.reshape(S, 15)
+    dp, da, dsb = d[:, :3], d[:, 3:6], d[:, 6:15]
+    sv = window.state_valid[:, None]
+    r_new = jnp.where(sv, window.r + dp, window.r)
+    q_new = jnp.where(
+        sv, quat.normalize(quat.multiply(quat.exp(da), window.q)), window.q
+    )
+    sb_new = jnp.where(sv, window.speed_bias + dsb, window.speed_bias)
+    lv = window.lm_valid[:, None]
+    hp_new = window.hp_W.at[:, :3].set(
+        jnp.where(lv, window.hp_W[:, :3] + dl, window.hp_W[:, :3])
+    )
+    return window._replace(r=r_new, q=q_new, speed_bias=sb_new, hp_W=hp_new)
+
+
+class OptimizeResult(NamedTuple):
+    window: WindowState
+    cost0: jnp.ndarray
+    cost: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def optimize(
+    window: WindowState,
+    factors: Factors,
+    rig: RigParams,
+    imu_params: ImuParameters,
+    cfg: WindowConfig,
+    lam0: float = 1e-4,
+) -> OptimizeResult:
+    """LM loop with static iteration bound (jit-friendly accept/reject)."""
+
+    cost0 = total_cost(window, factors, rig, imu_params, cfg)
+
+    def body(_, carry):
+        win, lam, cost = carry
+        eqs = assemble(win, factors, rig, imu_params, cfg)
+        dx, dl = _solve_step(eqs, win, lam, cfg)
+        cand = apply_step(win, dx, dl)
+        cost_cand = total_cost(cand, factors, rig, imu_params, cfg)
+        accept = cost_cand < cost
+        win_new = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(accept, a, b_), cand, win
+        )
+        lam_new = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 4.0)
+        cost_new = jnp.where(accept, cost_cand, cost)
+        return (win_new, lam_new, cost_new)
+
+    init = (window, jnp.asarray(lam0, window.r.dtype), cost0)
+    win, lam, cost = jax.lax.fori_loop(0, cfg.max_iterations, body, init)
+
+    # landmark quality = sqrt(λmin/λmax) of the 3x3 landmark Hessian
+    # (reference Estimator.cpp:903-923)
+    eqs = assemble(win, factors, rig, imu_params, cfg)
+    evs = jnp.linalg.eigvalsh(
+        eqs.Hll + 1e-12 * jnp.eye(3, dtype=eqs.Hll.dtype)
+    )  # (L,3) ascending
+    quality = jnp.sqrt(jnp.clip(evs[:, 0], 0) / jnp.maximum(evs[:, 2], 1e-12))
+    win = win._replace(lm_quality=jnp.where(win.lm_valid, quality, 0.0))
+    return OptimizeResult(
+        window=win, cost0=cost0, cost=cost,
+        iterations=jnp.asarray(cfg.max_iterations),
+    )

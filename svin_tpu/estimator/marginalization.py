@@ -1,0 +1,256 @@
+"""FEJ marginalization: fold one state slot (+ its exclusive landmarks) into
+the dense marginal prior, then shift the window.
+
+Re-designs the reference's ``MarginalizationError``
+(``okvis_ceres/src/MarginalizationError.cpp``: addResidualBlock 126-397,
+marginalizeOut 463-721 with the sparse landmark partition 557-619,
+updateErrorComputation 725-758) as pure masked linear algebra on the
+fixed-shape window:
+
+1. evaluate every factor that touches the dropped slot at the *current*
+   estimates (these become the prior's fixed linearization points),
+2. Schur-eliminate landmarks observed **only** at the dropped slot (3x3
+   block pseudo-inverses — the reference's landmark partition),
+3. Schur-eliminate the dropped slot's 15 coords with an eigenvalue-clipped
+   pseudo-inverse (the reference's pseudoInverseSymm),
+4. add the result to the existing marginal prior (whose b is first shifted to
+   the current linearization), and left-shift all slot-indexed arrays.
+
+Observations of *surviving* landmarks at the dropped slot are discarded
+(the reference's obsCount<2 drop path generalized: landmark info from the
+marginalized frame is not folded, keeping the prior landmark-free and the
+sparsity of the live problem intact).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..imu import ImuParameters
+from ..kinematics import quaternion as quat
+from .factors import (
+    eval_depth,
+    eval_imu,
+    eval_priors,
+    eval_reprojection,
+    eval_sonar,
+    marg_delta,
+)
+from .rig import RigParams
+from .window import Factors, MarginalPrior, WindowConfig, WindowState
+
+
+def _pinv_sym(A: jnp.ndarray, tol: float = 1e-9) -> jnp.ndarray:
+    """Eigenvalue-clipped pseudo-inverse of a symmetric PSD matrix."""
+    w, V = jnp.linalg.eigh(0.5 * (A + A.T))
+    w_max = jnp.maximum(jnp.max(w), 0.0)
+    inv_w = jnp.where(w > tol * jnp.maximum(w_max, 1.0), 1.0 / w, 0.0)
+    return (V * inv_w[None, :]) @ V.T
+
+
+def _shift_rows(x: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """Delete row `slot` and shift the rest left; last row duplicates S-1
+    (caller must invalidate it)."""
+    S = x.shape[0]
+    idx = jnp.arange(S)
+    src = jnp.clip(idx + (idx >= slot), 0, S - 1)
+    return x[src]
+
+
+def marginalize_slot(
+    window: WindowState,
+    factors: Factors,
+    slot: jnp.ndarray,
+    rig: RigParams,
+    imu_params: ImuParameters,
+    cfg: WindowConfig,
+) -> Tuple[WindowState, Factors]:
+    """Fold state `slot` into the marginal prior and compact the window."""
+    S, L, D = cfg.num_states, cfg.num_landmarks, cfg.state_dim
+    dtype = window.r.dtype
+    slot = jnp.asarray(slot, jnp.int32)
+
+    # ---------- 1. factor evaluations at current (FEJ) estimates ----------
+    re = eval_reprojection(window, factors, rig, cfg)
+    im = eval_imu(window, factors, imu_params)
+    de = eval_depth(window, factors)
+    so = eval_sonar(window, factors)
+    pr = eval_priors(window, factors)
+
+    s_idx = factors.reproj.state_idx
+    l_idx = factors.reproj.lm_idx
+    obs_at_slot = re.valid & (s_idx == slot)
+    obs_elsewhere = re.valid & (s_idx != slot)
+    n_elsewhere = jax.ops.segment_sum(
+        obs_elsewhere.astype(jnp.int32), l_idx, num_segments=L
+    )
+    lm_drop = window.lm_valid & (n_elsewhere == 0) & (
+        jax.ops.segment_sum(obs_at_slot.astype(jnp.int32), l_idx, num_segments=L) > 0
+    )
+
+    Hb = jnp.zeros((S, S, 15, 15), dtype)
+    b = jnp.zeros((S, 15), dtype)
+
+    # ---------- 2. exclusive-landmark fold (3x3 Schur) ----------
+    fold_o = obs_at_slot & lm_drop[l_idx]
+    wf = jnp.where(fold_o, 1.0, 0.0)
+    Jp = re.J_pose * wf[:, None, None]
+    Jl = re.J_lm * wf[:, None, None]
+    r = re.res * wf[:, None]
+    Hll = jax.ops.segment_sum(
+        jnp.einsum("oia,oib->oab", Jl, Jl), l_idx, num_segments=L
+    )
+    bl = jax.ops.segment_sum(jnp.einsum("oia,oi->oa", Jl, r), l_idx, num_segments=L)
+    # coupling is only to `slot` (exclusive landmarks) → reduce directly
+    Wp = jax.ops.segment_sum(
+        jnp.einsum("oia,oib->oab", Jl, Jp), l_idx, num_segments=L
+    )  # (L,3,6)
+    Hll_inv = jax.vmap(_pinv_sym)(Hll)
+    # all folded observations live at `slot`, so the pose block is a plain sum
+    Hpp_obs = jnp.einsum("oia,oib->ab", Jp, Jp)  # (6,6)
+    bp_obs = jnp.einsum("oia,oi->a", Jp, r)
+    Hpp_red = Hpp_obs - jnp.einsum("lab,lac,lcd->bd", Wp, Hll_inv, Wp)
+    bp_red = bp_obs - jnp.einsum("lab,lac,lc->b", Wp, Hll_inv, bl)
+    Hb = Hb.at[slot, slot, :6, :6].add(Hpp_red)
+    b = b.at[slot, :6].add(bp_red)
+
+    # ---------- IMU factors adjacent to the slot ----------
+    i0 = jnp.arange(S - 1)
+    i1 = i0 + 1
+    touch = im.valid & ((i0 == slot) | (i1 == slot))
+    wt = jnp.where(touch, 1.0, 0.0)
+    J0 = im.J0 * wt[:, None, None]
+    J1 = im.J1 * wt[:, None, None]
+    ri = im.res * wt[:, None]
+    Hb = Hb.at[i0, i0].add(jnp.einsum("kia,kib->kab", J0, J0))
+    Hb = Hb.at[i0, i1].add(jnp.einsum("kia,kib->kab", J0, J1))
+    Hb = Hb.at[i1, i0].add(jnp.einsum("kia,kib->kab", J1, J0))
+    Hb = Hb.at[i1, i1].add(jnp.einsum("kia,kib->kab", J1, J1))
+    b = b.at[i0].add(jnp.einsum("kia,ki->ka", J0, ri))
+    b = b.at[i1].add(jnp.einsum("kia,ki->ka", J1, ri))
+
+    # ---------- scalar + prior factors at the slot ----------
+    at_slot = jnp.arange(S) == slot
+    for ev in (de, so):
+        w_s = jnp.where(at_slot & ev.valid, 1.0, 0.0)
+        Jps = ev.J_p * w_s[:, None]
+        rs = ev.res * w_s
+        Hb = Hb.at[jnp.arange(S), jnp.arange(S), :3, :3].add(
+            jnp.einsum("sa,sb->sab", Jps, Jps)
+        )
+        b = b.at[:, :3].add(Jps * rs[:, None])
+    wp_ = jnp.where(at_slot & pr.pose_valid, 1.0, 0.0)
+    Jpr = pr.pose_J * wp_[:, None, None]
+    Hb = Hb.at[jnp.arange(S), jnp.arange(S), :6, :6].add(
+        jnp.einsum("sia,sib->sab", Jpr, Jpr)
+    )
+    b = b.at[:, :6].add(jnp.einsum("sia,si->sa", Jpr, pr.pose_res * wp_[:, None]))
+    ws_ = jnp.where(at_slot & pr.sb_valid, 1.0, 0.0)
+    Jsb = pr.sb_J * ws_[:, None, None]
+    Hb = Hb.at[jnp.arange(S), jnp.arange(S), 6:15, 6:15].add(
+        jnp.einsum("sia,sib->sab", Jsb, Jsb)
+    )
+    b = b.at[:, 6:15].add(jnp.einsum("sia,si->sa", Jsb, pr.sb_res * ws_[:, None]))
+
+    H_m = Hb.transpose(0, 2, 1, 3).reshape(D, D)
+    b_m = b.reshape(D)
+
+    # ---------- existing prior, re-centred at the current estimate ----------
+    m = factors.marg
+    mw = jnp.where(m.valid, 1.0, 0.0)
+    dm = marg_delta(window, factors)
+    H_m = H_m + mw * m.H
+    b_m = b_m + mw * (m.b + m.H @ dm)
+
+    # ---------- 3. Schur-eliminate the slot's 15 coords ----------
+    key = jnp.where(jnp.arange(S) == slot, S, jnp.arange(S))
+    perm_slots = jnp.argsort(key)  # kept slots in order, dropped slot last
+    cperm = (perm_slots[:, None] * 15 + jnp.arange(15)[None, :]).reshape(-1)
+    Hp = H_m[cperm][:, cperm]
+    bp = b_m[cperm]
+    K = D - 15
+    A = Hp[:K, :K]
+    B = Hp[:K, K:]
+    C = Hp[K:, K:]
+    C_inv = _pinv_sym(C)
+    H_new = A - B @ C_inv @ B.T
+    b_new = bp[:K] - B @ C_inv @ bp[K:]
+    H_new = 0.5 * (H_new + H_new.T)
+    H_full = jnp.zeros((D, D), dtype).at[:K, :K].set(H_new)
+    b_full = jnp.zeros(D, dtype).at[:K].set(b_new)
+
+    # ---------- 4. shift window + factors ----------
+    last_invalid = jnp.arange(S) < (S - 1)
+    win2 = window._replace(
+        r=_shift_rows(window.r, slot),
+        q=_shift_rows(window.q, slot),
+        speed_bias=_shift_rows(window.speed_bias, slot),
+        state_valid=_shift_rows(window.state_valid, slot) & last_invalid,
+        is_keyframe=_shift_rows(window.is_keyframe, slot) & last_invalid,
+        timestamp=_shift_rows(window.timestamp, slot),
+        state_id=jnp.where(
+            last_invalid, _shift_rows(window.state_id, slot), -1
+        ),
+        lm_valid=window.lm_valid & ~lm_drop,
+    )
+
+    # obs: drop at slot, re-index the rest
+    f = factors.reproj
+    new_sidx = f.state_idx - (f.state_idx > slot).astype(jnp.int32)
+    obs_valid = f.valid & (f.state_idx != slot) & ~lm_drop[f.lm_idx]
+    reproj2 = f._replace(state_idx=new_sidx, valid=obs_valid)
+
+    # IMU links: new link j connects new states (j, j+1) = old states
+    # (j+(j>=slot), j+1+(j+1>=slot)). For j<slot-1 that's old link j; for
+    # j==slot-1 it bridges the removal (consumed into the prior → invalid);
+    # for j>=slot it's old link j+1. Links whose source falls off the end
+    # are invalid (eval_imu additionally masks by endpoint state validity).
+    imf = factors.imu
+    Sm1 = S - 1
+    kidx = jnp.arange(Sm1)
+    src_raw = kidx + (kidx >= slot).astype(jnp.int32)
+    in_range = src_raw <= Sm1 - 1
+    src = jnp.clip(src_raw, 0, Sm1 - 1)
+    pre2 = jax.tree_util.tree_map(lambda a: a[src], imf.pre)
+    valid2 = imf.valid[src] & in_range & (kidx != slot - 1)
+    imu2 = imf._replace(pre=pre2, sqrt_info=imf.sqrt_info[src], valid=valid2)
+
+    dep = factors.depth
+    depth2 = dep._replace(
+        depth=_shift_rows(dep.depth, slot),
+        sqrt_info=_shift_rows(dep.sqrt_info, slot),
+        valid=_shift_rows(dep.valid, slot) & last_invalid,
+    )
+    son = factors.sonar
+    sonar2 = son._replace(
+        range=_shift_rows(son.range, slot),
+        target_W=_shift_rows(son.target_W, slot),
+        sqrt_info=_shift_rows(son.sqrt_info, slot),
+        valid=_shift_rows(son.valid, slot) & last_invalid,
+    )
+    pri = factors.priors
+    priors2 = pri._replace(
+        pose_mean_r=_shift_rows(pri.pose_mean_r, slot),
+        pose_mean_q=_shift_rows(pri.pose_mean_q, slot),
+        pose_sqrt_info=_shift_rows(pri.pose_sqrt_info, slot),
+        pose_valid=_shift_rows(pri.pose_valid, slot) & last_invalid,
+        sb_mean=_shift_rows(pri.sb_mean, slot),
+        sb_sqrt_info=_shift_rows(pri.sb_sqrt_info, slot),
+        sb_valid=_shift_rows(pri.sb_valid, slot) & last_invalid,
+    )
+
+    marg2 = MarginalPrior(
+        H=H_full,
+        b=b_full,
+        lin_r=win2.r,
+        lin_q=win2.q,
+        lin_sb=win2.speed_bias,
+        valid=jnp.asarray(True),
+    )
+    factors2 = factors._replace(
+        reproj=reproj2, imu=imu2, depth=depth2, sonar=sonar2,
+        priors=priors2, marg=marg2,
+    )
+    return win2, factors2
