@@ -1,0 +1,117 @@
+"""Triangulation + RANSAC tests (reference analogs: stereo_triangulation
+checks in ProbabilisticStereoTriangulator, OpenGV sac problem usage in
+Frontend.cpp:617-980)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svin_tpu.frontend import (
+    absolute_pose_ransac,
+    point_from_homogeneous,
+    rotation_only_ransac,
+    triangulate_fast,
+)
+from svin_tpu.kinematics import Transformation, oplus, quaternion as quat
+from svin_tpu.kinematics.transformation import random as random_T
+
+
+def test_triangulate_exact():
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (50, 3), minval=-2, maxval=2) + jnp.array([0, 0, 5.0])
+    p1 = jnp.zeros((50, 3))
+    p2 = jnp.tile(jnp.array([0.2, 0.0, 0.0]), (50, 1))
+    e1 = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    d2 = pts - p2
+    e2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    res = triangulate_fast(p1, e1, p2, e2, jnp.full(50, 1e-3))
+    assert bool(jnp.all(res.valid))
+    assert not bool(jnp.any(res.parallel))
+    np.testing.assert_allclose(point_from_homogeneous(res.hp), pts, atol=1e-5)
+
+
+def test_triangulate_parallel_rays():
+    e = jnp.array([[0.0, 0.0, 1.0]])
+    res = triangulate_fast(
+        jnp.zeros((1, 3)), e, jnp.array([[0.2, 0, 0]]), e, jnp.full(1, 1e-3)
+    )
+    assert bool(res.parallel[0])
+    # same direction → still "valid" far point
+    assert bool(res.valid[0])
+    p = point_from_homogeneous(res.hp)[0]
+    assert float(p[2]) > 1e4
+
+
+def test_triangulate_diverging_invalid():
+    res = triangulate_fast(
+        jnp.zeros((1, 3)),
+        jnp.array([[0.0, 0.0, 1.0]]),
+        jnp.array([[0.2, 0.0, 0.0]]),
+        jnp.array([[0.5, 0.0, -0.866]]),  # pointing backwards
+        jnp.full(1, 1e-3),
+    )
+    assert not bool(res.valid[0])
+
+
+def _bearing(T_WC, p_W):
+    q_inv = quat.conjugate(T_WC.q)
+    p_C = quat.rotate(q_inv, p_W - T_WC.r)
+    return p_C / jnp.linalg.norm(p_C, axis=-1, keepdims=True)
+
+
+def test_absolute_pose_ransac_with_outliers():
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    N = 60
+    p_W = jax.random.uniform(k1, (N, 3), minval=-3, maxval=3) + jnp.array([0, 0, 6.0])
+    T_true = Transformation(
+        r=jnp.array([0.3, -0.2, 0.5]),
+        q=quat.exp(jnp.array([0.05, 0.1, -0.08])),
+    )
+    bearings = _bearing(T_true, p_W)
+    # 30% outliers: random directions
+    n_out = 18
+    rnd = jax.random.normal(k2, (n_out, 3))
+    bearings = bearings.at[:n_out].set(rnd / jnp.linalg.norm(rnd, axis=-1, keepdims=True))
+    prior = oplus(T_true, jnp.array([0.1, -0.1, 0.08, 0.05, -0.04, 0.06]))
+    res = absolute_pose_ransac(
+        k3, p_W, bearings, jnp.ones(N, bool), prior, num_hypotheses=50
+    )
+    assert bool(res.success)
+    # outliers rejected, inliers kept
+    inl = np.array(res.inliers)
+    assert inl[:n_out].sum() <= 2
+    assert inl[n_out:].sum() >= 0.9 * (N - n_out)
+    assert float(jnp.linalg.norm(res.T.r - T_true.r)) < 0.02
+    dq = quat.log(quat.multiply(quat.conjugate(res.T.q), T_true.q))
+    assert float(jnp.linalg.norm(dq)) < 0.01
+
+
+def test_absolute_pose_ransac_degenerate_returns_prior():
+    key = jax.random.PRNGKey(4)
+    N = 20
+    p_W = jnp.zeros((N, 3))
+    bearings = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (N, 1))
+    prior = Transformation(r=jnp.array([1.0, 2.0, 3.0]), q=quat.identity())
+    res = absolute_pose_ransac(
+        key, p_W, bearings, jnp.zeros(N, bool), prior, num_hypotheses=8
+    )
+    assert not bool(res.success)
+    np.testing.assert_allclose(res.T.r, prior.r)
+
+
+def test_rotation_only_ransac():
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    N = 40
+    dirs = jax.random.normal(k1, (N, 3))
+    b_b = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    q_ab = quat.exp(jnp.array([0.1, -0.2, 0.3]))
+    b_a = quat.rotate(q_ab, b_b)
+    out = jax.random.normal(k2, (8, 3))
+    b_a = b_a.at[:8].set(out / jnp.linalg.norm(out, axis=-1, keepdims=True))
+    res = rotation_only_ransac(k3, b_a, b_b, jnp.ones(N, bool))
+    assert bool(res.success)
+    dq = quat.log(quat.multiply(quat.conjugate(res.T.q), q_ab))
+    assert float(jnp.linalg.norm(dq)) < 5e-3
+    assert np.array(res.inliers)[:8].sum() <= 1
