@@ -1,0 +1,76 @@
+"""Benchmark: per-frame compute path latency on the current device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: sliding-window optimize (assemble + Schur + LM loop) for a
+full window (8 states, 256 landmarks, 2048 observations) — the reference's
+real-time envelope budgets 0.035 s for matching + optimization per frame on
+a laptop CPU (config_stereorig_v2.yaml:83-85, CeresIterationCallback).
+``vs_baseline`` = 0.035 s / measured seconds (>1 means faster than the
+reference's real-time budget).
+
+Extra detail metrics go to stderr so the driver-parsed stdout stays a single
+JSON line.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_BUDGET_S = 0.035
+
+
+def time_fn(fn, *args, iters=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from svin_tpu.estimator import WindowConfig, optimize
+    from svin_tpu.ops import hamming
+    from svin_tpu.problems import IMU_PARAMS, build_window_problem
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    cfg = WindowConfig(num_states=8, num_landmarks=256, num_obs=2048, max_iterations=5)
+    window, factors, rig_p, _ = build_window_problem(
+        jax.random.PRNGKey(0), cfg, n_landmarks=128, dtype=dtype
+    )
+
+    step = jax.jit(lambda w, f: optimize(w, f, rig_p, IMU_PARAMS, cfg).window.r)
+    t_opt = time_fn(step, window, factors)
+
+    # matching kernel: 400 x 512 descriptors (one frame vs the landmark map)
+    ka, kb = jax.random.split(jax.random.PRNGKey(1))
+    da = jax.random.randint(ka, (512, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    db = jax.random.randint(kb, (512, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    match_fn = jax.jit(hamming.hamming_matrix)
+    t_match = time_fn(match_fn, da, db)
+
+    t_frame = t_opt + t_match
+    print(
+        f"detail: optimize {t_opt*1e3:.3f} ms, matching {t_match*1e3:.3f} ms, "
+        f"device {jax.devices()[0].platform}", file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "window_matching_plus_optimize_latency",
+                "value": round(t_frame * 1e3, 3),
+                "unit": "ms",
+                "vs_baseline": round(REFERENCE_BUDGET_S / t_frame, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,8 +42,17 @@ from .rig import RigParams
 from .window import Factors, MarginalPrior, WindowConfig, WindowState
 
 
-def _pinv_sym(A: jnp.ndarray, tol: float = 1e-9) -> jnp.ndarray:
-    """Eigenvalue-clipped pseudo-inverse of a symmetric PSD matrix."""
+def _pinv_sym(A: jnp.ndarray, tol: float = None) -> jnp.ndarray:
+    """Eigenvalue-clipped pseudo-inverse of a symmetric PSD matrix.
+
+    Tolerance follows the reference's pseudoInverseSymm: machine epsilon ×
+    dimension × largest eigenvalue (information spans ~1e2 velocity …
+    ~1e11 bias-walk — a coarser relative cut zeroes real directions and
+    biases the fold).
+    """
+    n = A.shape[-1]
+    if tol is None:
+        tol = float(jnp.finfo(A.dtype).eps) * n
     w, V = jnp.linalg.eigh(0.5 * (A + A.T))
     w_max = jnp.maximum(jnp.max(w), 0.0)
     inv_w = jnp.where(w > tol * jnp.maximum(w_max, 1.0), 1.0 / w, 0.0)
@@ -141,12 +150,11 @@ def marginalize_slot(
             jnp.einsum("sa,sb->sab", Jps, Jps)
         )
         b = b.at[:, :3].add(Jps * rs[:, None])
-    wp_ = jnp.where(at_slot & pr.pose_valid, 1.0, 0.0)
-    Jpr = pr.pose_J * wp_[:, None, None]
-    Hb = Hb.at[jnp.arange(S), jnp.arange(S), :6, :6].add(
-        jnp.einsum("sia,sib->sab", Jpr, Jpr)
-    )
-    b = b.at[:, :6].add(jnp.einsum("sia,si->sa", Jpr, pr.pose_res * wp_[:, None]))
+    # pose priors at the slot are NOT folded — the reference drops the gauge
+    # fixation instead of linearising it and re-fixes the new first pose
+    # afterwards (Estimator.cpp:622-628 "avoids linearising initial pose
+    # error", re-fixation at :799-812)
+    redo_fixation = jnp.any(at_slot & factors.priors.pose_valid)
     ws_ = jnp.where(at_slot & pr.sb_valid, 1.0, 0.0)
     Jsb = pr.sb_J * ws_[:, None, None]
     Hb = Hb.at[jnp.arange(S), jnp.arange(S), 6:15, 6:15].add(
@@ -239,6 +247,30 @@ def marginalize_slot(
         sb_mean=_shift_rows(pri.sb_mean, slot),
         sb_sqrt_info=_shift_rows(pri.sb_sqrt_info, slot),
         sb_valid=_shift_rows(pri.sb_valid, slot) & last_invalid,
+    )
+    # gauge re-fixation (reference Estimator.cpp:799-812): fresh prior on the
+    # new oldest pose at its current estimate — position + yaw only
+    # (information 1e14 → sqrt 1e7), roll/pitch left free
+    gauge_si = jnp.diag(
+        jnp.asarray([1e7, 1e7, 1e7, 0.0, 0.0, 1e7], dtype)
+    )
+    priors2 = priors2._replace(
+        pose_mean_r=jnp.where(
+            redo_fixation, priors2.pose_mean_r.at[0].set(win2.r[0]),
+            priors2.pose_mean_r,
+        ),
+        pose_mean_q=jnp.where(
+            redo_fixation, priors2.pose_mean_q.at[0].set(win2.q[0]),
+            priors2.pose_mean_q,
+        ),
+        pose_sqrt_info=jnp.where(
+            redo_fixation, priors2.pose_sqrt_info.at[0].set(gauge_si),
+            priors2.pose_sqrt_info,
+        ),
+        pose_valid=jnp.where(
+            redo_fixation, priors2.pose_valid.at[0].set(True),
+            priors2.pose_valid,
+        ),
     )
 
     marg2 = MarginalPrior(

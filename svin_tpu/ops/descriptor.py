@@ -91,7 +91,14 @@ def gravity_angles(
     """Extraction direction = image-plane projection of the camera-frame
     gravity direction (reference ``Frontend::detectAndDescribe`` passes
     g direction into ``describe``). One angle per keypoint (uniform — the
-    per-pixel variation is negligible at VIO field of view)."""
-    gx, gy = gravity_in_cam[0], gravity_in_cam[1]
-    ang = jnp.arctan2(gy, gx)
+    per-pixel variation is negligible at VIO field of view).
+
+    When gravity is nearly parallel to the optical axis the projection is
+    degenerate (atan2 of noise → the extraction direction would spin frame
+    to frame, destroying descriptor repeatability); fall back to angle 0.
+    """
+    gx, gy, gz = gravity_in_cam[0], gravity_in_cam[1], gravity_in_cam[2]
+    in_plane = jnp.sqrt(gx * gx + gy * gy)
+    stable = in_plane > 0.2 * jnp.abs(gz)
+    ang = jnp.where(stable, jnp.arctan2(gy, gx), 0.0)
     return jnp.broadcast_to(ang, uv.shape[:-1])

@@ -1,0 +1,21 @@
+from .config import VioConfig, load_config
+from .dataset import (
+    SensorEvent,
+    SyntheticRenderer,
+    read_euroc_folder,
+    run_events,
+    synthetic_sequence,
+)
+from .vio import FrameResult, VioEngine
+
+__all__ = [
+    "FrameResult",
+    "SensorEvent",
+    "SyntheticRenderer",
+    "VioConfig",
+    "VioEngine",
+    "load_config",
+    "read_euroc_folder",
+    "run_events",
+    "synthetic_sequence",
+]

@@ -1,0 +1,228 @@
+"""Dataset readers + synthetic sequence rendering.
+
+Replaces the reference's offline app input path
+(``okvis_apps/src/okvis_app_synchronous.cpp:277-352``: EuRoC folder —
+``imu0/data.csv`` + ``cam{i}/data/*.png`` — interleaved by timestamp) and
+adds a fully synthetic renderer (no datasets ship with either repo; the
+renderer projects a fixed 3D "star field" through the analytic trajectory so
+the pipeline can be exercised and benchmarked end-to-end with exact ground
+truth).
+"""
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import sim
+from ..cameras import NCameraSystem, project
+from ..imu import ImuParameters
+from ..kinematics import Transformation, compose, inverse, transform_point
+
+
+@dataclass
+class SensorEvent:
+    """One timestamped event, ordered stream (the app's interleave loop)."""
+
+    t: float
+    kind: str  # "imu" | "frame" | "depth" | "sonar"
+    imu: Optional[Tuple[np.ndarray, np.ndarray]] = None  # (gyro, acc)
+    images: Optional[List[np.ndarray]] = None
+    depth: Optional[float] = None
+    sonar: Optional[Tuple[float, float]] = None  # (range, heading)
+
+
+def read_euroc_folder(path: str, num_cams: int = 2) -> Iterator[SensorEvent]:
+    """EuRoC ASL-format folder: mav0/imu0/data.csv, mav0/cam{i}/data/*.png.
+
+    Image decode uses cv2 if present, else imageio, else raw .npy.
+    """
+    root = path
+    if os.path.isdir(os.path.join(path, "mav0")):
+        root = os.path.join(path, "mav0")
+
+    imu_rows = []
+    with open(os.path.join(root, "imu0", "data.csv")) as f:
+        for row in csv.reader(f):
+            if row[0].startswith("#"):
+                continue
+            t = int(row[0]) * 1e-9
+            gyro = np.array(row[1:4], float)
+            acc = np.array(row[4:7], float)
+            imu_rows.append((t, gyro, acc))
+
+    cam_files = []
+    for ci in range(num_cams):
+        d = os.path.join(root, f"cam{ci}", "data")
+        fs = sorted(os.listdir(d))
+        cam_files.append([(int(os.path.splitext(f)[0]) * 1e-9, os.path.join(d, f)) for f in fs])
+
+    def _load(p):
+        if p.endswith(".npy"):
+            return np.load(p)
+        try:
+            import cv2
+
+            return cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+        except ImportError:
+            import imageio.v2 as iio
+
+            im = iio.imread(p)
+            return im if im.ndim == 2 else im.mean(axis=-1).astype(np.uint8)
+
+    # interleave: emit all imu <= frame time, then the frame
+    ii = 0
+    for fi, (t_f, _) in enumerate(cam_files[0]):
+        while ii < len(imu_rows) and imu_rows[ii][0] <= t_f + 1e-9:
+            t, g, a = imu_rows[ii]
+            yield SensorEvent(t=t, kind="imu", imu=(g, a))
+            ii += 1
+        images = [_load(cam_files[ci][fi][1]) for ci in range(num_cams)]
+        yield SensorEvent(t=t_f, kind="frame", images=images)
+
+
+# --------------------------------------------------------------- synthetic
+class SyntheticRenderer:
+    """Renders a fixed 3D blob field through the analytic trajectory."""
+
+    def __init__(
+        self,
+        rig: NCameraSystem,
+        n_points: int = 600,
+        seed: int = 0,
+        traj: Optional[sim.Trajectory] = None,
+        spread: float = 14.0,
+        depth_offset: float = 6.0,
+        blob_sigma: float = 1.6,
+    ):
+        self.rig = rig
+        self.traj = traj if traj is not None else sim.default_trajectory()
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        # world points roughly in front of the rig over the whole trajectory
+        center = jnp.array([0.0, 0.0, depth_offset])
+        self.points_W = sim.landmark_grid(
+            k1, n_points, center, jnp.array([spread, spread, 2 * depth_offset])
+        )
+        self.brightness = 0.35 + 0.65 * jax.random.uniform(k2, (n_points,))
+        self.blob_sigma = blob_sigma
+        # anisotropic per-blob shape (random orientation + aspect) so local
+        # appearance is distinctive — identical isotropic dots make binary
+        # descriptors ambiguous, which no real scene does
+        ang = jax.random.uniform(k3, (n_points,), minval=0.0, maxval=jnp.pi)
+        aspect = 1.0 + 2.0 * jax.random.uniform(k4, (n_points,))
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        s1 = blob_sigma * jnp.sqrt(aspect)
+        s2 = blob_sigma / jnp.sqrt(aspect)
+        # inverse covariance entries per blob
+        self._icov_a = (ca / s1) ** 2 + (sa / s2) ** 2
+        self._icov_b = ca * sa * (1.0 / s1**2 - 1.0 / s2**2)
+        self._icov_c = (sa / s1) ** 2 + (ca / s2) ** 2
+        self._render_jit = jax.jit(self._render, static_argnames=("cam_idx",))
+
+    def pose(self, t: float) -> Transformation:
+        return sim.pose(self.traj, jnp.asarray(t, jnp.float64))
+
+    def _render(self, T_WS: Transformation, cam_idx: int):
+        cam = self.rig.cameras[cam_idx]
+        T_WC = compose(T_WS, self.rig.T_SC[cam_idx])
+        p_C = transform_point(inverse(T_WC), self.points_W.astype(jnp.float64))
+        uv, valid = project(cam, p_C.astype(jnp.float32))
+        h, w = cam.height, cam.width
+        yy = jnp.arange(h, dtype=jnp.float32)[:, None, None]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :, None]
+        du = xx - uv[None, None, :, 0]
+        dv = yy - uv[None, None, :, 1]
+        # splat anisotropic gaussians (only valid, in-image points contribute)
+        q = (
+            self._icov_a[None, None, :] * du * du
+            + 2.0 * self._icov_b[None, None, :] * du * dv
+            + self._icov_c[None, None, :] * dv * dv
+        )
+        r2 = du * du + dv * dv
+        contrib = jnp.where(
+            valid[None, None, :] & (r2 < 60.0 * self.blob_sigma**2),
+            self.brightness[None, None, :] * jnp.exp(-0.5 * q),
+            0.0,
+        )
+        img = jnp.sum(contrib, axis=-1)
+        return jnp.clip(img, 0.0, 1.0)
+
+    def render_frame(self, t: float) -> List[np.ndarray]:
+        T = self.pose(t)
+        return [
+            np.asarray(self._render_jit(T, ci))
+            for ci in range(self.rig.num_cameras)
+        ]
+
+
+def synthetic_sequence(
+    rig: NCameraSystem,
+    duration: float = 4.0,
+    cam_rate: float = 10.0,
+    imu_rate: float = 100.0,
+    imu_params: Optional[ImuParameters] = None,
+    seed: int = 0,
+    imu_noisy: bool = True,
+    n_points: int = 600,
+    depth_enabled: bool = False,
+    traj: Optional[sim.Trajectory] = None,
+    spread: float = 14.0,
+    depth_offset: float = 6.0,
+    t_first_frame: float = 0.25,
+) -> Tuple[Iterator[SensorEvent], SyntheticRenderer]:
+    """Ordered event stream + its renderer (ground truth via renderer.pose)."""
+    params = imu_params if imu_params is not None else ImuParameters()
+    renderer = SyntheticRenderer(
+        rig, n_points=n_points, seed=seed, traj=traj,
+        spread=spread, depth_offset=depth_offset,
+    )
+    series = sim.simulate_imu(
+        renderer.traj, 0.0, duration + 0.1, imu_rate, params,
+        key=jax.random.PRNGKey(seed + 1), noisy=imu_noisy,
+    )
+    t_np = np.asarray(series.t)
+    gyro = np.asarray(series.gyro)
+    acc = np.asarray(series.acc)
+    frame_times = np.arange(t_first_frame, duration, 1.0 / cam_rate)
+
+    def gen():
+        ii = 0
+        for t_f in frame_times:
+            while ii < len(t_np) and t_np[ii] <= t_f + 1e-9:
+                yield SensorEvent(t=float(t_np[ii]), kind="imu", imu=(gyro[ii], acc[ii]))
+                ii += 1
+            if depth_enabled:
+                depth = -float(sim.position(renderer.traj, t_f)[2])
+                yield SensorEvent(t=float(t_f), kind="depth", depth=depth)
+            yield SensorEvent(
+                t=float(t_f), kind="frame", images=renderer.render_frame(float(t_f))
+            )
+
+    return gen(), renderer
+
+
+def run_events(engine, events: Iterator[SensorEvent], max_frames: int = 10**9):
+    """Feed an event stream into a VioEngine (the synchronous app loop)."""
+    n = 0
+    results = []
+    for ev in events:
+        if ev.kind == "imu":
+            engine.add_imu_measurement(ev.t, *ev.imu)
+        elif ev.kind == "depth":
+            engine.add_depth_measurement(ev.t, ev.depth)
+        elif ev.kind == "sonar":
+            engine.add_sonar_measurement(ev.t, *ev.sonar)
+        elif ev.kind == "frame":
+            r = engine.add_frame(ev.t, ev.images)
+            if r is not None:
+                results.append(r)
+                n += 1
+                if n >= max_frames:
+                    break
+    return results

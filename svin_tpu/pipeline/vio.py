@@ -1,0 +1,772 @@
+"""The VIO engine: deterministic host pipeline around the jitted device cores.
+
+Replaces ``okvis::ThreadedKFVio`` + ``okvis::Frontend`` orchestration
+(``okvis_multisensor_processing/src/ThreadedKFVio.cpp``,
+``okvis_frontend/src/Frontend.cpp:116-242`` dataAssociationAndInitialization)
+with a single-threaded, deterministic ("blocking mode") stage sequence per
+frame — the reference's 12-thread pipeline exists to keep a CPU busy; on TPU
+the stages are fused device programs and the host only sequences them:
+
+  add_imu → buffered;  add_frame:
+    1. preprocess + detect + describe          (device, one program per cam)
+    2. IMU preintegrate + propagate prediction (device)
+    3. match keypoints ↔ window landmarks with projection gating (device)
+    4. new-landmark creation via stereo match + triangulation    (device)
+    5. state creation + factor table update    (host bookkeeping, numpy)
+    6. optimize                                 (device, jitted LM+Schur)
+    7. marginalization policy (RSS'13 analog)  (device fold + shift)
+    8. outputs: state callback, keyframe export (the pose_graph ABI)
+
+Asynchronous execution (double-buffered H2D, detection of frame k+1
+overlapping optimization of frame k) layers on top via jax async dispatch —
+every device call here is non-blocking until results are read.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import NCameraSystem, back_project, project
+from ..estimator import (
+    WindowConfig,
+    empty_factors,
+    empty_window,
+    marginalize_slot,
+    optimize,
+    rig_params,
+)
+from ..frontend import absolute_pose_ransac, point_from_homogeneous, triangulate_fast
+from ..imu import init_pose_from_imu, preintegrate, propagate, sqrt_information
+from ..kinematics import (
+    Transformation,
+    compose,
+    inverse,
+    transform_point,
+    quaternion as quat,
+)
+from ..ops import descriptor as desc_ops, detection, hamming, image as image_ops
+from ..utils import Timer
+from .config import VioConfig
+
+TEMPORAL_IMU_OVERLAP = 0.02  # s (reference ThreadedKFVio.cpp:87)
+
+
+@dataclass
+class FrameResult:
+    """Per-frame output (state callback payload)."""
+
+    timestamp: float
+    T_WS: Transformation
+    speed_bias: np.ndarray
+    is_keyframe: bool
+    num_tracked: int
+    num_new_landmarks: int
+    cost: float
+    keyframe_export: Optional[dict] = None
+
+
+@dataclass
+class _FrameData:
+    """Host-side per-frame record for matching (per camera arrays)."""
+
+    timestamp: float
+    kp_uv: List[jnp.ndarray]
+    kp_desc: List[jnp.ndarray]
+    kp_valid: List[jnp.ndarray]
+    kp_landmark: List[np.ndarray]  # (K,) landmark slot per keypoint or -1
+    kp_score: List[jnp.ndarray]
+
+
+class VioEngine:
+    """Deterministic sonar-visual-inertial-depth odometry engine."""
+
+    def __init__(
+        self,
+        config: VioConfig,
+        rig: Optional[NCameraSystem] = None,
+        dtype=jnp.float64,
+    ):
+        self.cfg = config
+        self.rig = rig if rig is not None else config.build_rig()
+        self.rig_p = rig_params(self.rig, dtype)
+        S = config.num_keyframes + config.num_imu_frames
+        self.wcfg = WindowConfig(
+            num_states=S,
+            num_landmarks=512,
+            num_obs=4096,
+            max_iterations=config.max_iterations,
+        )
+        self.dtype = dtype
+        self.window = empty_window(self.wcfg, dtype)
+        self.factors = empty_factors(self.wcfg, dtype)
+        self.imu_t: List[float] = []
+        self.imu_gyro: List[np.ndarray] = []
+        self.imu_acc: List[np.ndarray] = []
+        self.depth_buffer: List[tuple] = []  # (t, depth)
+        self.sonar_buffer: List[tuple] = []  # (t, range, heading)
+        self.first_depth: Optional[float] = None
+        self.n_states = 0  # valid slots in window
+        self.frames: Dict[int, _FrameData] = {}  # slot -> frame data
+        self.last_kf_slot: Optional[int] = None
+        self.frame_count = 0
+        self.kf_count = 0
+        self.next_state_id = 0
+        self.next_lm_id = 0
+        self.state_callback: Optional[Callable[[FrameResult], None]] = None
+        self.keyframe_callback: Optional[Callable[[dict], None]] = None
+        self.trajectory: List[tuple] = []  # (t, r, q) of latest estimates
+        self._rng = np.random.RandomState(1234)
+
+    # ------------------------------------------------------------------ IMU
+    def add_imu_measurement(self, t: float, gyro, acc) -> None:
+        self.imu_t.append(float(t))
+        self.imu_gyro.append(np.asarray(gyro, float))
+        self.imu_acc.append(np.asarray(acc, float))
+        # trim very old IMU (deleteImuMeasurements analog)
+        if len(self.imu_t) > 10000:
+            del self.imu_t[:2000], self.imu_gyro[:2000], self.imu_acc[:2000]
+
+    def add_depth_measurement(self, t: float, depth: float) -> None:
+        if self.first_depth is None:
+            self.first_depth = float(depth)
+        self.depth_buffer.append((float(t), float(depth)))
+
+    def add_sonar_measurement(self, t: float, range_m: float, heading: float) -> None:
+        self.sonar_buffer.append((float(t), float(range_m), float(heading)))
+
+    def _imu_slice(self, t0: float, t1: float):
+        t = np.asarray(self.imu_t)
+        m = (t >= t0 - TEMPORAL_IMU_OVERLAP) & (t <= t1 + TEMPORAL_IMU_OVERLAP)
+        idx = np.nonzero(m)[0]
+        if len(idx) < 2:
+            return None
+        return (
+            jnp.asarray(t[idx], self.dtype),
+            jnp.asarray(np.stack([self.imu_gyro[i] for i in idx]), self.dtype),
+            jnp.asarray(np.stack([self.imu_acc[i] for i in idx]), self.dtype),
+        )
+
+    def _preintegrate(self, t0: float, t1: float, bias):
+        sl = self._imu_slice(t0, t1)
+        if sl is None:
+            return None
+        ts, gy, ac = sl
+        return preintegrate(
+            ts, gy, ac, jnp.ones(ts.shape, bool),
+            jnp.asarray(t0, self.dtype), jnp.asarray(t1, self.dtype),
+            jnp.asarray(bias, self.dtype), self.cfg.imu,
+        )
+
+    # ------------------------------------------------------------- frontend
+    def _detect_describe(self, images: List[np.ndarray], T_WS_pred: Transformation):
+        """Stage 1: preprocess + detect + describe each camera image."""
+        uvs, descs, valids, scores = [], [], [], []
+        for ci, img in enumerate(images):
+            im = image_ops.preprocess(
+                jnp.asarray(img),
+                resize_factor=1.0,  # dataset images are pre-sized by reader
+                histogram_method=self.cfg.histogram_method,
+                clahe_clip_limit=self.cfg.clahe_clip_limit,
+            )
+            kp = detection.detect(im, max_keypoints=self.cfg.max_keypoints)
+            # gravity-aligned extraction direction (Frontend.cpp:91-113)
+            T_WC = compose(T_WS_pred, self.rig.T_SC[ci])
+            g_C = quat.rotate(quat.conjugate(T_WC.q), jnp.array([0.0, 0.0, -1.0], im.dtype))
+            ang = desc_ops.gravity_angles(kp.uv, g_C)
+            d = desc_ops.describe(im, kp.uv, ang, kp.valid)
+            uvs.append(kp.uv)
+            descs.append(d)
+            valids.append(kp.valid)
+            scores.append(kp.score)
+        return uvs, descs, valids, scores
+
+    def _landmark_descriptors(self):
+        """(L, 8) uint32 descriptor per landmark slot (latest observation)."""
+        return self._lm_desc
+
+    # --------------------------------------------------------- factor admin
+    def _host_obs(self):
+        f = self.factors.reproj
+        return (
+            np.asarray(f.valid), np.asarray(f.state_idx), np.asarray(f.lm_idx)
+        )
+
+    def _add_observations(self, rows: List[tuple]):
+        """rows: (uv(2,), state_slot, lm_slot, cam_idx, sqrt_info)"""
+        if not rows:
+            return
+        valid, _, _ = self._host_obs()
+        free = np.nonzero(~valid)[0]
+        n = min(len(rows), len(free))
+        if n < len(rows):
+            rows = rows[:n]
+        idx = jnp.asarray(free[:n], jnp.int32)
+        f = self.factors.reproj
+        f = f._replace(
+            uv=f.uv.at[idx].set(jnp.asarray(np.stack([r[0] for r in rows]), self.dtype)),
+            state_idx=f.state_idx.at[idx].set(
+                jnp.asarray([r[1] for r in rows], jnp.int32)
+            ),
+            lm_idx=f.lm_idx.at[idx].set(jnp.asarray([r[2] for r in rows], jnp.int32)),
+            cam_idx=f.cam_idx.at[idx].set(jnp.asarray([r[3] for r in rows], jnp.int32)),
+            sqrt_info=f.sqrt_info.at[idx].set(
+                jnp.asarray([r[4] for r in rows], self.dtype)
+            ),
+            valid=f.valid.at[idx].set(True),
+        )
+        self.factors = self.factors._replace(reproj=f)
+
+    def _allocate_landmarks(self, points_W: np.ndarray, descs) -> np.ndarray:
+        """Allocate landmark slots; returns slot indices (-1 on overflow)."""
+        lm_valid = np.asarray(self.window.lm_valid)
+        free = np.nonzero(~lm_valid)[0]
+        n = min(len(points_W), len(free))
+        slots = np.full(len(points_W), -1, np.int32)
+        if n == 0:
+            return slots
+        slots[:n] = free[:n]
+        sl = jnp.asarray(free[:n], jnp.int32)
+        self.window = self.window._replace(
+            hp_W=self.window.hp_W.at[sl, :3].set(
+                jnp.asarray(points_W[:n], self.dtype)
+            ).at[sl, 3].set(1.0),
+            lm_valid=self.window.lm_valid.at[sl].set(True),
+            lm_id=self.window.lm_id.at[sl].set(
+                jnp.arange(self.next_lm_id, self.next_lm_id + n, dtype=jnp.int32)
+            ),
+        )
+        self._lm_desc = self._lm_desc.at[sl].set(descs[:n])
+        self.next_lm_id += n
+        return slots
+
+    # ------------------------------------------------------------ main step
+    def add_frame(self, t: float, images: List[np.ndarray]) -> Optional[FrameResult]:
+        """Feed one synchronized multi-camera frame (blocking mode)."""
+        t = float(t)
+        if self.n_states == 0:
+            return self._initialize(t, images)
+
+        with Timer("2.0 frame_total"):
+            return self._track(t, images)
+
+    # The per-keypoint sqrt information: reference scales by keypoint size
+    # (64/size²); our detector is single-scale so a 1 px sigma is used.
+    _KP_SQRT_INFO = 1.0
+
+    def _initialize(self, t: float, images: List[np.ndarray]) -> Optional[FrameResult]:
+        if len(self.imu_t) < 3:
+            return None  # wait for IMU (ImuFrameSynchronizer analog)
+        self._lm_desc = jnp.zeros((self.wcfg.num_landmarks, 8), jnp.uint32)
+        acc_mean = jnp.asarray(np.mean(self.imu_acc[-20:], axis=0), self.dtype)
+        T0 = init_pose_from_imu(acc_mean)
+        slot = 0
+        self.window = self.window._replace(
+            r=self.window.r.at[slot].set(T0.r),
+            q=self.window.q.at[slot].set(T0.q),
+            speed_bias=self.window.speed_bias.at[slot].set(jnp.zeros(9, self.dtype)),
+            state_valid=self.window.state_valid.at[slot].set(True),
+            is_keyframe=self.window.is_keyframe.at[slot].set(True),
+            timestamp=self.window.timestamp.at[slot].set(t),
+            state_id=self.window.state_id.at[slot].set(self.next_state_id),
+        )
+        self.next_state_id += 1
+        # gauge priors (reference: first-pose information 1e8, sb prior)
+        pr = self.factors.priors
+        sbi = jnp.diag(
+            jnp.asarray(
+                np.concatenate([
+                    np.full(3, 10.0),
+                    np.full(3, 1.0 / self.cfg.imu.sigma_bg),
+                    np.full(3, 1.0 / self.cfg.imu.sigma_ba),
+                ]), self.dtype,
+            )
+        )
+        # gauge prior: strong on position + yaw (the unobservable directions),
+        # weak on roll/pitch (gravity-observable — a hard prior would pin any
+        # initialization error from non-static starts)
+        pose_si = jnp.diag(
+            jnp.asarray([1e4, 1e4, 1e4, 5.0, 5.0, 1e4], self.dtype)
+        )
+        pr = pr._replace(
+            pose_mean_r=pr.pose_mean_r.at[slot].set(T0.r),
+            pose_mean_q=pr.pose_mean_q.at[slot].set(T0.q),
+            pose_sqrt_info=pr.pose_sqrt_info.at[slot].set(pose_si),
+            pose_valid=pr.pose_valid.at[slot].set(True),
+            sb_mean=pr.sb_mean.at[slot].set(jnp.zeros(9, self.dtype)),
+            sb_sqrt_info=pr.sb_sqrt_info.at[slot].set(sbi),
+            sb_valid=pr.sb_valid.at[slot].set(True),
+        )
+        self.factors = self.factors._replace(priors=pr)
+        self._attach_depth_factor(slot, t)
+
+        uvs, descs, valids, scores = self._detect_describe(images, T0)
+        fd = _FrameData(
+            timestamp=t, kp_uv=uvs, kp_desc=descs, kp_valid=valids,
+            kp_landmark=[np.full(self.cfg.max_keypoints, -1, np.int64) for _ in images],
+            kp_score=scores,
+        )
+        self.frames[slot] = fd
+        n_new = self._stereo_initialize_landmarks(slot, fd, T0)
+        self.n_states = 1
+        self.last_kf_slot = slot
+        self.frame_count += 1
+        self.kf_count += 1
+        res = FrameResult(
+            timestamp=t, T_WS=T0,
+            speed_bias=np.zeros(9), is_keyframe=True,
+            num_tracked=0, num_new_landmarks=n_new, cost=0.0,
+        )
+        self.trajectory.append((t, np.asarray(T0.r), np.asarray(T0.q)))
+        if self.state_callback:
+            self.state_callback(res)
+        return res
+
+    def _attach_depth_factor(self, slot: int, t: float):
+        if not self.cfg.is_depth_used or not self.depth_buffer:
+            return
+        # mean of depth measurements near the state time (Estimator.cpp:248-262)
+        near = [d for (td, d) in self.depth_buffer if abs(td - t) < 0.6]
+        if not near:
+            return
+        dep = self.factors.depth
+        dep = dep._replace(
+            depth=dep.depth.at[slot].set(float(np.mean(near))),
+            first_depth=jnp.asarray(self.first_depth or 0.0, self.dtype),
+            valid=dep.valid.at[slot].set(True),
+        )
+        self.factors = self.factors._replace(depth=dep)
+
+    def _attach_sonar_factor(self, slot: int, t: float, T_WS: Transformation):
+        if not self.cfg.is_sonar_used or not self.sonar_buffer:
+            return
+        near = [s for s in self.sonar_buffer if abs(s[0] - t) < 0.2]
+        if not near:
+            return
+        _, rng, heading = near[-1]
+        # beam point in world: T_WS * T_SSo * (r cosθ, r sinθ, 0)
+        from ..kinematics import from_matrix
+
+        T_SSo = from_matrix(jnp.asarray(self.cfg.T_SSo, self.dtype))
+        p_So = jnp.asarray(
+            [rng * np.cos(heading), rng * np.sin(heading), 0.0], self.dtype
+        )
+        beam_W = np.asarray(transform_point(compose(T_WS, T_SSo), p_So))
+        # landmark subset within ±0.1 m box of the beam point
+        lms = np.asarray(self.window.hp_W[:, :3])
+        ok = np.asarray(self.window.lm_valid) & (
+            np.all(np.abs(lms - beam_W) < 0.1, axis=1)
+        )
+        if ok.sum() == 0:
+            return
+        target = lms[ok].mean(axis=0)
+        so = self.factors.sonar
+        so = so._replace(
+            range=so.range.at[slot].set(float(rng)),
+            target_W=so.target_W.at[slot].set(jnp.asarray(target, self.dtype)),
+            valid=so.valid.at[slot].set(True),
+        )
+        self.factors = self.factors._replace(sonar=so)
+
+    def _stereo_initialize_landmarks(
+        self, slot: int, fd: _FrameData, T_WS: Transformation
+    ) -> int:
+        """Stereo intra-frame matching + triangulation → new landmarks
+        (Frontend::matchStereo analog). Only keypoints not already associated
+        to a landmark participate."""
+        if self.rig.num_cameras < 2:
+            return 0
+        un_a = jnp.asarray(fd.kp_landmark[0] < 0)
+        un_b = jnp.asarray(fd.kp_landmark[1] < 0)
+        res = hamming.match_descriptors(
+            fd.kp_desc[0], fd.kp_desc[1],
+            fd.kp_valid[0] & un_a, fd.kp_valid[1] & un_b,
+            max_distance=60, mutual=True,
+        )
+        m = np.asarray(res.valid)
+        if m.sum() == 0:
+            return 0
+        ia = np.nonzero(m)[0]
+        ib = np.asarray(res.idx_b)[ia]
+        # triangulate in world frame
+        rays_a = back_project(self.rig.cameras[0], fd.kp_uv[0][jnp.asarray(ia)])
+        rays_b = back_project(self.rig.cameras[1], fd.kp_uv[1][jnp.asarray(ib)])
+        T_WA = compose(T_WS, self.rig.T_SC[0])
+        T_WB = compose(T_WS, self.rig.T_SC[1])
+        eA = quat.rotate(T_WA.q, rays_a)
+        eB = quat.rotate(T_WB.q, rays_b)
+        pA = jnp.broadcast_to(T_WA.r, eA.shape)
+        pB = jnp.broadcast_to(T_WB.r, eB.shape)
+        sigma = jnp.full(eA.shape[0], 2.0 / float(self.rig.cameras[0].fu))
+        tri = triangulate_fast(pA, eA, pB, eB, sigma)
+        pts = np.asarray(point_from_homogeneous(tri.hp))
+        good = np.asarray(tri.valid) & ~np.asarray(tri.parallel)
+        # depth sanity
+        depth = np.linalg.norm(pts - np.asarray(T_WA.r), axis=1)
+        good &= (depth > 0.1) & (depth < 60.0)
+        ia, ib, pts, depth = ia[good], ib[good], pts[good], depth[good]
+        if len(ia) == 0:
+            return 0
+        # dedup: never create a landmark on top of an existing one (a missed
+        # map match must not spawn a duplicate that then splits future
+        # matches under mutual-consistency)
+        lm_valid = np.asarray(self.window.lm_valid)
+        if lm_valid.sum() > 0:
+            existing = np.asarray(self.window.hp_W[:, :3])[lm_valid]
+            d = np.linalg.norm(pts[:, None, :] - existing[None, :, :], axis=-1)
+            min_d = d.min(axis=1)
+            keep = min_d > np.maximum(0.1, 0.04 * depth)
+            ia, ib, pts = ia[keep], ib[keep], pts[keep]
+            if len(ia) == 0:
+                return 0
+        slots = self._allocate_landmarks(pts, fd.kp_desc[0][jnp.asarray(ia)])
+        rows = []
+        for k, (a, b_) in enumerate(zip(ia, ib)):
+            if slots[k] < 0:
+                continue
+            fd.kp_landmark[0][a] = slots[k]
+            fd.kp_landmark[1][b_] = slots[k]
+            rows.append((np.asarray(fd.kp_uv[0][a]), slot, slots[k], 0, self._KP_SQRT_INFO))
+            rows.append((np.asarray(fd.kp_uv[1][b_]), slot, slots[k], 1, self._KP_SQRT_INFO))
+        self._add_observations(rows)
+        return int((slots >= 0).sum())
+
+    def _match_to_map(
+        self, slot: int, fd: _FrameData, T_WS_pred: Transformation
+    ) -> int:
+        """Match current keypoints to window landmarks with projection gating
+        (VioKeyframeWindowMatchingAlgorithm::doSetup + 3D2D matching), then
+        reject association outliers with 3D-2D RANSAC
+        (Frontend::runRansac3d2d, 50 hypotheses, 3 px)."""
+        lm_valid = np.asarray(self.window.lm_valid)
+        if lm_valid.sum() == 0:
+            return 0
+        n_tracked = 0
+        gate_px = 30.0
+        candidates = []  # (cam, kp_idx, lm_slot, uv, bearing_C)
+        for ci in range(self.rig.num_cameras):
+            T_WC = compose(T_WS_pred, self.rig.T_SC[ci])
+            p_C = transform_point(inverse(T_WC), self.window.hp_W[:, :3])
+            uv_pred, proj_ok = project(self.rig.cameras[ci], p_C)
+            proj_ok = proj_ok & self.window.lm_valid
+            # gating mask: keypoint within gate_px of predicted projection
+            d2 = jnp.sum(
+                (fd.kp_uv[ci][:, None, :] - uv_pred[None, :, :]) ** 2, axis=-1
+            )
+            mask = (d2 < gate_px * gate_px) & proj_ok[None, :]
+            res = hamming.match_descriptors(
+                fd.kp_desc[ci], self._lm_desc,
+                fd.kp_valid[ci], self.window.lm_valid,
+                mask=mask, max_distance=60, mutual=True,
+            )
+            mv = np.asarray(res.valid)
+            midx = np.asarray(res.idx_b)
+            rays = np.asarray(back_project(self.rig.cameras[ci], fd.kp_uv[ci]))
+            for k in np.nonzero(mv)[0]:
+                l = int(midx[k])
+                if fd.kp_landmark[ci][k] >= 0:
+                    continue
+                candidates.append((ci, int(k), l, np.asarray(fd.kp_uv[ci][k]), rays[k]))
+
+        if len(candidates) < 6:
+            return 0
+
+        # RANSAC the camera-0 candidates for a pose model, then gate every
+        # candidate (all cameras) by reprojection through the fitted pose.
+        lm_pts = np.asarray(self.window.hp_W[:, :3])
+        T_WC0 = compose(T_WS_pred, self.rig.T_SC[0])
+        c0 = [c for c in candidates if c[0] == 0]
+        T_WS_fit = T_WS_pred
+        accept_px = 8.0  # looser gate when only the IMU prediction is trusted
+        if len(c0) >= 6:
+            key = jax.random.PRNGKey(self._rng.randint(0, 2**31))
+            rr = absolute_pose_ransac(
+                key,
+                jnp.asarray(np.stack([lm_pts[c[2]] for c in c0]), self.dtype),
+                jnp.asarray(np.stack([c[4] for c in c0]), self.dtype),
+                jnp.ones(len(c0), bool),
+                T_WC0,
+                focal_px=float(self.rig.cameras[0].fu),
+                threshold_px=4.0,
+                num_hypotheses=50,
+                min_inliers=max(8, len(c0) // 3),
+            )
+            if bool(rr.success):
+                T_WS_fit = compose(
+                    Transformation(r=rr.T.r, q=rr.T.q),
+                    inverse(self.rig.T_SC[0]),
+                )
+                accept_px = 4.0
+        rows = []
+        refresh_l, refresh_d = [], []
+        for ci in range(self.rig.num_cameras):
+            sel = [c for c in candidates if c[0] == ci]
+            if not sel:
+                continue
+            T_CW = inverse(compose(T_WS_fit, self.rig.T_SC[ci]))
+            p_C = transform_point(
+                T_CW, jnp.asarray(np.stack([lm_pts[c[2]] for c in sel]), self.dtype)
+            )
+            uv_hat, ok_proj = project(self.rig.cameras[ci], p_C)
+            err = np.linalg.norm(
+                np.asarray(uv_hat) - np.stack([c[3] for c in sel]), axis=1
+            )
+            ok = np.asarray(ok_proj) & (err < accept_px)
+            for (c, good) in zip(sel, ok):
+                if not good:
+                    continue
+                _, k, l, uv, _ = c
+                fd.kp_landmark[ci][k] = l
+                rows.append((uv, slot, l, ci, self._KP_SQRT_INFO))
+                refresh_l.append(l)
+                refresh_d.append(fd.kp_desc[ci][k])
+                n_tracked += 1
+        if refresh_l:
+            self._lm_desc = self._lm_desc.at[jnp.asarray(refresh_l, jnp.int32)].set(
+                jnp.stack(refresh_d)
+            )
+        self._add_observations(rows)
+        return n_tracked
+
+    def _need_new_keyframe(self, fd: _FrameData) -> bool:
+        """Hull-overlap/matching-ratio heuristic
+        (Frontend::doWeNeedANewKeyframe, thresholds 0.6/0.2; bbox overlap
+        approximates the convex hulls)."""
+        if self.last_kf_slot is None:
+            return True
+        matched, total = [], 0
+        for ci in range(self.rig.num_cameras):
+            v = np.asarray(fd.kp_valid[ci])
+            total += v.sum()
+            m = (fd.kp_landmark[ci] >= 0) & v
+            if m.sum():
+                matched.append(np.asarray(fd.kp_uv[ci])[m])
+        if total == 0:
+            return True
+        n_match = sum(len(m) for m in matched)
+        ratio = n_match / max(total, 1)
+        if n_match < 2:
+            return True
+        pts = np.concatenate(matched)
+        area_m = np.prod(pts.max(axis=0) - pts.min(axis=0) + 1e-6)
+        area_all = self.rig.cameras[0].width * self.rig.cameras[0].height
+        overlap = area_m / area_all
+        return overlap < 0.55 or ratio < 0.2
+
+    def _track(self, t: float, images: List[np.ndarray]) -> FrameResult:
+        # ---- 2. IMU propagation for prediction ----
+        prev_slot = self.n_states - 1
+        t_prev = float(self.window.timestamp[prev_slot])
+        sb_prev = self.window.speed_bias[prev_slot]
+        pre = self._preintegrate(t_prev, t, sb_prev[3:9])
+        T_prev = self.window.pose(prev_slot)
+        if pre is not None:
+            T_pred, sb_pred = propagate(T_prev, sb_prev, pre, self.cfg.imu)
+        else:
+            T_pred, sb_pred = T_prev, sb_prev
+
+        # ---- 1. detection/description at predicted attitude ----
+        with Timer("2.1 detect_describe"):
+            uvs, descs, valids, scores = self._detect_describe(images, T_pred)
+        fd = _FrameData(
+            timestamp=t, kp_uv=uvs, kp_desc=descs, kp_valid=valids,
+            kp_landmark=[np.full(self.cfg.max_keypoints, -1, np.int64) for _ in images],
+            kp_score=scores,
+        )
+
+        # ---- marginalization BEFORE adding if window is full ----
+        if self.n_states >= self.wcfg.num_states:
+            self._apply_marginalization_policy()
+        slot = self.n_states
+
+        # ---- state creation ----
+        self.window = self.window._replace(
+            r=self.window.r.at[slot].set(T_pred.r),
+            q=self.window.q.at[slot].set(T_pred.q),
+            speed_bias=self.window.speed_bias.at[slot].set(sb_pred),
+            state_valid=self.window.state_valid.at[slot].set(True),
+            timestamp=self.window.timestamp.at[slot].set(t),
+            state_id=self.window.state_id.at[slot].set(self.next_state_id),
+            is_keyframe=self.window.is_keyframe.at[slot].set(False),
+        )
+        self.next_state_id += 1
+        self.frames[slot] = fd
+        self.n_states += 1
+
+        # IMU factor prev_slot -> slot
+        if pre is not None:
+            W = sqrt_information(pre)
+            imf = self.factors.imu
+            k = slot - 1
+            imf = imf._replace(
+                pre=jax.tree_util.tree_map(
+                    lambda full, new: full.at[k].set(new), imf.pre, pre
+                ),
+                sqrt_info=imf.sqrt_info.at[k].set(W),
+                valid=imf.valid.at[k].set(True),
+            )
+            self.factors = self.factors._replace(imu=imf)
+
+        self._attach_depth_factor(slot, t)
+        self._attach_sonar_factor(slot, t, T_pred)
+
+        # ---- 3. data association ----
+        with Timer("2.4 matching"):
+            n_tracked = self._match_to_map(slot, fd, T_pred)
+        is_kf = self._need_new_keyframe(fd)
+        n_new = 0
+        if is_kf:
+            n_new = self._stereo_initialize_landmarks(slot, fd, T_pred)
+            self.window = self.window._replace(
+                is_keyframe=self.window.is_keyframe.at[slot].set(True)
+            )
+            self.last_kf_slot = slot
+            self.kf_count += 1
+
+        # ---- 6. optimize ----
+        with Timer("3.1 optimization"):
+            res = optimize(
+                self.window, self.factors, self.rig_p, self.cfg.imu, self.wcfg
+            )
+        self.window = res.window
+        self._prune_outlier_observations()
+
+        self.frame_count += 1
+        T_WS = self.window.pose(slot)
+        result = FrameResult(
+            timestamp=t,
+            T_WS=Transformation(
+                r=np.asarray(T_WS.r), q=np.asarray(T_WS.q)
+            ),
+            speed_bias=np.asarray(self.window.speed_bias[slot]),
+            is_keyframe=is_kf,
+            num_tracked=n_tracked,
+            num_new_landmarks=n_new,
+            cost=float(res.cost),
+            keyframe_export=self._export_keyframe(slot, images) if is_kf else None,
+        )
+        self.trajectory.append((t, result.T_WS.r, result.T_WS.q))
+        if self.state_callback:
+            self.state_callback(result)
+        if result.keyframe_export is not None and self.keyframe_callback:
+            self.keyframe_callback(result.keyframe_export)
+        return result
+
+    _PRUNE_PX = 3.0
+
+    def _prune_outlier_observations(self):
+        """Post-optimization chi² gate (the reference's verifyMatch chi²<4
+        reprojection gate applied continuously): invalidate observations
+        whose residual exceeds the pixel threshold."""
+        from ..estimator import eval_reprojection
+
+        ev = eval_reprojection(self.window, self.factors, self.rig_p, self.wcfg)
+        # residuals are weighted by sqrt_info (=1/px) and robust weight; undo
+        # the robust weight to get pixel error
+        w = jnp.sqrt(jnp.maximum(ev.weight, 1e-9))
+        err = jnp.linalg.norm(ev.res, axis=-1) / (
+            jnp.maximum(self.factors.reproj.sqrt_info, 1e-9) * w
+        )
+        bad = ev.valid & (err > self._PRUNE_PX)
+        if bool(jnp.any(bad)):
+            f = self.factors.reproj
+            self.factors = self.factors._replace(
+                reproj=f._replace(valid=f.valid & ~bad)
+            )
+
+    # --------------------------------------------------- marginalization
+    def _apply_marginalization_policy(self):
+        """RSS'13 policy (Estimator::applyMarginalizationStrategy analog):
+        keep the newest numImuFrames; if the oldest of those is not a
+        keyframe, drop it; otherwise drop the oldest keyframe slot."""
+        S = self.wcfg.num_states
+        n_imu = self.cfg.num_imu_frames
+        is_kf = np.asarray(self.window.is_keyframe)
+        # oldest of the recent (non-keyframe) frames
+        recent_start = S - n_imu
+        victim = None
+        for s in range(recent_start, S):
+            if not is_kf[s]:
+                victim = s
+                break
+        if victim is None:
+            victim = 0  # oldest keyframe
+        self._marginalize(victim)
+
+    def _marginalize(self, slot: int):
+        self.window, self.factors = marginalize_slot(
+            self.window, self.factors, jnp.int32(slot), self.rig_p,
+            self.cfg.imu, self.wcfg,
+        )
+        # host bookkeeping shift
+        new_frames = {}
+        for s, fdta in self.frames.items():
+            if s == slot:
+                continue
+            new_frames[s - 1 if s > slot else s] = fdta
+        self.frames = new_frames
+        if self.last_kf_slot is not None:
+            if self.last_kf_slot == slot:
+                self.last_kf_slot = None
+            elif self.last_kf_slot > slot:
+                self.last_kf_slot -= 1
+        self.n_states -= 1
+
+    # --------------------------------------------------------- kf export
+    def _export_keyframe(self, slot: int, images) -> dict:
+        """Keyframe payload for the loop-closure module — preserves the
+        reference's inter-process ABI (ThreadedKFVio.cpp:1147-1247 →
+        pose_graph Subscriber.cpp:116-193): left image, T_WC, per-point
+        [3D point, landmark id, pose id, keypoint uv, quality], covisible
+        keyframe indices, and health fields."""
+        fd = self.frames[slot]
+        T_WS = self.window.pose(slot)
+        T_WC = compose(
+            Transformation(r=T_WS.r, q=T_WS.q), self.rig.T_SC[0]
+        )
+        kp_lm = fd.kp_landmark[0]
+        sel = np.nonzero(kp_lm >= 0)[0]
+        lm_slots = kp_lm[sel]
+        pts = np.asarray(self.window.hp_W[jnp.asarray(lm_slots), :3])
+        qual = np.asarray(self.window.lm_quality[jnp.asarray(lm_slots)])
+        lm_ids = np.asarray(self.window.lm_id[jnp.asarray(lm_slots)])
+        q = detection.quadrant_counts(
+            detection.Keypoints(
+                uv=fd.kp_uv[0], score=fd.kp_score[0],
+                angle=jnp.zeros_like(fd.kp_score[0]), valid=fd.kp_valid[0],
+            ),
+            self.rig.cameras[0].width, self.rig.cameras[0].height,
+        )
+        return {
+            "kf_index": self.kf_count,
+            "timestamp": fd.timestamp,
+            "image": np.asarray(images[0]),
+            "T_WC_r": np.asarray(T_WC.r),
+            "T_WC_q": np.asarray(T_WC.q),
+            "points_W": pts,
+            "landmark_ids": lm_ids,
+            "keypoints_uv": np.asarray(fd.kp_uv[0][jnp.asarray(sel)]),
+            "quality": qual,
+            "num_tracked": int(len(sel)),
+            "quadrant_counts": np.asarray(q),
+            "response_strengths": np.asarray(fd.kp_score[0][jnp.asarray(sel)]),
+        }
+
+    # ------------------------------------------------------------- output
+    def current_pose(self) -> Transformation:
+        slot = max(self.n_states - 1, 0)
+        T = self.window.pose(slot)
+        return Transformation(r=np.asarray(T.r), q=np.asarray(T.q))
+
+    def save_trajectory_tum(self, path: str):
+        """TUM format: timestamp tx ty tz qx qy qz qw (reference
+        Publisher::saveTrajectory)."""
+        with open(path, "w") as f:
+            for t, r, q in self.trajectory:
+                f.write(
+                    f"{t:.6f} {r[0]:.6f} {r[1]:.6f} {r[2]:.6f} "
+                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+                )

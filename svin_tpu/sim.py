@@ -22,31 +22,47 @@ from .kinematics import Transformation, quaternion as quat
 
 
 class Trajectory(NamedTuple):
-    """Analytic trajectory coefficients; see ``pose(t)``."""
+    """Analytic trajectory coefficients; see ``pose(t)``.
+
+    ``ramp_tau`` > 0 applies a smoothstep start-from-rest envelope (position,
+    velocity and acceleration all zero at t = 0) — robots start static, and
+    gravity-based attitude initialization assumes it.
+    """
 
     r_amp: jnp.ndarray  # (3,)
     r_freq: jnp.ndarray  # (3,)
     r_lin: jnp.ndarray  # (3,) linear velocity component
     w_amp: jnp.ndarray  # (3,) orientation oscillation amplitude [rad]
     w_freq: jnp.ndarray  # (3,)
+    ramp_tau: float = 0.0  # static (not traced)
 
 
-def default_trajectory(scale: float = 1.0) -> Trajectory:
+def default_trajectory(scale: float = 1.0, ramp_tau: float = 0.0) -> Trajectory:
     return Trajectory(
         r_amp=jnp.array([1.0, 0.8, 0.4]) * scale,
         r_freq=jnp.array([0.4, 0.3, 0.5]) * 2 * jnp.pi,
         r_lin=jnp.array([0.15, 0.1, 0.0]) * scale,
         w_amp=jnp.array([0.2, 0.25, 0.3]),
         w_freq=jnp.array([0.3, 0.4, 0.2]) * 2 * jnp.pi,
+        ramp_tau=ramp_tau,
     )
 
 
+def _envelope(traj: Trajectory, t):
+    if traj.ramp_tau <= 0.0:
+        return 1.0
+    s = jnp.clip(t / traj.ramp_tau, 0.0, 1.0)
+    return s * s * s * (s * (6.0 * s - 15.0) + 10.0)  # C2 smoothstep
+
+
 def position(traj: Trajectory, t) -> jnp.ndarray:
-    return traj.r_amp * jnp.sin(traj.r_freq * t) + traj.r_lin * t
+    return _envelope(traj, t) * (
+        traj.r_amp * jnp.sin(traj.r_freq * t) + traj.r_lin * t
+    )
 
 
 def rotvec(traj: Trajectory, t) -> jnp.ndarray:
-    return traj.w_amp * jnp.sin(traj.w_freq * t)
+    return _envelope(traj, t) * traj.w_amp * jnp.sin(traj.w_freq * t)
 
 
 def pose(traj: Trajectory, t) -> Transformation:

@@ -114,8 +114,8 @@ def test_descriptor_rotation_consistency():
 
 def test_hamming_matrix_matches_numpy():
     key = jax.random.PRNGKey(1)
-    a = jax.random.randint(key, (33, 8), 0, 2**31, dtype=jnp.int32).astype(jnp.uint32)
-    b = jax.random.randint(key, (47, 8), 0, 2**31, dtype=jnp.int32).astype(jnp.uint32)
+    a = jax.random.randint(key, (33, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    b = jax.random.randint(key, (47, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
     d = hamming.hamming_matrix_ref(a, b)
     an = np.array(a)
     bn = np.array(b)
@@ -131,8 +131,8 @@ def test_hamming_matrix_matches_numpy():
 
 def test_hamming_pallas_interpret_matches_ref():
     key = jax.random.PRNGKey(2)
-    a = jax.random.randint(key, (128, 8), 0, 2**31, dtype=jnp.int32).astype(jnp.uint32)
-    b = jax.random.randint(key, (128, 8), 0, 2**31, dtype=jnp.int32).astype(jnp.uint32)
+    a = jax.random.randint(key, (128, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    b = jax.random.randint(key, (128, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
     d_ref = hamming.hamming_matrix_ref(a, b)
     d_pl = hamming.hamming_matrix_pallas(a, b, interpret=True)
     np.testing.assert_array_equal(np.array(d_ref), np.array(d_pl))

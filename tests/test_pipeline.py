@@ -1,0 +1,118 @@
+"""End-to-end pipeline test: synthetic rendered sequence through the full
+VIO engine (detect → describe → match → triangulate → optimize →
+marginalize), checking trajectory error against the analytic ground truth.
+
+This is the pipeline-level analog of the reference's
+``okvis_multisensor_processing/test/testDataFlow.cpp`` (pump synthetic
+frames/IMU, assert pipeline invariants) upgraded to a full-accuracy check.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svin_tpu.cameras import NCameraSystem, make_camera
+from svin_tpu.kinematics import from_rq, quaternion as quat
+from svin_tpu.pipeline import (
+    VioConfig,
+    VioEngine,
+    run_events,
+    synthetic_sequence,
+)
+from svin_tpu.pipeline.config import CameraConfig
+
+
+def small_rig():
+    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
+    rig = NCameraSystem()
+    rig.add_camera(from_rq([0.0, 0.0, 0.0], [0, 0, 0, 1]), cam)
+    rig.add_camera(from_rq([0.2, 0.0, 0.0], [0, 0, 0, 1]), cam)
+    return rig
+
+
+def small_config():
+    cfg = VioConfig()
+    cfg.num_keyframes = 4
+    cfg.num_imu_frames = 2
+    cfg.max_keypoints = 150
+    cfg.max_iterations = 6
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def vio_run():
+    from svin_tpu import sim
+
+    rig = small_rig()
+    cfg = small_config()
+    engine = VioEngine(cfg, rig=rig)
+    # start-from-rest trajectory (gravity init assumes a static start) and a
+    # well-conditioned stereo scene (baseline/depth → usable disparity)
+    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    events, renderer = synthetic_sequence(
+        rig, duration=2.6, cam_rate=6.0, imu_rate=100.0,
+        imu_params=cfg.imu, seed=3, n_points=300,
+        traj=traj, spread=6.0, depth_offset=3.0, t_first_frame=0.12,
+    )
+    results = run_events(engine, events)
+    return engine, renderer, results
+
+
+def test_pipeline_runs_and_tracks(vio_run):
+    engine, renderer, results = vio_run
+    assert len(results) >= 10
+    # after init, frames should track landmarks
+    tracked = [r.num_tracked for r in results[1:]]
+    assert np.median(tracked) >= 20, tracked
+    assert results[0].is_keyframe
+
+
+def test_pipeline_trajectory_accuracy(vio_run):
+    """ATE after SE(3) alignment (the VIO world frame is gravity-aligned at
+    the origin with arbitrary yaw — exactly the reference's evaluation
+    protocol vs the COLMAP ground truth)."""
+    from svin_tpu.evaluation import ate_rmse
+
+    engine, renderer, results = vio_run
+    est = np.stack([np.asarray(r.T_WS.r) for r in results])
+    gt = np.stack(
+        [np.asarray(renderer.pose(r.timestamp).r) for r in results]
+    )
+    rmse, align = ate_rmse(est, gt, with_scale=False)
+    # trajectory spans ~1.5 m of motion; a few cm ATE
+    assert rmse < 0.05, rmse
+    # stereo gives metric scale: Sim(3) scale must be near 1
+    rmse_s, align_s = ate_rmse(est, gt, with_scale=True)
+    assert abs(align_s.scale - 1.0) < 0.05, align_s.scale
+
+
+def test_pipeline_marginalization_bounded_window(vio_run):
+    engine, renderer, results = vio_run
+    assert engine.n_states <= engine.wcfg.num_states
+    assert int(np.asarray(engine.window.state_valid).sum()) == engine.n_states
+
+
+def test_pipeline_keyframe_export_contract(vio_run):
+    """Keyframe export must carry the pose_graph ABI fields
+    (ThreadedKFVio.cpp:1147-1247 payload schema)."""
+    engine, renderer, results = vio_run
+    kfs = [r.keyframe_export for r in results if r.keyframe_export is not None]
+    assert len(kfs) >= 1
+    kf = kfs[-1]
+    for key in (
+        "kf_index", "timestamp", "image", "T_WC_r", "T_WC_q", "points_W",
+        "landmark_ids", "keypoints_uv", "quality", "num_tracked",
+        "quadrant_counts", "response_strengths",
+    ):
+        assert key in kf, key
+    assert kf["points_W"].shape[1] == 3
+    assert len(kf["landmark_ids"]) == len(kf["points_W"])
+
+
+def test_trajectory_save_tum(tmp_path, vio_run):
+    engine, renderer, results = vio_run
+    p = tmp_path / "traj.txt"
+    engine.save_trajectory_tum(str(p))
+    rows = np.loadtxt(p)
+    assert rows.shape[1] == 8
+    assert rows.shape[0] == len(engine.trajectory)
