@@ -1,0 +1,44 @@
+from .globalmap import GlobalMap
+from .loop_closure import LoopCloser, LoopInfo, LoopKeyframe
+from .posegraph import (
+    PoseGraph6Edges,
+    PoseGraph6Nodes,
+    PoseGraphEdges,
+    PoseGraphNodes,
+    matrix_to_ypr,
+    normalize_angle,
+    optimize_4dof,
+    optimize_6dof,
+    ypr_to_matrix,
+)
+from .retrieval import KeyframeDatabase, bow_vector, l1_scores, make_vocabulary
+from .switching import (
+    HealthStatus,
+    SwitchingEstimator,
+    TrackingState,
+    check_health,
+)
+
+__all__ = [
+    "GlobalMap",
+    "HealthStatus",
+    "KeyframeDatabase",
+    "LoopCloser",
+    "LoopInfo",
+    "LoopKeyframe",
+    "PoseGraph6Edges",
+    "PoseGraph6Nodes",
+    "PoseGraphEdges",
+    "PoseGraphNodes",
+    "SwitchingEstimator",
+    "TrackingState",
+    "bow_vector",
+    "check_health",
+    "l1_scores",
+    "make_vocabulary",
+    "matrix_to_ypr",
+    "normalize_angle",
+    "optimize_4dof",
+    "optimize_6dof",
+    "ypr_to_matrix",
+]

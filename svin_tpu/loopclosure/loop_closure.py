@@ -1,0 +1,355 @@
+"""Loop closing: keyframe intake → place recognition → geometric
+verification → pose-graph optimization → drift correction.
+
+Replaces the reference's pose_graph pipeline (``LoopClosure::run``
+``pose_graph/src/pose_graph/LoopClosure.cpp:57-188``; ``Keyframe``
+descriptor extraction + findConnection ``Keyframe.cpp:165-546``;
+``PoseGraph::addKFToPoseGraph/detectLoop`` ``PoseGraph.cpp:46-224``). The
+keyframe payload is the dict emitted by ``VioEngine`` (the reference's
+4-topic keyframe ABI); verification reuses the batched Hamming matcher and
+the prior-seeded PnP RANSAC; optimization is the jitted 4-DoF pose graph.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import PinholeCamera, back_project
+from ..frontend import absolute_pose_ransac
+from ..kinematics import Transformation, quaternion as quat
+from ..ops import descriptor as desc_ops, detection, hamming
+from ..pipeline.config import VioConfig
+from .posegraph import (
+    PoseGraphEdges,
+    PoseGraphNodes,
+    matrix_to_ypr,
+    normalize_angle,
+    optimize_4dof,
+    ypr_to_matrix,
+)
+from .retrieval import KeyframeDatabase
+
+RECENCY_EXCLUSION = 50  # skip the most recent N keyframes (PoseGraph.cpp:197)
+MIN_LOOP_SCORE = 0.015  # absolute floor on BoW score
+N_EXTRA_CORNERS = 500  # fresh FAST/Harris corners per loop keyframe
+DESC_DIST_LOOP = 80  # Hamming acceptance for loop matching (Keyframe.cpp:290-306)
+WINDOW_CAP = 512  # fixed window-keypoint capacity (static shapes → one jit)
+
+
+@dataclass
+class LoopKeyframe:
+    index: int  # sequential pose-graph index
+    timestamp: float
+    T_WC_vio: Transformation  # VIO odometry pose (camera frame, drift frame)
+    points_W: np.ndarray  # (M,3) VIO landmark positions (world/VIO frame)
+    point_uv: np.ndarray  # (M,2)
+    window_desc: jnp.ndarray  # (M,8) descriptors of VIO window keypoints
+    window_valid: jnp.ndarray  # (M,)
+    extra_uv: jnp.ndarray  # (Ke,2) fresh corners
+    extra_desc: jnp.ndarray  # (Ke,8)
+    extra_valid: jnp.ndarray  # (Ke,)
+    loop_index: int = -1
+    loop_rel_t: Optional[np.ndarray] = None
+    loop_rel_yaw: float = 0.0
+
+
+@dataclass
+class LoopInfo:
+    query_index: int
+    match_index: int
+    num_inliers: int
+    rel_t: np.ndarray
+    rel_yaw: float
+
+
+class LoopCloser:
+    """Sequential loop-closure engine (deterministic, host-orchestrated)."""
+
+    def __init__(
+        self,
+        camera: PinholeCamera,
+        config: Optional[VioConfig] = None,
+        capacity: int = 512,
+    ):
+        self.cfg = config if config is not None else VioConfig()
+        self.camera = camera
+        self.db = KeyframeDatabase()
+        self.keyframes: List[LoopKeyframe] = []
+        self.capacity = capacity
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.nodes = PoseGraphNodes(
+            p=jnp.zeros((capacity, 3), dtype),
+            yaw=jnp.zeros(capacity, dtype),
+            pitch=jnp.zeros(capacity, dtype),
+            roll=jnp.zeros(capacity, dtype),
+            valid=jnp.zeros(capacity, bool),
+        )
+        E = capacity * 4
+        self.edges = PoseGraphEdges(
+            i=jnp.zeros(E, jnp.int32),
+            j=jnp.zeros(E, jnp.int32),
+            t_ij=jnp.zeros((E, 3), dtype),
+            yaw_ij=jnp.zeros(E, dtype),
+            weight=jnp.ones(E, dtype),
+            is_loop=jnp.zeros(E, bool),
+            valid=jnp.zeros(E, bool),
+        )
+        self.n_edges = 0
+        self.earliest_loop_index = capacity
+        self.loops: List[LoopInfo] = []
+        # drift: corrected = R_drift @ p_vio + t_drift (4-DoF: yaw + t)
+        self.yaw_drift = 0.0
+        self.t_drift = np.zeros(3)
+        self.loop_callback: Optional[Callable[[LoopInfo], None]] = None
+        self._dtype = dtype
+        self._pending_optimize = False
+
+    # ------------------------------------------------------------- intake
+    def add_keyframe(self, kf_export: dict) -> Optional[LoopInfo]:
+        """Consume one VioEngine keyframe export; returns loop info if a
+        loop was detected+verified (optimization runs inline, the
+        reference's 500 ms-poll optimization thread collapsed into the
+        deterministic sequence)."""
+        idx = len(self.keyframes)
+        if idx >= self.capacity:
+            return None  # capacity reached (host could grow arrays)
+        image = jnp.asarray(kf_export["image"], jnp.float32)
+        T_WC = Transformation(
+            r=jnp.asarray(kf_export["T_WC_r"]), q=jnp.asarray(kf_export["T_WC_q"])
+        )
+        # window-keypoint descriptors (recomputed on the keyframe image like
+        # the reference's computeWindowBRIEFPoint) — padded to WINDOW_CAP so
+        # every downstream device call has one static shape
+        uv_raw = np.asarray(kf_export["keypoints_uv"], np.float32).reshape(-1, 2)
+        M = min(uv_raw.shape[0], WINDOW_CAP)
+        uv_pad = np.zeros((WINDOW_CAP, 2), np.float32)
+        uv_pad[:M] = uv_raw[:M]
+        uv_w = jnp.asarray(uv_pad)
+        valid_w = jnp.arange(WINDOW_CAP) < M
+        desc_w = desc_ops.describe(
+            image, uv_w, jnp.zeros(WINDOW_CAP, jnp.float32), valid_w
+        )
+        # fresh corners (computeBRIEFPoint: FAST-20 + BRIEF)
+        kp_e = detection.detect(image, max_keypoints=N_EXTRA_CORNERS)
+        desc_e = desc_ops.describe(image, kp_e.uv, kp_e.angle, kp_e.valid)
+
+        kf = LoopKeyframe(
+            index=idx,
+            timestamp=float(kf_export["timestamp"]),
+            T_WC_vio=T_WC,
+            points_W=np.asarray(kf_export["points_W"], float),
+            point_uv=np.asarray(kf_export["keypoints_uv"], float),
+            window_desc=desc_w,
+            window_valid=valid_w,
+            extra_uv=kp_e.uv,
+            extra_desc=desc_e,
+            extra_valid=kp_e.valid,
+        )
+        self.keyframes.append(kf)
+
+        # pose-graph node from the drift-corrected VIO pose
+        T_cor = self.apply_drift(T_WC)
+        R = quat.to_rotation_matrix(T_cor.q)
+        yaw, pitch, roll = matrix_to_ypr(R)
+        self.nodes = self.nodes._replace(
+            p=self.nodes.p.at[idx].set(T_cor.r.astype(self._dtype)),
+            yaw=self.nodes.yaw.at[idx].set(yaw.astype(self._dtype)),
+            pitch=self.nodes.pitch.at[idx].set(pitch.astype(self._dtype)),
+            roll=self.nodes.roll.at[idx].set(roll.astype(self._dtype)),
+            valid=self.nodes.valid.at[idx].set(True),
+        )
+        # sequential edges to the 1-2 previous keyframes (PoseGraph.cpp:252-335)
+        for back in (1, 2):
+            if idx - back >= 0:
+                self._add_sequential_edge(idx - back, idx)
+
+        # loop detection (db query BEFORE adding, excluding recent)
+        loop = self._detect_and_verify(kf)
+        all_desc = jnp.concatenate([desc_w, desc_e])
+        all_valid = jnp.concatenate([valid_w, kp_e.valid])
+        self.db.add(all_desc, all_valid)
+
+        if loop is not None:
+            self.loops.append(loop)
+            kf.loop_index = loop.match_index
+            kf.loop_rel_t = loop.rel_t
+            kf.loop_rel_yaw = loop.rel_yaw
+            self.earliest_loop_index = min(self.earliest_loop_index, loop.match_index)
+            self._add_loop_edge(loop)
+            self._optimize_and_update_drift()
+            if self.loop_callback:
+                self.loop_callback(loop)
+        return loop
+
+    # ---------------------------------------------------------- internals
+    def _vio_rel(self, i: int, j: int) -> Tuple[np.ndarray, float]:
+        """Relative (t_ij in i-frame-yaw-aligned, yaw_ij) from VIO poses."""
+        Ti = self.keyframes[i].T_WC_vio
+        Tj = self.keyframes[j].T_WC_vio
+        Ri = quat.to_rotation_matrix(Ti.q)
+        yaw_i, pitch_i, roll_i = matrix_to_ypr(Ri)
+        R_i_full = ypr_to_matrix(yaw_i, pitch_i, roll_i)
+        t_ij = np.asarray(R_i_full.T @ (Tj.r - Ti.r))
+        yaw_j = matrix_to_ypr(quat.to_rotation_matrix(Tj.q))[0]
+        return t_ij, float(normalize_angle(yaw_j - yaw_i))
+
+    def _add_sequential_edge(self, i: int, j: int):
+        t_ij, yaw_ij = self._vio_rel(i, j)
+        k = self.n_edges
+        if k >= self.edges.i.shape[0]:
+            return
+        self.edges = self.edges._replace(
+            i=self.edges.i.at[k].set(i),
+            j=self.edges.j.at[k].set(j),
+            t_ij=self.edges.t_ij.at[k].set(jnp.asarray(t_ij, self._dtype)),
+            yaw_ij=self.edges.yaw_ij.at[k].set(yaw_ij),
+            weight=self.edges.weight.at[k].set(1.0),
+            is_loop=self.edges.is_loop.at[k].set(False),
+            valid=self.edges.valid.at[k].set(True),
+        )
+        self.n_edges += 1
+
+    def _add_loop_edge(self, loop: LoopInfo):
+        k = self.n_edges
+        if k >= self.edges.i.shape[0]:
+            return
+        self.edges = self.edges._replace(
+            i=self.edges.i.at[k].set(loop.match_index),
+            j=self.edges.j.at[k].set(loop.query_index),
+            t_ij=self.edges.t_ij.at[k].set(jnp.asarray(loop.rel_t, self._dtype)),
+            yaw_ij=self.edges.yaw_ij.at[k].set(loop.rel_yaw),
+            weight=self.edges.weight.at[k].set(5.0),
+            is_loop=self.edges.is_loop.at[k].set(True),
+            valid=self.edges.valid.at[k].set(True),
+        )
+        self.n_edges += 1
+
+    def _detect_and_verify(self, kf: LoopKeyframe) -> Optional[LoopInfo]:
+        lc = self.cfg.loop_closure
+        if not lc.enable:
+            return None
+        exclude_after = len(self.keyframes) - 1 - RECENCY_EXCLUSION
+        if exclude_after <= 0:
+            return None
+        if int(kf.window_valid.sum()) < 5:
+            return None
+        all_desc = jnp.concatenate([kf.window_desc, kf.extra_desc])
+        all_valid = jnp.concatenate([kf.window_valid, kf.extra_valid])
+        idxs, scores = self.db.query(
+            all_desc, all_valid, top_k=4, exclude_after=exclude_after
+        )
+        for cand, score in zip(idxs, scores):
+            if score < MIN_LOOP_SCORE:
+                continue
+            loop = self._verify(kf, self.keyframes[int(cand)])
+            if loop is not None:
+                return loop
+        return None
+
+    def _verify(self, cur: LoopKeyframe, old: LoopKeyframe) -> Optional[LoopInfo]:
+        """Descriptor match cur-window(3D) → old-corners(2D), then PnP RANSAC
+        (Keyframe::findConnection → PnPRANSAC, gates at :495-543)."""
+        lc = self.cfg.loop_closure
+        res = hamming.match_descriptors(
+            cur.window_desc, old.extra_desc, cur.window_valid, old.extra_valid,
+            max_distance=DESC_DIST_LOOP, mutual=True,
+        )
+        m = np.asarray(res.valid)
+        if m.sum() < lc.min_correspondences:
+            return None
+        sel = np.nonzero(m)[0]
+        old_idx = np.asarray(res.idx_b)[sel]
+        # fixed-size RANSAC problem (pad with invalid rows → one compilation)
+        n = min(len(sel), WINDOW_CAP)
+        p_W_pad = np.zeros((WINDOW_CAP, 3))
+        p_W_pad[:n] = cur.points_W[sel[:n]]
+        uv_pad = np.zeros((WINDOW_CAP, 2), np.float32)
+        uv_pad[:n] = np.asarray(old.extra_uv)[old_idx[:n]]
+        ransac_valid = jnp.arange(WINDOW_CAP) < n
+        rays = back_project(self.camera, jnp.asarray(uv_pad))
+        # solve for the OLD camera's pose against the CURRENT 3D points,
+        # seeded with the old VIO pose (drift makes them differ)
+        rr = absolute_pose_ransac(
+            jax.random.PRNGKey(cur.index * 7919 + old.index),
+            jnp.asarray(p_W_pad, self._dtype),
+            rays.astype(self._dtype),
+            ransac_valid,
+            old.T_WC_vio,
+            focal_px=float(self.camera.fu),
+            threshold_px=lc.pnp_reprojection_threshold,
+            num_hypotheses=lc.pnp_ransac_iterations,
+            min_inliers=lc.min_correspondences,
+        )
+        if not bool(rr.success) or int(rr.num_inliers) < lc.min_correspondences:
+            return None
+        T_old_fit = rr.T  # old camera pose in the CURRENT VIO frame
+        # relative transform old → cur in old's yaw frame
+        yaw_o, pitch_o, roll_o = matrix_to_ypr(quat.to_rotation_matrix(T_old_fit.q))
+        R_o = ypr_to_matrix(yaw_o, pitch_o, roll_o)
+        rel_t = np.asarray(R_o.T @ (cur.T_WC_vio.r - T_old_fit.r))
+        yaw_c = matrix_to_ypr(quat.to_rotation_matrix(cur.T_WC_vio.q))[0]
+        rel_yaw = float(normalize_angle(yaw_c - yaw_o))
+        # sanity gates (reference: |yaw|<30°, ‖t‖< max_position_diff)
+        if abs(np.degrees(rel_yaw)) > lc.max_yaw_diff:
+            return None
+        if np.linalg.norm(rel_t) > lc.max_position_diff:
+            return None
+        return LoopInfo(
+            query_index=cur.index,
+            match_index=old.index,
+            num_inliers=int(rr.num_inliers),
+            rel_t=rel_t,
+            rel_yaw=rel_yaw,
+        )
+
+    def _optimize_and_update_drift(self):
+        # fix everything up to and including the earliest looped keyframe
+        # (the reference holds poses before earliest_loop_index constant and
+        # anchors the first looped keyframe)
+        fix_before = jnp.int32(max(self.earliest_loop_index + 1, 1))
+        self.nodes = optimize_4dof(self.nodes, self.edges, fix_before, iters=10)
+        # drift: newest node's optimized pose vs its drift-corrected VIO pose
+        last = len(self.keyframes) - 1
+        kf = self.keyframes[last]
+        yaw_vio = float(
+            matrix_to_ypr(quat.to_rotation_matrix(kf.T_WC_vio.q))[0]
+        )
+        yaw_opt = float(self.nodes.yaw[last])
+        self.yaw_drift = float(normalize_angle(yaw_opt - yaw_vio))
+        Rz = np.asarray(ypr_to_matrix(jnp.asarray(self.yaw_drift), 0.0, 0.0))
+        self.t_drift = np.asarray(self.nodes.p[last]) - Rz @ np.asarray(kf.T_WC_vio.r)
+
+    # ------------------------------------------------------------- output
+    def apply_drift(self, T_WC: Transformation) -> Transformation:
+        """Drift-corrected pose for a raw VIO pose (4-DoF correction)."""
+        Rz = ypr_to_matrix(jnp.asarray(self.yaw_drift, self._dtype), 0.0, 0.0)
+        dq = quat.from_rotation_matrix(Rz)
+        return Transformation(
+            r=Rz @ jnp.asarray(T_WC.r, self._dtype) + jnp.asarray(self.t_drift, self._dtype),
+            q=quat.normalize(quat.multiply(dq, jnp.asarray(T_WC.q, self._dtype))),
+        )
+
+    def optimized_path(self) -> np.ndarray:
+        n = len(self.keyframes)
+        return np.asarray(self.nodes.p[:n])
+
+    def save_trajectory_tum(self, path: str):
+        """TUM export of the loop-corrected keyframe path
+        (Publisher::saveTrajectory analog)."""
+        n = len(self.keyframes)
+        with open(path, "w") as f:
+            for k in range(n):
+                p = np.asarray(self.nodes.p[k])
+                R = ypr_to_matrix(
+                    self.nodes.yaw[k], self.nodes.pitch[k], self.nodes.roll[k]
+                )
+                q = np.asarray(quat.from_rotation_matrix(R))
+                t = self.keyframes[k].timestamp
+                f.write(
+                    f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+                )

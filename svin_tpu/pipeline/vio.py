@@ -389,8 +389,16 @@ class VioEngine:
         m = np.asarray(res.valid)
         if m.sum() == 0:
             return 0
-        ia = np.nonzero(m)[0]
-        ib = np.asarray(res.idx_b)[ia]
+        # fixed-size triangulation batch (pad → one compilation per run)
+        CAP = self.cfg.max_keypoints
+        ia_raw = np.nonzero(m)[0][:CAP]
+        ib_raw = np.asarray(res.idx_b)[ia_raw]
+        npair = len(ia_raw)
+        ia = np.zeros(CAP, np.int64)
+        ib = np.zeros(CAP, np.int64)
+        ia[:npair] = ia_raw
+        ib[:npair] = ib_raw
+        pair_ok = np.arange(CAP) < npair
         # triangulate in world frame
         rays_a = back_project(self.rig.cameras[0], fd.kp_uv[0][jnp.asarray(ia)])
         rays_b = back_project(self.rig.cameras[1], fd.kp_uv[1][jnp.asarray(ib)])
@@ -403,7 +411,7 @@ class VioEngine:
         sigma = jnp.full(eA.shape[0], 2.0 / float(self.rig.cameras[0].fu))
         tri = triangulate_fast(pA, eA, pB, eB, sigma)
         pts = np.asarray(point_from_homogeneous(tri.hp))
-        good = np.asarray(tri.valid) & ~np.asarray(tri.parallel)
+        good = np.asarray(tri.valid) & ~np.asarray(tri.parallel) & pair_ok
         # depth sanity
         depth = np.linalg.norm(pts - np.asarray(T_WA.r), axis=1)
         good &= (depth > 0.1) & (depth < 60.0)
@@ -482,17 +490,24 @@ class VioEngine:
         T_WS_fit = T_WS_pred
         accept_px = 8.0  # looser gate when only the IMU prediction is trusted
         if len(c0) >= 6:
+            # fixed-size RANSAC problem (pad to capacity → one compilation)
+            CAP = 512
+            n0 = min(len(c0), CAP)
+            pW_pad = np.zeros((CAP, 3))
+            br_pad = np.zeros((CAP, 3))
+            pW_pad[:n0] = np.stack([lm_pts[c[2]] for c in c0[:n0]])
+            br_pad[:n0] = np.stack([c[4] for c in c0[:n0]])
             key = jax.random.PRNGKey(self._rng.randint(0, 2**31))
             rr = absolute_pose_ransac(
                 key,
-                jnp.asarray(np.stack([lm_pts[c[2]] for c in c0]), self.dtype),
-                jnp.asarray(np.stack([c[4] for c in c0]), self.dtype),
-                jnp.ones(len(c0), bool),
+                jnp.asarray(pW_pad, self.dtype),
+                jnp.asarray(br_pad, self.dtype),
+                jnp.arange(CAP) < n0,
                 T_WC0,
                 focal_px=float(self.rig.cameras[0].fu),
                 threshold_px=4.0,
                 num_hypotheses=50,
-                min_inliers=max(8, len(c0) // 3),
+                min_inliers=max(8, n0 // 3),
             )
             if bool(rr.success):
                 T_WS_fit = compose(

@@ -1,0 +1,304 @@
+"""Loop-closure tests: BoW retrieval discrimination, 4-DoF/6-DoF pose-graph
+optimization removing injected drift, health checks + switching state
+machine, global-map re-projection, and loop detection on rendered revisits.
+
+(The reference ships no pose_graph tests at all — SURVEY.md §4 — this is
+new coverage.)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svin_tpu.cameras import make_camera, NCameraSystem
+from svin_tpu.kinematics import Transformation, from_rq, compose, quaternion as quat
+from svin_tpu.loopclosure import (
+    GlobalMap,
+    KeyframeDatabase,
+    LoopCloser,
+    PoseGraphEdges,
+    PoseGraphNodes,
+    PoseGraph6Edges,
+    PoseGraph6Nodes,
+    SwitchingEstimator,
+    TrackingState,
+    check_health,
+    matrix_to_ypr,
+    normalize_angle,
+    optimize_4dof,
+    optimize_6dof,
+    ypr_to_matrix,
+)
+from svin_tpu.ops import descriptor as desc_ops, detection
+from svin_tpu.pipeline.config import HealthConfig, VioConfig
+from svin_tpu.pipeline.dataset import SyntheticRenderer
+from svin_tpu import sim
+
+
+def _render_setup():
+    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
+    rig = NCameraSystem()
+    rig.add_camera(from_rq([0, 0, 0], [0, 0, 0, 1]), cam)
+    renderer = SyntheticRenderer(
+        rig, n_points=300, seed=5, spread=6.0, depth_offset=3.0
+    )
+    return cam, rig, renderer
+
+
+def _describe_frame(img):
+    kp = detection.detect(img, max_keypoints=200)
+    d = desc_ops.describe(img, kp.uv, kp.angle, kp.valid)
+    return kp, d
+
+
+def test_retrieval_same_place_scores_higher():
+    cam, rig, renderer = _render_setup()
+    db = KeyframeDatabase()
+    poses = [sim.pose(renderer.traj, jnp.float64(t)) for t in (0.0, 0.9, 1.7)]
+    for T in poses:
+        img = jnp.asarray(renderer._render_jit(T, 0))
+        kp, d = _describe_frame(img)
+        db.add(d, kp.valid)
+    # query with a slightly perturbed revisit of pose 0
+    T_re = Transformation(
+        r=poses[0].r + jnp.array([0.03, -0.02, 0.01]), q=poses[0].q
+    )
+    img = jnp.asarray(renderer._render_jit(T_re, 0))
+    kp, d = _describe_frame(img)
+    idx, scores = db.query(d, kp.valid, top_k=3, exclude_after=3)
+    assert idx[0] == 0, (idx, scores)
+    assert scores[0] > 1.5 * scores[-1], scores
+
+
+def _make_drifted_graph(N=40, drift_per_step=np.array([0.02, 0.01, 0.0]), yaw_drift=0.004):
+    """Ground truth: circle; odometry: accumulating drift; one loop edge."""
+    dtype = jnp.float64
+    t_gt = np.stack([
+        np.array([np.cos(2 * np.pi * k / N), np.sin(2 * np.pi * k / N), 0.1 * np.sin(4 * np.pi * k / N)])
+        for k in range(N)
+    ]) * 3.0
+    yaw_gt = np.array([2 * np.pi * k / N + np.pi / 2 for k in range(N)])
+    # drifted odometry poses
+    p_od = t_gt + np.arange(N)[:, None] * drift_per_step
+    yaw_od = yaw_gt + np.arange(N) * yaw_drift
+    cap = 64
+    nodes = PoseGraphNodes(
+        p=jnp.zeros((cap, 3), dtype).at[:N].set(jnp.asarray(p_od)),
+        yaw=jnp.zeros(cap, dtype).at[:N].set(jnp.asarray(yaw_od)),
+        pitch=jnp.zeros(cap, dtype),
+        roll=jnp.zeros(cap, dtype),
+        valid=jnp.zeros(cap, bool).at[:N].set(True),
+    )
+    # edges: sequential from ODOMETRY rel (drift ~ what VIO would give);
+    # for a fair test use GT relatives + one exact loop edge
+    E = cap * 3
+    ii, jj, ts, ys, ws, il, va = [], [], [], [], [], [], []
+
+    def rel(i, j, p, yaw):
+        R_i = np.asarray(ypr_to_matrix(jnp.float64(yaw[i]), 0.0, 0.0))
+        return R_i.T @ (p[j] - p[i]), yaw[j] - yaw[i]
+
+    for k in range(1, N):
+        t_ij, y_ij = rel(k - 1, k, p_od, yaw_od)  # odometry constraints
+        ii.append(k - 1); jj.append(k); ts.append(t_ij); ys.append(y_ij)
+        ws.append(1.0); il.append(False); va.append(True)
+    # loop edge 0 → N-1 with TRUE relative
+    t_ij, y_ij = rel(0, N - 1, t_gt, yaw_gt)
+    ii.append(0); jj.append(N - 1); ts.append(t_ij); ys.append(y_ij)
+    ws.append(5.0); il.append(True); va.append(True)
+    ne = len(ii)
+    pad = E - ne
+    edges = PoseGraphEdges(
+        i=jnp.asarray(ii + [0] * pad, jnp.int32),
+        j=jnp.asarray(jj + [0] * pad, jnp.int32),
+        t_ij=jnp.asarray(np.concatenate([np.stack(ts), np.zeros((pad, 3))]), dtype),
+        yaw_ij=jnp.asarray(np.array(ys + [0] * pad), dtype),
+        weight=jnp.asarray(np.array(ws + [1] * pad), dtype),
+        is_loop=jnp.asarray(il + [False] * pad),
+        valid=jnp.asarray(va + [False] * pad),
+    )
+    return nodes, edges, t_gt, yaw_gt, N
+
+
+def test_optimize_4dof_removes_drift():
+    nodes, edges, t_gt, yaw_gt, N = _make_drifted_graph()
+    err_before = np.linalg.norm(np.asarray(nodes.p[N - 1]) - t_gt[N - 1])
+    out = optimize_4dof(nodes, edges, jnp.int32(1), iters=10)  # node 0 fixed
+    err_after = np.linalg.norm(np.asarray(out.p[N - 1]) - t_gt[N - 1])
+    assert err_before > 0.5
+    # node 0 anchored by damping; loop edge closes the gap at the far end
+    assert err_after < 0.15 * err_before, (err_before, err_after)
+    yaw_err = abs(normalize_angle(jnp.asarray(float(out.yaw[N - 1]) - yaw_gt[N - 1])))
+    assert float(yaw_err) < 0.05
+
+
+def test_optimize_6dof_removes_drift():
+    dtype = jnp.float64
+    N, cap = 30, 32
+    t_gt = np.stack([
+        np.array([np.cos(2 * np.pi * k / N), np.sin(2 * np.pi * k / N), 0.0])
+        for k in range(N)
+    ]) * 2.0
+    q_gt = np.stack([
+        np.asarray(quat.exp(jnp.array([0.0, 0.0, 2 * np.pi * k / N])))
+        for k in range(N)
+    ])
+    drift = np.arange(N)[:, None] * np.array([0.015, -0.01, 0.005])
+    p_od = t_gt + drift
+    nodes = PoseGraph6Nodes(
+        r=jnp.zeros((cap, 3), dtype).at[:N].set(jnp.asarray(p_od)),
+        q=jnp.zeros((cap, 4), dtype).at[:, 3].set(1.0).at[:N].set(jnp.asarray(q_gt)),
+        valid=jnp.zeros(cap, bool).at[:N].set(True),
+    )
+    ii, jj, ts, qs, va = [], [], [], [], []
+
+    def rel(i, j, p, q):
+        C_i = np.asarray(quat.to_rotation_matrix(jnp.asarray(q[i])))
+        t = C_i.T @ (p[j] - p[i])
+        qr = np.asarray(quat.multiply(quat.conjugate(jnp.asarray(q[i])), jnp.asarray(q[j])))
+        return t, qr
+
+    for k in range(1, N):
+        t, qr = rel(k - 1, k, p_od, q_gt)
+        ii.append(k - 1); jj.append(k); ts.append(t); qs.append(qr); va.append(True)
+    t, qr = rel(0, N - 1, t_gt, q_gt)
+    ii.append(0); jj.append(N - 1); ts.append(t); qs.append(qr); va.append(True)
+    E = cap * 3
+    pad = E - len(ii)
+    W = jnp.tile(jnp.diag(jnp.asarray([20.0, 20, 20, 100, 100, 100], dtype)), (E, 1, 1))
+    edges = PoseGraph6Edges(
+        i=jnp.asarray(ii + [0] * pad, jnp.int32),
+        j=jnp.asarray(jj + [0] * pad, jnp.int32),
+        t_ij=jnp.asarray(np.concatenate([np.stack(ts), np.zeros((pad, 3))]), dtype),
+        q_ij=jnp.asarray(
+            np.concatenate([np.stack(qs), np.tile([0, 0, 0, 1.0], (pad, 1))]), dtype
+        ),
+        sqrt_info=W,
+        valid=jnp.asarray(va + [False] * pad),
+    )
+    err_before = np.linalg.norm(np.asarray(nodes.r[N - 1]) - t_gt[N - 1])
+    out = optimize_6dof(nodes, edges, jnp.int32(1), iters=8)
+    err_after = np.linalg.norm(np.asarray(out.r[N - 1]) - t_gt[N - 1])
+    assert err_after < 0.15 * err_before, (err_before, err_after)
+
+
+def test_health_check_gates():
+    cfg = HealthConfig(enable=True, min_keypoints=15, kps_per_quadrant=2)
+    good = check_health(cfg, 40, np.array([10, 10, 10, 10]), 10, np.ones(40))
+    assert good.healthy
+    assert not check_health(cfg, 5, np.array([2, 1, 1, 1]), 0, np.ones(5)).healthy
+    assert not check_health(cfg, 20, np.array([20, 0, 0, 0]), 0, np.ones(20)).healthy
+    assert not check_health(cfg, 20, np.array([5, 5, 5, 5]), 80, np.ones(20)).healthy
+
+
+def test_switching_estimator_state_machine():
+    cfg = HealthConfig(enable=True, consecutive_keyframes=2)
+    sw = SwitchingEstimator(cfg=cfg)
+    from svin_tpu.loopclosure.switching import HealthStatus
+
+    T_vio = Transformation(r=jnp.array([1.0, 0, 0]), q=quat.identity())
+    T_prim = Transformation(r=jnp.array([5.0, 5, 0]), q=quat.identity())
+    sw.add_primitive_pose(0.0, T_prim)
+    # healthy keyframes → VIO
+    for k in range(3):
+        out = sw.add_keyframe(float(k), T_vio, HealthStatus(True))
+    assert sw.state == TrackingState.TRACKING_VIO
+    np.testing.assert_allclose(np.asarray(out.r), [1, 0, 0])
+    # sustained failures → switch to primitive, re-anchored at the VIO pose
+    for k in range(5):
+        out = sw.add_keyframe(3.0 + k, T_vio, HealthStatus(False, "test"))
+    assert sw.state == TrackingState.TRACKING_PRIMITIVE
+    np.testing.assert_allclose(np.asarray(out.r), [1, 0, 0], atol=1e-9)
+    # primitive moves 1m → robust pose follows
+    sw.add_primitive_pose(9.0, Transformation(r=jnp.array([6.0, 5, 0]), q=quat.identity()))
+    out = sw.robust_pose()
+    np.testing.assert_allclose(np.asarray(out.r), [2, 0, 0], atol=1e-9)
+    # recovery
+    for k in range(3):
+        out = sw.add_keyframe(10.0 + k, T_vio, HealthStatus(True))
+    assert sw.state == TrackingState.TRACKING_VIO
+
+
+def test_global_map_update_after_loop():
+    gm = GlobalMap()
+    T0 = Transformation(r=jnp.zeros(3), q=quat.identity())
+    pts = np.array([[0.0, 0.0, 3.0], [1.0, 0.5, 4.0]])
+    gm.add_observations(0, T0, np.array([10, 11]), pts, np.array([0.5, 0.5]))
+    # keyframe pose corrected by +1m in x → landmarks must follow
+    T0c = Transformation(r=jnp.array([1.0, 0, 0]), q=quat.identity())
+    n = gm.update_after_loop({0: T0c})
+    assert n == 2
+    out, _ = gm.point_cloud()
+    np.testing.assert_allclose(out, pts + np.array([1.0, 0, 0]), atol=1e-9)
+
+
+def test_loop_closer_detects_rendered_revisit():
+    """Two passes over the same rendered scene: the second pass keyframes
+    must retrieve + verify the first pass (end-to-end place recognition)."""
+    cam, rig, renderer = _render_setup()
+    cfg = VioConfig()
+    cfg.loop_closure.min_correspondences = 12
+    closer = LoopCloser(cam, cfg)
+    # monkeypatch recency exclusion (sequence is short)
+    import svin_tpu.loopclosure.loop_closure as lc_mod
+
+    old_excl = lc_mod.RECENCY_EXCLUSION
+    lc_mod.RECENCY_EXCLUSION = 5
+    try:
+        poses = []
+        for k in range(8):
+            t = 0.25 * k
+            poses.append(sim.pose(renderer.traj, jnp.float64(t)))
+        # revisit pose 0 (slightly moved) at the end
+        revisit = Transformation(
+            r=poses[0].r + jnp.array([0.05, -0.03, 0.02]), q=poses[0].q
+        )
+        poses.append(revisit)
+        found = []
+        lms = np.asarray(renderer.points_W, float)
+        for k, T in enumerate(poses):
+            img = np.asarray(renderer._render_jit(T, 0))
+            kp, d = _describe_frame(jnp.asarray(img))
+            # keyframe export with TRUE 3D points observed (project + select)
+            from svin_tpu.cameras import project
+            from svin_tpu.kinematics import inverse, transform_point
+
+            p_C = transform_point(inverse(T), jnp.asarray(lms))
+            uv, ok = project(cam, p_C)
+            okn = np.asarray(ok)
+            # associate detected keypoints to nearest projected landmark
+            uvn = np.asarray(uv)
+            kuv = np.asarray(kp.uv)
+            ids, pts3, uv2 = [], [], []
+            for q in np.nonzero(np.asarray(kp.valid))[0]:
+                d2 = np.sum((uvn - kuv[q]) ** 2, axis=1)
+                d2[~okn] = 1e9
+                j = int(np.argmin(d2))
+                if d2[j] < 4.0:
+                    ids.append(j)
+                    pts3.append(lms[j])
+                    uv2.append(kuv[q])
+            export = {
+                "kf_index": k,
+                "timestamp": 0.25 * k,
+                "image": img,
+                "T_WC_r": np.asarray(T.r),
+                "T_WC_q": np.asarray(T.q),
+                "points_W": np.stack(pts3),
+                "landmark_ids": np.asarray(ids),
+                "keypoints_uv": np.stack(uv2),
+                "quality": np.full(len(ids), 0.5),
+                "num_tracked": len(ids),
+                "quadrant_counts": np.array([5, 5, 5, 5]),
+                "response_strengths": np.ones(len(ids)),
+            }
+            loop = closer.add_keyframe(export)
+            if loop is not None:
+                found.append(loop)
+        assert found, "no loop detected on revisit"
+        assert found[-1].match_index <= 2
+        assert found[-1].num_inliers >= 12
+        # rel_t should be small (revisit is ~6 cm away)
+        assert np.linalg.norm(found[-1].rel_t) < 0.5
+    finally:
+        lc_mod.RECENCY_EXCLUSION = old_excl
