@@ -1,0 +1,134 @@
+"""Asynchronous (live-mode) VIO driver on the native runtime primitives.
+
+The threading architecture of ``okvis::ThreadedKFVio``
+(``ThreadedKFVio.cpp:167-195`` startThreads, ``addImage`` :257-290 with
+drop-if-full live mode vs block-if-full deterministic mode, imu gating
+:558, publisherLoop :1308-1329) re-expressed around the single fused device
+step: per-camera images flow through the native FrameSynchronizer into a
+bounded frame queue; a worker thread gates on IMU availability and runs the
+``VioEngine`` frame step (whose device work is async-dispatched XLA); results
+drain through an output queue to the user callback thread.
+
+``blocking=True`` reproduces the reference's deterministic dataset mode
+(backpressure all the way to the caller); ``blocking=False`` sheds load by
+dropping the oldest queued frame (live mode).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..utils import Timer
+from .vio import FrameResult, VioEngine
+from ..native import FrameSynchronizer, ImuGate, ThreadSafeQueue
+
+
+class AsyncVioEngine:
+    """Threaded front door for a VioEngine (the VioInterface analog)."""
+
+    def __init__(
+        self,
+        engine: VioEngine,
+        blocking: bool = False,
+        frame_queue_size: int = 2,
+        result_queue_size: int = 8,
+        imu_wait_timeout: float = 2.0,
+    ):
+        self.engine = engine
+        self.blocking = blocking
+        self._sync = FrameSynchronizer(
+            engine.rig.num_cameras, tolerance_s=engine.cfg.timestamp_tolerance
+        )
+        self._frames = ThreadSafeQueue(frame_queue_size)
+        self._results = ThreadSafeQueue(result_queue_size)
+        self._gate = ImuGate()
+        self._imu_lock = threading.Lock()
+        self.state_callback: Optional[Callable[[FrameResult], None]] = None
+        self.keyframe_callback = None
+        self._worker = threading.Thread(target=self._frame_loop, daemon=True)
+        self._publisher = threading.Thread(target=self._publish_loop, daemon=True)
+        self._running = True
+        self._worker.start()
+        self._publisher.start()
+        self.dropped_frames = 0
+        self._last_image_t = -np.inf
+
+    # ------------------------------------------------------------- inputs
+    def set_blocking(self, blocking: bool) -> None:
+        self.blocking = blocking
+
+    def add_imu_measurement(self, t: float, gyro, acc) -> None:
+        with self._imu_lock:
+            self.engine.add_imu_measurement(t, gyro, acc)
+        self._gate.announce(int(t * 1e9))
+
+    def add_depth_measurement(self, t: float, depth: float) -> None:
+        with self._imu_lock:
+            self.engine.add_depth_measurement(t, depth)
+
+    def add_sonar_measurement(self, t: float, range_m: float, heading: float) -> None:
+        with self._imu_lock:
+            self.engine.add_sonar_measurement(t, range_m, heading)
+
+    def add_image(self, t: float, cam: int, image: np.ndarray) -> bool:
+        """Feed one camera image. Returns False if it was rejected/dropped."""
+        if t < self._last_image_t - 1e-9 and cam == 0:
+            return False  # out-of-order rejection (ThreadedKFVio.cpp:264-268)
+        if cam == 0:
+            self._last_image_t = t
+        group = self._sync.add_frame(cam, t, image)
+        if group is None:
+            return True
+        t_g, images = group
+        if self.blocking:
+            return self._frames.push_blocking((t_g, images))
+        dropped = self._frames.push_dropping((t_g, images))
+        if dropped is not None:
+            self.dropped_frames += 1
+        return dropped is None
+
+    # ------------------------------------------------------------- loops
+    def _frame_loop(self) -> None:
+        while self._running:
+            item = self._frames.pop_blocking()
+            if item is None:
+                break
+            t, images = item
+            # wait for IMU coverage of the frame time (+overlap)
+            self._gate.wait_for(int((t + 0.005) * 1e9), timeout_s=2.0)
+            with Timer("2.0 frame_total"):
+                with self._imu_lock:
+                    result = self.engine.add_frame(t, images)
+            if result is not None:
+                self._results.push_blocking(result)
+
+    def _publish_loop(self) -> None:
+        while self._running:
+            r = self._results.pop_blocking()
+            if r is None:
+                break
+            if self.state_callback:
+                self.state_callback(r)
+            if r.keyframe_export is not None and self.keyframe_callback:
+                self.keyframe_callback(r.keyframe_export)
+
+    # ------------------------------------------------------------- drain
+    def finish(self, timeout: float = 60.0) -> None:
+        """Drain queues and stop threads (deterministic shutdown)."""
+        import time
+
+        t0 = time.time()
+        while self._frames.size() > 0 and time.time() - t0 < timeout:
+            time.sleep(0.01)
+        # allow in-flight frame to finish
+        time.sleep(0.05)
+        while self._results.size() > 0 and time.time() - t0 < timeout:
+            time.sleep(0.01)
+        self._running = False
+        self._frames.shutdown()
+        self._results.shutdown()
+        self._gate.shutdown()
+        self._worker.join(timeout=5.0)
+        self._publisher.join(timeout=5.0)

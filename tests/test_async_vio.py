@@ -1,0 +1,73 @@
+"""Async (live-mode) pipeline test — the testDataFlow.cpp analog: pump a
+synthetic sequence through the threaded front door and assert pipeline
+invariants (all frames processed in blocking mode, results in order,
+callbacks fired, drop accounting in live mode).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svin_tpu import sim
+from svin_tpu.cameras import NCameraSystem, make_camera
+from svin_tpu.kinematics import from_rq
+from svin_tpu.native import native_available
+from svin_tpu.pipeline import VioConfig, VioEngine, synthetic_sequence
+from svin_tpu.pipeline.async_vio import AsyncVioEngine
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable"
+)
+
+
+def _setup():
+    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
+    rig = NCameraSystem()
+    rig.add_camera(from_rq([0, 0, 0], [0, 0, 0, 1]), cam)
+    rig.add_camera(from_rq([0.2, 0, 0], [0, 0, 0, 1]), cam)
+    cfg = VioConfig()
+    cfg.num_keyframes = 3
+    cfg.num_imu_frames = 2
+    cfg.max_keypoints = 100
+    cfg.max_iterations = 4
+    return rig, cfg
+
+
+def test_async_blocking_mode_processes_all_frames():
+    rig, cfg = _setup()
+    engine = VioEngine(cfg, rig=rig)
+    async_engine = AsyncVioEngine(engine, blocking=True)
+    results = []
+    async_engine.state_callback = results.append
+
+    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    events, renderer = synthetic_sequence(
+        rig, duration=1.6, cam_rate=5.0, imu_rate=100.0, imu_params=cfg.imu,
+        seed=3, n_points=250, traj=traj, spread=6.0, depth_offset=3.0,
+        t_first_frame=0.12,
+    )
+    n_frames = 0
+    for ev in events:
+        if ev.kind == "imu":
+            async_engine.add_imu_measurement(ev.t, *ev.imu)
+        elif ev.kind == "frame":
+            for ci, img in enumerate(ev.images):
+                async_engine.add_image(ev.t, ci, img)
+            n_frames += 1
+    async_engine.finish()
+    # first frame initializes (needs IMU), all subsequent produce results
+    assert len(results) >= n_frames - 1, (len(results), n_frames)
+    ts = [r.timestamp for r in results]
+    assert ts == sorted(ts)
+    assert async_engine.dropped_frames == 0
+
+
+def test_async_out_of_order_image_rejected():
+    rig, cfg = _setup()
+    engine = VioEngine(cfg, rig=rig)
+    ae = AsyncVioEngine(engine, blocking=True)
+    img = np.zeros((150, 200), np.float32)
+    assert ae.add_image(1.0, 0, img)
+    assert not ae.add_image(0.5, 0, img)
+    ae.finish()

