@@ -1,0 +1,159 @@
+"""Checkpoint / resume for the VIO engine and loop closer.
+
+New capability over the reference (which persists outputs only —
+SURVEY.md §5 "Checkpoint/resume: None"): the full estimation state — window
+state + factor tables (including the FEJ marginal prior), engine bookkeeping,
+pose-graph nodes/edges, keyframe database vectors and drift — serializes to
+one ``.npz`` so a mapping session can stop and resume bit-exactly.
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..estimator.window import Factors, WindowState
+from .vio import VioEngine
+
+
+def _flatten(tree, prefix: str, out: dict) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out[f"{prefix}__treedef"] = np.asarray(str(treedef))
+    for i, leaf in enumerate(leaves):
+        out[f"{prefix}__{i}"] = np.asarray(leaf)
+
+
+def _unflatten(template, prefix: str, data) -> object:
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    new_leaves = [
+        jnp.asarray(data[f"{prefix}__{i}"]) for i in range(len(leaves))
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_engine(engine: VioEngine, path: str) -> None:
+    out: dict = {}
+    _flatten(engine.window, "window", out)
+    _flatten(engine.factors, "factors", out)
+    out["lm_desc"] = np.asarray(engine._lm_desc) if hasattr(engine, "_lm_desc") else np.zeros((0, 8), np.uint32)
+    meta = {
+        "n_states": engine.n_states,
+        "frame_count": engine.frame_count,
+        "kf_count": engine.kf_count,
+        "next_state_id": engine.next_state_id,
+        "next_lm_id": engine.next_lm_id,
+        "last_kf_slot": engine.last_kf_slot,
+        "first_depth": engine.first_depth,
+    }
+    out["meta"] = np.asarray(json.dumps(meta))
+    out["imu_t"] = np.asarray(engine.imu_t)
+    out["imu_gyro"] = (
+        np.stack(engine.imu_gyro) if engine.imu_gyro else np.zeros((0, 3))
+    )
+    out["imu_acc"] = (
+        np.stack(engine.imu_acc) if engine.imu_acc else np.zeros((0, 3))
+    )
+    out["trajectory"] = (
+        np.asarray(
+            [np.concatenate([[t], np.asarray(r), np.asarray(q)]) for t, r, q in engine.trajectory]
+        )
+        if engine.trajectory
+        else np.zeros((0, 8))
+    )
+    np.savez_compressed(path, **out)
+
+
+def load_engine(engine: VioEngine, path: str) -> VioEngine:
+    """Restore state saved by ``save_engine`` into a freshly-constructed
+    engine (same config/rig). Per-frame keypoint records are not preserved
+    (only needed transiently for matching; tracking re-warms in one frame).
+    """
+    data = np.load(path, allow_pickle=False)
+    engine.window = _unflatten(engine.window, "window", data)
+    engine.factors = _unflatten(engine.factors, "factors", data)
+    engine._lm_desc = jnp.asarray(data["lm_desc"])
+    meta = json.loads(str(data["meta"]))
+    engine.n_states = meta["n_states"]
+    engine.frame_count = meta["frame_count"]
+    engine.kf_count = meta["kf_count"]
+    engine.next_state_id = meta["next_state_id"]
+    engine.next_lm_id = meta["next_lm_id"]
+    engine.last_kf_slot = meta["last_kf_slot"]
+    engine.first_depth = meta["first_depth"]
+    engine.imu_t = list(data["imu_t"])
+    engine.imu_gyro = list(data["imu_gyro"])
+    engine.imu_acc = list(data["imu_acc"])
+    engine.trajectory = [
+        (row[0], row[1:4], row[4:8]) for row in data["trajectory"]
+    ]
+    engine.frames = {}
+    return engine
+
+
+def save_loop_closer(closer, path: str) -> None:
+    out: dict = {}
+    _flatten(closer.nodes, "nodes", out)
+    _flatten(closer.edges, "edges", out)
+    out["db_vectors"] = np.asarray(closer.db.vectors[: closer.db.count])
+    out["db_vocab"] = np.asarray(closer.db.vocab)
+    meta = {
+        "n_edges": closer.n_edges,
+        "earliest_loop_index": closer.earliest_loop_index,
+        "yaw_drift": closer.yaw_drift,
+        "n_keyframes": len(closer.keyframes),
+    }
+    out["meta"] = np.asarray(json.dumps(meta))
+    out["t_drift"] = closer.t_drift
+    # keyframe essentials (poses + timestamps; descriptors/points per-kf)
+    if closer.keyframes:
+        out["kf_t"] = np.asarray([k.timestamp for k in closer.keyframes])
+        out["kf_r"] = np.stack([np.asarray(k.T_WC_vio.r) for k in closer.keyframes])
+        out["kf_q"] = np.stack([np.asarray(k.T_WC_vio.q) for k in closer.keyframes])
+    np.savez_compressed(path, **out)
+
+
+def load_loop_closer(closer, path: str):
+    """Restore pose graph + database (keyframe image features are not
+    retained, so already-stored keyframes cannot be re-verified against —
+    new keyframes can still close loops against the restored database via
+    the pose graph)."""
+    from ..kinematics import Transformation
+    from .vio import VioEngine  # noqa: F401  (doc reference)
+    from ..loopclosure.loop_closure import LoopKeyframe
+
+    data = np.load(path, allow_pickle=False)
+    closer.nodes = _unflatten(closer.nodes, "nodes", data)
+    closer.edges = _unflatten(closer.edges, "edges", data)
+    meta = json.loads(str(data["meta"]))
+    closer.n_edges = meta["n_edges"]
+    closer.earliest_loop_index = meta["earliest_loop_index"]
+    closer.yaw_drift = meta["yaw_drift"]
+    closer.t_drift = np.asarray(data["t_drift"])
+    n = int(data["db_vectors"].shape[0])
+    closer.db.vectors = closer.db.vectors.at[:n].set(jnp.asarray(data["db_vectors"]))
+    closer.db.count = n
+    closer.keyframes = []
+    if "kf_t" in data:
+        empty_desc = jnp.zeros((0, 8), jnp.uint32)
+        empty_valid = jnp.zeros(0, bool)
+        for k in range(meta["n_keyframes"]):
+            closer.keyframes.append(
+                LoopKeyframe(
+                    index=k,
+                    timestamp=float(data["kf_t"][k]),
+                    T_WC_vio=Transformation(
+                        r=jnp.asarray(data["kf_r"][k]), q=jnp.asarray(data["kf_q"][k])
+                    ),
+                    points_W=np.zeros((0, 3)),
+                    point_uv=np.zeros((0, 2)),
+                    window_desc=empty_desc,
+                    window_valid=empty_valid,
+                    extra_uv=jnp.zeros((0, 2)),
+                    extra_desc=empty_desc,
+                    extra_valid=empty_valid,
+                )
+            )
+    return closer

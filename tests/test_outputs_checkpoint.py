@@ -1,0 +1,196 @@
+"""Checkpoint/resume, CSV writers, EuRoC reader, debug visualization, and a
+depth-factor end-to-end run."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svin_tpu import sim
+from svin_tpu.cameras import NCameraSystem, make_camera
+from svin_tpu.kinematics import from_rq
+from svin_tpu.pipeline import (
+    VioConfig,
+    VioEngine,
+    read_euroc_folder,
+    run_events,
+    synthetic_sequence,
+)
+from svin_tpu.pipeline.checkpoint import (
+    load_engine,
+    load_loop_closer,
+    save_engine,
+    save_loop_closer,
+)
+from svin_tpu.pipeline.outputs import (
+    CsvLandmarkWriter,
+    CsvStateWriter,
+    DebugOutputDirs,
+    draw_keypoints,
+    draw_matches,
+)
+
+
+def _setup():
+    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
+    rig = NCameraSystem()
+    rig.add_camera(from_rq([0, 0, 0], [0, 0, 0, 1]), cam)
+    rig.add_camera(from_rq([0.2, 0, 0], [0, 0, 0, 1]), cam)
+    cfg = VioConfig()
+    cfg.num_keyframes = 3
+    cfg.num_imu_frames = 2
+    cfg.max_keypoints = 100
+    cfg.max_iterations = 4
+    return rig, cfg
+
+
+def _short_run(rig, cfg, duration=1.4, depth=False):
+    engine = VioEngine(cfg, rig=rig)
+    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    events, renderer = synthetic_sequence(
+        rig, duration=duration, cam_rate=5.0, imu_rate=100.0,
+        imu_params=cfg.imu, seed=3, n_points=250, traj=traj, spread=6.0,
+        depth_offset=3.0, t_first_frame=0.12, depth_enabled=depth,
+    )
+    results = run_events(engine, events)
+    return engine, renderer, results
+
+
+def test_checkpoint_roundtrip_engine(tmp_path):
+    rig, cfg = _setup()
+    engine, renderer, results = _short_run(rig, cfg)
+    p = str(tmp_path / "ckpt.npz")
+    save_engine(engine, p)
+    engine2 = VioEngine(cfg, rig=rig)
+    load_engine(engine2, p)
+    np.testing.assert_array_equal(
+        np.asarray(engine2.window.r), np.asarray(engine.window.r)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(engine2.factors.marg.H), np.asarray(engine.factors.marg.H)
+    )
+    assert engine2.n_states == engine.n_states
+    assert engine2.next_lm_id == engine.next_lm_id
+    # resumed engine keeps estimating: feed one more frame
+    t_next = results[-1].timestamp + 0.2
+    series = sim.simulate_imu(
+        renderer.traj, results[-1].timestamp, t_next + 0.05, 100.0, cfg.imu
+    )
+    for i in range(len(series.t)):
+        engine2.add_imu_measurement(
+            float(series.t[i]), np.asarray(series.gyro[i]), np.asarray(series.acc[i])
+        )
+    r = engine2.add_frame(t_next, renderer.render_frame(t_next))
+    assert r is not None and np.isfinite(r.cost)
+
+
+def test_checkpoint_roundtrip_loop_closer(tmp_path):
+    from svin_tpu.loopclosure import LoopCloser
+
+    rig, cfg = _setup()
+    cam = rig.cameras[0]
+    closer = LoopCloser(cam, cfg)
+    # seed minimal state via direct field edits (unit-level roundtrip)
+    closer.yaw_drift = 0.12
+    closer.t_drift = np.array([0.1, -0.2, 0.3])
+    closer.n_edges = 0
+    p = str(tmp_path / "lc.npz")
+    save_loop_closer(closer, p)
+    closer2 = LoopCloser(cam, cfg)
+    load_loop_closer(closer2, p)
+    assert closer2.yaw_drift == pytest.approx(0.12)
+    np.testing.assert_allclose(closer2.t_drift, closer.t_drift)
+
+
+def test_depth_factor_end_to_end():
+    rig, cfg = _setup()
+    cfg.is_depth_used = True
+    engine, renderer, results = _short_run(rig, cfg, depth=True)
+    assert engine.first_depth is not None
+    # at least one state carries an active depth factor
+    assert int(np.asarray(engine.factors.depth.valid).sum()) >= 1
+    assert all(np.isfinite(r.cost) for r in results[1:])
+
+
+def test_csv_writers(tmp_path):
+    rig, cfg = _setup()
+    engine, renderer, results = _short_run(rig, cfg)
+    sp = str(tmp_path / "state.csv")
+    lp = str(tmp_path / "landmarks.csv")
+    w = CsvStateWriter(sp)
+    for r in results:
+        w.write(r)
+    w.close()
+    rows = np.loadtxt(sp, delimiter=",", comments="#")
+    assert rows.shape == (len(results), 17)
+    lw = CsvLandmarkWriter(lp)
+    lv = np.asarray(engine.window.lm_valid)
+    lw.write_map(
+        np.asarray(engine.window.lm_id)[lv],
+        np.asarray(engine.window.hp_W[:, :3])[lv],
+        np.asarray(engine.window.lm_quality)[lv],
+    )
+    lw.close()
+    lrows = np.loadtxt(lp, delimiter=",", comments="#")
+    assert lrows.shape[0] == int(lv.sum())
+
+
+def test_euroc_reader_roundtrip(tmp_path):
+    # synthesize a minimal EuRoC tree with .npy images
+    root = tmp_path / "seq" / "mav0"
+    (root / "imu0").mkdir(parents=True)
+    for ci in range(2):
+        (root / f"cam{ci}" / "data").mkdir(parents=True)
+    with open(root / "imu0" / "data.csv", "w") as f:
+        f.write("#timestamp,wx,wy,wz,ax,ay,az\n")
+        for k in range(20):
+            t = int(1e9 * (1.0 + 0.01 * k))
+            f.write(f"{t},0.01,0.02,0.03,0.1,0.2,9.8\n")
+    img = (np.random.RandomState(0).rand(10, 12) * 255).astype(np.uint8)
+    frame_ts = [int(1e9 * (1.0 + 0.05 * k)) for k in range(3)]
+    for t in frame_ts:
+        for ci in range(2):
+            np.save(root / f"cam{ci}" / "data" / f"{t}.npy", img)
+    # npy files keep their extension; reader keys on the stem
+    for ci in range(2):
+        d = root / f"cam{ci}" / "data"
+        for t in frame_ts:
+            os.rename(d / f"{t}.npy", d / f"{t}.npy")
+    events = list(read_euroc_folder(str(tmp_path / "seq")))
+    kinds = [e.kind for e in events]
+    assert kinds.count("frame") == 3
+    assert kinds.count("imu") > 0
+    # interleave: every imu event precedes the next frame event's timestamp
+    pending_imu = []
+    for e in events:
+        if e.kind == "frame":
+            assert len(e.images) == 2 and e.images[0].shape == (10, 12)
+            for t_imu in pending_imu:
+                assert t_imu <= e.t + 1e-9
+            pending_imu = []
+        else:
+            pending_imu.append(e.t)
+
+
+def test_draw_keypoints_and_matches():
+    img = np.zeros((40, 60), np.float32)
+    uv = np.array([[10.0, 10.0], [30.0, 20.0]])
+    out = draw_keypoints(img, uv, matched=np.array([True, False]))
+    assert out[10, 10] == 1.0 and out[20, 30] == 0.6
+    canvas = draw_matches(
+        img, uv, img, uv + 2.0, pairs=np.array([[0, 0], [1, 1]])
+    )
+    assert canvas.shape == (40, 120)
+    assert canvas.max() == 1.0
+
+
+def test_debug_output_dirs(tmp_path):
+    d = DebugOutputDirs(str(tmp_path / "dbg"))
+    d.log_loop(5, 1, 30, np.array([0.1, 0.2, 0.3]), 0.05)
+    d.log_switch(1.5, "VIO->PRIMITIVE")
+    d.save_image("loop_candidates", "kf5", np.zeros((4, 4)))
+    d.close()
+    assert (tmp_path / "dbg" / "loop_closure.txt").read_text().startswith("5 1 30")
+    assert (tmp_path / "dbg" / "switch_info.txt").exists()
+    assert (tmp_path / "dbg" / "loop_candidates" / "kf5.npy").exists()
