@@ -22,7 +22,13 @@ import numpy as np
 from .. import sim
 from ..cameras import NCameraSystem, project
 from ..imu import ImuParameters
-from ..kinematics import Transformation, compose, inverse, transform_point
+from ..kinematics import (
+    Transformation,
+    compose,
+    inverse,
+    transform_point,
+    quaternion as quat,
+)
 
 
 @dataclass
@@ -160,6 +166,38 @@ class SyntheticRenderer:
             for ci in range(self.rig.num_cameras)
         ]
 
+    def sonar_range(
+        self,
+        t: float,
+        heading: float = 0.0,
+        cone_deg: float = 8.0,
+        T_SSo: Optional[np.ndarray] = None,
+    ):
+        """Simulated single-beam sonar return: range to the nearest scene
+        point inside a cone around the beam. The beam direction is the
+        sonar-frame vector (cosθ, sinθ, 0) mapped through T_SSo into the
+        body frame (the engine's beam-point convention,
+        reference SonarError: T_WS · T_SSo · (r cosθ, r sinθ, 0)).
+        Returns (range, heading) or (None, heading)."""
+        T = self.pose(t)
+        C_WS = np.asarray(quat.to_rotation_matrix(T.q))
+        p_S = (np.asarray(self.points_W) - np.asarray(T.r)) @ C_WS  # body frame
+        beam_sonar = np.array([np.cos(heading), np.sin(heading), 0.0])
+        if T_SSo is None:
+            beam = beam_sonar
+            origin = np.zeros(3)
+        else:
+            T_SSo = np.asarray(T_SSo)
+            beam = T_SSo[:3, :3] @ beam_sonar
+            origin = T_SSo[:3, 3]
+        rel = p_S - origin
+        d = np.linalg.norm(rel, axis=1)
+        cosang = (rel @ beam) / np.maximum(d, 1e-9)
+        in_cone = cosang > np.cos(np.radians(cone_deg))
+        if not in_cone.any():
+            return None, heading
+        return float(d[in_cone].min()), heading
+
 
 def synthetic_sequence(
     rig: NCameraSystem,
@@ -171,6 +209,8 @@ def synthetic_sequence(
     imu_noisy: bool = True,
     n_points: int = 600,
     depth_enabled: bool = False,
+    sonar_enabled: bool = False,
+    sonar_T_SSo: Optional[np.ndarray] = None,
     traj: Optional[sim.Trajectory] = None,
     spread: float = 14.0,
     depth_offset: float = 6.0,
@@ -200,6 +240,12 @@ def synthetic_sequence(
             if depth_enabled:
                 depth = -float(sim.position(renderer.traj, t_f)[2])
                 yield SensorEvent(t=float(t_f), kind="depth", depth=depth)
+            if sonar_enabled:
+                rng, heading = renderer.sonar_range(float(t_f), T_SSo=sonar_T_SSo)
+                if rng is not None:
+                    yield SensorEvent(
+                        t=float(t_f), kind="sonar", sonar=(rng, heading)
+                    )
             yield SensorEvent(
                 t=float(t_f), kind="frame", images=renderer.render_frame(float(t_f))
             )

@@ -103,3 +103,32 @@ def test_partition_preserves_observations():
     shard_of_slot = np.arange(prob_s.obs_uv.shape[0]) // cap
     ok = np.asarray(prob_s.obs_valid)
     assert (np.asarray(prob_s.obs_lm)[ok] // Lloc == shard_of_slot[ok]).all()
+
+
+def test_multisession_joint_mapping():
+    """Two sessions over the same landmark field, session B initialized with
+    a rigid offset (inter-session drift): joint BA with shared-landmark
+    correspondences must pull B onto A (the Cave+Bus joint-mapping path)."""
+    from svin_tpu.parallel import merge_sessions, ba_solve_local
+
+    prob_a, rig_p, truth = build_global_problem(
+        jax.random.PRNGKey(4), K=8, L=48, perturb=0.0
+    )
+    prob_b, _, _ = build_global_problem(
+        jax.random.PRNGKey(4), K=8, L=48, perturb=0.0
+    )
+    # session B drifted: +0.3 m offset on poses and its landmark copies,
+    # and its own gauge NOT fixed in the merge
+    off = jnp.array([0.3, -0.2, 0.15])
+    prob_b = prob_b._replace(
+        pose_r=prob_b.pose_r + off,
+        lm=prob_b.lm + off,
+    )
+    shared = [(0, l, 1, l) for l in range(48)]  # full correspondence
+    joint, pose_maps, lm_maps = merge_sessions([prob_a, prob_b], shared, anchor=0)
+    assert int(joint.lm_valid.sum()) == 48  # duplicates merged
+    out, cost = ba_solve_local(joint, rig_p, iters=12)
+    # session B poses must align to ground truth (session A frame)
+    pb = np.asarray(out.pose_r)[pose_maps[1]]
+    err = np.linalg.norm(pb - np.asarray(truth["r"]), axis=1)
+    assert err.max() < 0.02, err
