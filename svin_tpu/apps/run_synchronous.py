@@ -1,0 +1,109 @@
+"""Offline synchronous runner — the ``okvis_app_synchronous`` analog.
+
+Usage:
+  python -m svin_tpu.apps.run_synchronous <config.yaml> <dataset_dir> [out_dir]
+  python -m svin_tpu.apps.run_synchronous <config.yaml> --synthetic [out_dir]
+
+Reads a reference-format rig config (``config_fpga_p2_euroc.yaml`` /
+``config_stereorig_v2.yaml`` load unchanged), streams an EuRoC-format folder
+(or a synthetic rendered sequence) through the deterministic blocking-mode
+pipeline with the loop closer attached, and writes TUM trajectories, CSV
+state/landmark logs, and a global-map PLY (reference:
+``okvis_apps/src/okvis_app_synchronous.cpp:185-356`` + pose_graph outputs).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    config_path, data = argv[0], argv[1]
+    out_dir = argv[2] if len(argv) > 2 else "svin_out"
+    os.makedirs(out_dir, exist_ok=True)
+
+    import jax
+
+    if jax.default_backend() == "cpu":
+        # f64 normal equations when the backend supports it
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from ..kinematics import Transformation
+    from ..loopclosure import GlobalMap, LoopCloser
+    from ..pipeline import (
+        VioEngine,
+        load_config,
+        read_euroc_folder,
+        run_events,
+        synthetic_sequence,
+    )
+    from ..pipeline.outputs import CsvLandmarkWriter, CsvStateWriter
+    from ..utils import Timing
+
+    cfg = load_config(config_path)
+    engine = VioEngine(cfg)
+    closer = LoopCloser(engine.rig.cameras[0], cfg)
+    gmap = GlobalMap(min_quality=cfg.global_map.min_landmark_quality)
+    n_loops = [0]
+
+    def on_kf(export):
+        loop = closer.add_keyframe(export)
+        T = Transformation(
+            r=jnp.asarray(export["T_WC_r"]), q=jnp.asarray(export["T_WC_q"])
+        )
+        gmap.add_observations(
+            export["kf_index"], T, export["landmark_ids"],
+            export["points_W"], export["quality"],
+        )
+        if loop is not None:
+            n_loops[0] += 1
+
+    engine.keyframe_callback = on_kf
+    state_csv = CsvStateWriter(os.path.join(out_dir, "state.csv"))
+    engine.state_callback = state_csv.write
+
+    if data == "--synthetic":
+        from .. import sim
+
+        events, _ = synthetic_sequence(
+            engine.rig, duration=5.0, cam_rate=cfg.camera_rate,
+            imu_rate=float(cfg.imu.rate), imu_params=cfg.imu,
+            traj=sim.default_trajectory(scale=0.4, ramp_tau=0.8),
+            spread=6.0, depth_offset=3.0, t_first_frame=0.12,
+            depth_enabled=cfg.is_depth_used,
+        )
+    else:
+        events = read_euroc_folder(data, num_cams=engine.rig.num_cameras)
+
+    results = run_events(engine, events)
+
+    engine.save_trajectory_tum(os.path.join(out_dir, "svin_vio.txt"))
+    closer.save_trajectory_tum(os.path.join(out_dir, "svin_loop.txt"))
+    gmap.save_ply(os.path.join(out_dir, "global_map.ply"))
+    lm_csv = CsvLandmarkWriter(os.path.join(out_dir, "landmarks.csv"))
+    lv = np.asarray(engine.window.lm_valid)
+    lm_csv.write_map(
+        np.asarray(engine.window.lm_id)[lv],
+        np.asarray(engine.window.hp_W[:, :3])[lv],
+        np.asarray(engine.window.lm_quality)[lv],
+    )
+    lm_csv.close()
+    state_csv.close()
+
+    print(
+        f"frames: {len(results)}  keyframes: {len(closer.keyframes)}  "
+        f"loops: {n_loops[0]}  outputs in {out_dir}/"
+    )
+    print(Timing.print_table())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -88,8 +88,10 @@ class VioEngine:
         self,
         config: VioConfig,
         rig: Optional[NCameraSystem] = None,
-        dtype=jnp.float64,
+        dtype=None,
     ):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.cfg = config
         self.rig = rig if rig is not None else config.build_rig()
         self.rig_p = rig_params(self.rig, dtype)
