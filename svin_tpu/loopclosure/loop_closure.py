@@ -242,8 +242,20 @@ class LoopCloser:
         idxs, scores = self.db.query(
             all_desc, all_valid, top_k=4, exclude_after=exclude_after
         )
+        # covisible-neighbor relative gate (PoseGraph::detectLoop min-score
+        # vs neighbour scores × 0.6): a candidate must score at least 0.6 of
+        # what the immediately preceding (covisible) keyframe scores
+        neighbor_floor = 0.0
+        if self.db.count >= 1:
+            from .retrieval import bow_vector, l1_scores
+
+            v = bow_vector(all_desc, all_valid, self.db.vocab, self.db.vocab.shape[0])
+            lo = max(0, self.db.count - 3)
+            s_nb = l1_scores(v, self.db.vectors[lo : self.db.count])
+            # the WEAKEST covisible link sets the bar (reference semantics)
+            neighbor_floor = 0.6 * float(jnp.min(s_nb))
         for cand, score in zip(idxs, scores):
-            if score < MIN_LOOP_SCORE:
+            if score < max(MIN_LOOP_SCORE, neighbor_floor):
                 continue
             loop = self._verify(kf, self.keyframes[int(cand)])
             if loop is not None:

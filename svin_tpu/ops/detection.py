@@ -59,16 +59,19 @@ def nms(score: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
     return score >= mx
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "cell", "border"))
+@partial(jax.jit, static_argnames=("max_keypoints", "cell", "cell_cap", "border"))
 def detect(
     img: jnp.ndarray,
     max_keypoints: int = 400,
     threshold: float = 1e-6,
     cell: int = 0,
+    cell_cap: int = 8,
     border: int = 20,
 ) -> Keypoints:
-    """Detect up to K Harris corners. ``cell`` > 0 caps density by scaling
-    scores with per-cell rank (uniformity without dynamic shapes)."""
+    """Detect up to K Harris corners. ``cell`` > 0 caps density to
+    ``cell_cap`` keypoints per cell×cell tile (the uniformity enforcement of
+    the reference's BRISK scale-space detector, expressed as cell_cap rounds
+    of per-cell argmax + suppression — static shapes throughout)."""
     h, w = img.shape
     s = harris_score(img)
     keep = nms(s)
@@ -78,6 +81,24 @@ def detect(
         (xx >= border) & (xx < w - border) & (yy >= border) & (yy < h - border)
     )
     masked = jnp.where(keep & in_border & (s > threshold), s, -jnp.inf)
+    if cell > 0:
+        # keep the best `cell_cap` responses per tile: cell_cap rounds of
+        # segment-max selection, suppressing each round's winners
+        cells_y = -(-h // cell)
+        cells_x = -(-w // cell)
+        cell_id = (yy // cell) * cells_x + (xx // cell)
+        n_cells = cells_y * cells_x
+        flat_cells = cell_id.reshape(-1)
+        remaining = masked.reshape(-1)
+        selected = jnp.full(remaining.shape, -jnp.inf)
+        for _ in range(cell_cap):
+            cell_max = jax.ops.segment_max(
+                remaining, flat_cells, num_segments=n_cells
+            )
+            is_win = (remaining == cell_max[flat_cells]) & jnp.isfinite(remaining)
+            selected = jnp.where(is_win, remaining, selected)
+            remaining = jnp.where(is_win, -jnp.inf, remaining)
+        masked = selected.reshape(h, w)
     flat = masked.reshape(-1)
     scores, idx = jax.lax.top_k(flat, max_keypoints)
     uv = jnp.stack(

@@ -47,6 +47,10 @@ class AsyncVioEngine:
         self._imu_lock = threading.Lock()
         self.state_callback: Optional[Callable[[FrameResult], None]] = None
         self.keyframe_callback = None
+        self.propagated_state_callback = None  # (t, r, q, v) at IMU rate
+        self._prop_t = None
+        self._prop_r = self._prop_q = self._prop_v = None
+        self._prop_bias = np.zeros(6)
         self._worker = threading.Thread(target=self._frame_loop, daemon=True)
         self._publisher = threading.Thread(target=self._publish_loop, daemon=True)
         self._running = True
@@ -63,6 +67,49 @@ class AsyncVioEngine:
         with self._imu_lock:
             self.engine.add_imu_measurement(t, gyro, acc)
         self._gate.announce(int(t * 1e9))
+        # optional IMU-rate propagated state (publishImuPropagatedState /
+        # imuConsumerLoop realtime propagation, ThreadedKFVio.cpp:774-833):
+        # lightweight host-side dead reckoning from the last optimized state
+        if self.propagated_state_callback is not None:
+            st = self._dead_reckon(t, np.asarray(gyro), np.asarray(acc))
+            if st is not None:
+                self.propagated_state_callback(*st)
+
+    def _dead_reckon(self, t, gyro, acc):
+        eng = self.engine
+        if getattr(eng, "n_states", 0) == 0:
+            return None
+        with self._imu_lock:
+            slot = eng.n_states - 1
+            t0 = float(eng.window.timestamp[slot])
+            if self._prop_t is None or self._prop_t < t0:
+                T = eng.window.pose(slot)
+                self._prop_r = np.asarray(T.r, float).copy()
+                self._prop_q = np.asarray(T.q, float).copy()
+                sb = np.asarray(eng.window.speed_bias[slot], float)
+                self._prop_v = sb[:3].copy()
+                self._prop_bias = sb[3:9].copy()
+                self._prop_t = t0
+        dt = t - self._prop_t
+        if dt <= 0 or dt > 1.0:
+            return None
+        # simple Euler step (publishing-rate prediction, not estimation)
+        from ..kinematics import quaternion as qt
+        import jax.numpy as jnp
+
+        w = gyro - self._prop_bias[:3]
+        a = acc - self._prop_bias[3:6]
+        q = np.asarray(
+            qt.normalize(
+                qt.multiply(jnp.asarray(self._prop_q), qt.exp(jnp.asarray(w * dt)))
+            )
+        )
+        C = np.asarray(qt.to_rotation_matrix(jnp.asarray(self._prop_q)))
+        g = np.array([0.0, 0.0, self.engine.cfg.imu.g])
+        v = self._prop_v + (C @ a - g) * dt
+        r = self._prop_r + self._prop_v * dt + 0.5 * (C @ a - g) * dt * dt
+        self._prop_r, self._prop_q, self._prop_v, self._prop_t = r, q, v, t
+        return t, r, q, v
 
     def add_depth_measurement(self, t: float, depth: float) -> None:
         with self._imu_lock:

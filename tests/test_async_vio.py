@@ -71,3 +71,34 @@ def test_async_out_of_order_image_rejected():
     assert ae.add_image(1.0, 0, img)
     assert not ae.add_image(0.5, 0, img)
     ae.finish()
+
+
+def test_async_propagated_state_publishing():
+    """IMU-rate propagated states (publishImuPropagatedState analog) stream
+    between frames once the engine is initialized."""
+    import jax.numpy as jnp
+    from svin_tpu import sim
+    from svin_tpu.pipeline import synthetic_sequence
+
+    rig, cfg = _setup()
+    engine = VioEngine(cfg, rig=rig)
+    ae = AsyncVioEngine(engine, blocking=True)
+    prop = []
+    ae.propagated_state_callback = lambda t, r, q, v: prop.append((t, r))
+    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    events, renderer = synthetic_sequence(
+        rig, duration=1.0, cam_rate=5.0, imu_rate=100.0, imu_params=cfg.imu,
+        seed=3, n_points=250, traj=traj, spread=6.0, depth_offset=3.0,
+        t_first_frame=0.12,
+    )
+    for ev in events:
+        if ev.kind == "imu":
+            ae.add_imu_measurement(ev.t, *ev.imu)
+        elif ev.kind == "frame":
+            for ci, img in enumerate(ev.images):
+                ae.add_image(ev.t, ci, img)
+    ae.finish()
+    assert len(prop) > 20  # many IMU-rate states after init
+    ts = [p[0] for p in prop]
+    assert ts == sorted(ts)
+    assert all(np.isfinite(p[1]).all() for p in prop)

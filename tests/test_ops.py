@@ -177,3 +177,20 @@ def test_match_descriptors_end_to_end():
     # most matches should reflect the known shift
     frac = np.mean(np.abs(du - shift) < 1.5)
     assert frac > 0.8, (frac, matched.sum())
+
+
+def test_detect_cell_cap_uniformity():
+    """cell>0 bounds keypoints per tile (BRISK uniformity analog)."""
+    # corner-dense left half, sparse right half
+    img = _test_image(jax.random.PRNGKey(7))
+    kp = detection.detect(img, max_keypoints=200, cell=40, cell_cap=3, border=8)
+    uv = np.array(kp.uv)[np.array(kp.valid)]
+    cells = (uv[:, 1].astype(int) // 40) * 8 + (uv[:, 0].astype(int) // 40)
+    _, counts = np.unique(cells, return_counts=True)
+    assert counts.max() <= 3
+    # without the cap some cell exceeds it
+    kp2 = detection.detect(img, max_keypoints=200, border=8)
+    uv2 = np.array(kp2.uv)[np.array(kp2.valid)]
+    cells2 = (uv2[:, 1].astype(int) // 40) * 8 + (uv2[:, 0].astype(int) // 40)
+    _, counts2 = np.unique(cells2, return_counts=True)
+    assert counts2.max() > 3
