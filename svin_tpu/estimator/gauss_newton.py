@@ -154,7 +154,6 @@ def _solve_step(
     """One damped Schur-complement solve → (δx (D,), δl (L,3))."""
     D = cfg.state_dim
     dtype = eqs.H.dtype
-    S = cfg.num_states
 
     # damping + inactive-slot regularization
     state_active = jnp.repeat(window.state_valid, 15)
@@ -213,32 +212,41 @@ def optimize(
     cfg: WindowConfig,
     lam0: float = 1e-4,
 ) -> OptimizeResult:
-    """LM loop with static iteration bound (jit-friendly accept/reject)."""
+    """LM loop with static iteration bound (jit-friendly accept/reject).
 
-    cost0 = total_cost(window, factors, rig, imu_params, cfg)
+    Each iteration reuses the assembly's own cost for the accept test (the
+    quadratic model and the cost come from one evaluation), and the landmark
+    Hessian of the last assembly provides the quality metric — no extra
+    evaluations outside the loop.
+    """
+    dtype = window.r.dtype
+    L = cfg.num_landmarks
+    Hll0 = jnp.tile(jnp.eye(3, dtype=dtype), (L, 1, 1))
 
-    def body(_, carry):
-        win, lam, cost = carry
+    def body(i, carry):
+        win, lam, cost0, Hll_last = carry
         eqs = assemble(win, factors, rig, imu_params, cfg)
+        cost0 = jnp.where(i == 0, eqs.cost, cost0)
         dx, dl = _solve_step(eqs, win, lam, cfg)
         cand = apply_step(win, dx, dl)
         cost_cand = total_cost(cand, factors, rig, imu_params, cfg)
-        accept = cost_cand < cost
+        accept = cost_cand < eqs.cost
         win_new = jax.tree_util.tree_map(
             lambda a, b_: jnp.where(accept, a, b_), cand, win
         )
         lam_new = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 4.0)
-        cost_new = jnp.where(accept, cost_cand, cost)
-        return (win_new, lam_new, cost_new)
+        return (win_new, lam_new, cost0, eqs.Hll)
 
-    init = (window, jnp.asarray(lam0, window.r.dtype), cost0)
-    win, lam, cost = jax.lax.fori_loop(0, cfg.max_iterations, body, init)
+    init = (window, jnp.asarray(lam0, dtype), jnp.zeros((), dtype), Hll0)
+    win, lam, cost0, Hll = jax.lax.fori_loop(
+        0, cfg.max_iterations, body, init
+    )
+    cost = total_cost(win, factors, rig, imu_params, cfg)
 
     # landmark quality = sqrt(λmin/λmax) of the 3x3 landmark Hessian
     # (reference Estimator.cpp:903-923)
-    eqs = assemble(win, factors, rig, imu_params, cfg)
     evs = jnp.linalg.eigvalsh(
-        eqs.Hll + 1e-12 * jnp.eye(3, dtype=eqs.Hll.dtype)
+        Hll + 1e-12 * jnp.eye(3, dtype=Hll.dtype)
     )  # (L,3) ascending
     quality = jnp.sqrt(jnp.clip(evs[:, 0], 0) / jnp.maximum(evs[:, 2], 1e-12))
     win = win._replace(lm_quality=jnp.where(win.lm_valid, quality, 0.0))

@@ -83,7 +83,6 @@ def _reproj_eval(prob: GlobalMapProblem, rig: RigParams, lm_base: jnp.ndarray):
 
 def _local_normal_eqs(prob, rig, lm_base, K, Lloc):
     r, Jp, Jl, li = _reproj_eval(prob, rig, lm_base)
-    D = K * 6
     Hpp = jax.ops.segment_sum(
         jnp.einsum("oia,oib->oab", Jp, Jp), prob.obs_pose, num_segments=K
     )

@@ -138,8 +138,8 @@ class AsyncVioEngine:
 
     # ------------------------------------------------------------- loops
     def _frame_loop(self) -> None:
-        while self._running:
-            item = self._frames.pop_blocking()
+        while True:
+            item = self._frames.pop_blocking()  # None ⇔ shut down and drained
             if item is None:
                 break
             t, images = item
@@ -152,8 +152,8 @@ class AsyncVioEngine:
                 self._results.push_blocking(result)
 
     def _publish_loop(self) -> None:
-        while self._running:
-            r = self._results.pop_blocking()
+        while True:
+            r = self._results.pop_blocking()  # None ⇔ shut down and drained
             if r is None:
                 break
             if self.state_callback:
@@ -162,20 +162,18 @@ class AsyncVioEngine:
                 self.keyframe_callback(r.keyframe_export)
 
     # ------------------------------------------------------------- drain
-    def finish(self, timeout: float = 60.0) -> None:
-        """Drain queues and stop threads (deterministic shutdown)."""
-        import time
+    def finish(self) -> None:
+        """Drain queues and stop threads (deterministic shutdown).
 
-        t0 = time.time()
-        while self._frames.size() > 0 and time.time() - t0 < timeout:
-            time.sleep(0.01)
-        # allow in-flight frame to finish
-        time.sleep(0.05)
-        while self._results.size() > 0 and time.time() - t0 < timeout:
-            time.sleep(0.01)
+        The joins are UNBOUNDED on purpose: the worker may be deep inside a
+        device step; returning while it still holds references to the native
+        queues and letting GC free them is a use-after-free. Shutdown order:
+        close the frame intake (worker drains and exits), join the worker,
+        then close the result queue (publisher drains and exits) and join it.
+        """
         self._running = False
-        self._frames.shutdown()
-        self._results.shutdown()
         self._gate.shutdown()
-        self._worker.join(timeout=5.0)
-        self._publisher.join(timeout=5.0)
+        self._frames.shutdown()  # pop returns None once drained → worker exits
+        self._worker.join()
+        self._results.shutdown()
+        self._publisher.join()

@@ -702,10 +702,13 @@ class VioEngine:
         S = self.wcfg.num_states
         n_imu = self.cfg.num_imu_frames
         is_kf = np.asarray(self.window.is_keyframe)
-        # oldest of the recent (non-keyframe) frames
+        # oldest of the recent (non-keyframe) frames — but NEVER the newest
+        # slot: the incoming frame's IMU factor and pose prediction chain
+        # from it (the reference marginalizes after state creation, so the
+        # current frame is likewise never a victim)
         recent_start = S - n_imu
         victim = None
-        for s in range(recent_start, S):
+        for s in range(recent_start, S - 1):
             if not is_kf[s]:
                 victim = s
                 break

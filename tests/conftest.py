@@ -27,3 +27,9 @@ except Exception:
 
 # SLAM estimation needs f64 for the normal equations; flag must be set at import.
 jax.config.update("jax_enable_x64", True)
+
+# NOTE: do not enable the persistent compilation cache here — this jaxlib's
+# cache-read path segfaults on CPU (observed crash in
+# compilation_cache.get_executable_and_time). The xdist worker split in
+# pytest.ini bounds per-process compile volume instead (the in-process
+# XLA/LLVM JIT also segfaults after enough large compilations).

@@ -21,17 +21,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+from vio_fixtures import small_config, small_rig
+
+
 def _setup():
-    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
-    rig = NCameraSystem()
-    rig.add_camera(from_rq([0, 0, 0], [0, 0, 0, 1]), cam)
-    rig.add_camera(from_rq([0.2, 0, 0], [0, 0, 0, 1]), cam)
-    cfg = VioConfig()
-    cfg.num_keyframes = 3
-    cfg.num_imu_frames = 2
-    cfg.max_keypoints = 100
-    cfg.max_iterations = 4
-    return rig, cfg
+    return small_rig(), small_config()
 
 
 def test_async_blocking_mode_processes_all_frames():

@@ -92,28 +92,17 @@ def test_dataflow_call_counts():
 
 
 def test_sonar_end_to_end():
-    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
-    rig = NCameraSystem()
-    rig.add_camera(from_rq([0, 0, 0], [0, 0, 0, 1]), cam)
-    rig.add_camera(from_rq([0.2, 0, 0], [0, 0, 0, 1]), cam)
-    cfg = VioConfig()
-    cfg.num_keyframes = 3
-    cfg.num_imu_frames = 2
-    cfg.max_keypoints = 100
-    cfg.max_iterations = 4
+    from vio_fixtures import small_config, standard_run
+
+    cfg = small_config()
     cfg.is_sonar_used = True
     # sonar beam pointed at the scene: sonar x̂ → body ẑ
     cfg.T_SSo = np.array(
         [[0, 0, -1, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 0, 1.0]]
     )
-    engine = VioEngine(cfg, rig=rig)
-    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
-    events, renderer = synthetic_sequence(
-        rig, duration=1.4, cam_rate=5.0, imu_rate=100.0, imu_params=cfg.imu,
-        seed=3, n_points=250, traj=traj, spread=6.0, depth_offset=3.0,
-        t_first_frame=0.12, sonar_enabled=True, sonar_T_SSo=cfg.T_SSo,
+    engine, renderer, results = standard_run(
+        duration=1.4, cam_rate=5.0, sonar=True, sonar_T_SSo=cfg.T_SSo, cfg=cfg
     )
-    results = run_events(engine, events)
     assert len(results) >= 4
     assert all(np.isfinite(r.cost) for r in results[1:])
     # sonar factors may or may not find nearby-landmark targets every frame;

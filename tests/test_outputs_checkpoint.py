@@ -32,29 +32,16 @@ from svin_tpu.pipeline.outputs import (
 )
 
 
+from vio_fixtures import small_config, small_rig, standard_run
+
+
 def _setup():
-    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
-    rig = NCameraSystem()
-    rig.add_camera(from_rq([0, 0, 0], [0, 0, 0, 1]), cam)
-    rig.add_camera(from_rq([0.2, 0, 0], [0, 0, 0, 1]), cam)
-    cfg = VioConfig()
-    cfg.num_keyframes = 3
-    cfg.num_imu_frames = 2
-    cfg.max_keypoints = 100
-    cfg.max_iterations = 4
-    return rig, cfg
+    return small_rig(), small_config()
 
 
 def _short_run(rig, cfg, duration=1.4, depth=False):
-    engine = VioEngine(cfg, rig=rig)
-    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
-    events, renderer = synthetic_sequence(
-        rig, duration=duration, cam_rate=5.0, imu_rate=100.0,
-        imu_params=cfg.imu, seed=3, n_points=250, traj=traj, spread=6.0,
-        depth_offset=3.0, t_first_frame=0.12, depth_enabled=depth,
-    )
-    results = run_events(engine, events)
-    return engine, renderer, results
+    return standard_run(duration=duration, cam_rate=5.0, depth=depth,
+                        cfg=cfg, rig=rig)
 
 
 def test_checkpoint_roundtrip_engine(tmp_path):

@@ -22,40 +22,14 @@ from svin_tpu.pipeline import (
 from svin_tpu.pipeline.config import CameraConfig
 
 
-def small_rig():
-    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
-    rig = NCameraSystem()
-    rig.add_camera(from_rq([0.0, 0.0, 0.0], [0, 0, 0, 1]), cam)
-    rig.add_camera(from_rq([0.2, 0.0, 0.0], [0, 0, 0, 1]), cam)
-    return rig
-
-
-def small_config():
-    cfg = VioConfig()
-    cfg.num_keyframes = 4
-    cfg.num_imu_frames = 2
-    cfg.max_keypoints = 150
-    cfg.max_iterations = 6
-    return cfg
+from vio_fixtures import small_config, small_rig, standard_run
 
 
 @pytest.fixture(scope="module")
 def vio_run():
-    from svin_tpu import sim
-
-    rig = small_rig()
-    cfg = small_config()
-    engine = VioEngine(cfg, rig=rig)
     # start-from-rest trajectory (gravity init assumes a static start) and a
     # well-conditioned stereo scene (baseline/depth → usable disparity)
-    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
-    events, renderer = synthetic_sequence(
-        rig, duration=2.6, cam_rate=6.0, imu_rate=100.0,
-        imu_params=cfg.imu, seed=3, n_points=300,
-        traj=traj, spread=6.0, depth_offset=3.0, t_first_frame=0.12,
-    )
-    results = run_events(engine, events)
-    return engine, renderer, results
+    return standard_run(duration=2.6, cam_rate=6.0)
 
 
 def test_pipeline_runs_and_tracks(vio_run):
