@@ -63,6 +63,46 @@ def l1_scores(query: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - 0.5 * jnp.sum(jnp.abs(db - query[None, :]), axis=-1)
 
 
+def train_vocabulary(
+    descriptors: jnp.ndarray,  # (N,8) uint32 training set
+    size: int = VOCAB_SIZE,
+    iters: int = 8,
+    seed: int = 7,
+) -> jnp.ndarray:
+    """Binary k-medoids refinement of the codebook (the DBoW2 k-means++
+    tree build collapsed to one flat level): assign every descriptor to its
+    nearest centroid by Hamming distance, then recompute each centroid as
+    the bitwise majority of its cluster — the Hamming-space mean. Empty
+    clusters keep their previous centroid.
+    """
+    N = descriptors.shape[0]
+    rng = np.random.RandomState(seed)
+    if N >= size:
+        centroids = descriptors[rng.choice(N, size, replace=False)]
+    else:
+        pad = make_vocabulary(seed, size - N)
+        centroids = jnp.concatenate([descriptors, pad])
+
+    bits = hamming.unpack_bits_pm1(descriptors).astype(jnp.int32)  # (N,256) ±1
+
+    def step(centroids):
+        d = hamming.hamming_matrix_ref(descriptors, centroids)  # (N,V)
+        assign = jnp.argmin(d, axis=1)
+        # majority vote per cluster: sum of ±1 bits > 0 → bit set
+        sums = jax.ops.segment_sum(bits, assign, num_segments=size)  # (V,256)
+        counts = jax.ops.segment_sum(
+            jnp.ones(N, jnp.int32), assign, num_segments=size
+        )
+        maj = (sums > 0).astype(jnp.uint32).reshape(size, DESC_WORDS, 32)
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+        packed = jnp.sum(maj * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+        return jnp.where((counts > 0)[:, None], packed, centroids)
+
+    for _ in range(iters):
+        centroids = step(centroids)
+    return centroids
+
+
 class KeyframeDatabase:
     """Host-managed growable database of BoW vectors (device-resident matrix).
 

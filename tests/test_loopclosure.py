@@ -302,3 +302,29 @@ def test_loop_closer_detects_rendered_revisit():
         assert np.linalg.norm(found[-1].rel_t) < 0.5
     finally:
         lc_mod.RECENCY_EXCLUSION = old_excl
+
+
+def test_trained_vocabulary_improves_quantization():
+    """k-medoids refinement must reduce mean descriptor→centroid Hamming
+    distance vs the random codebook (better words → better BoW)."""
+    from svin_tpu.loopclosure.retrieval import make_vocabulary, train_vocabulary
+    from svin_tpu.ops import hamming as H
+
+    cam, rig, renderer = _render_setup()
+    descs = []
+    for t in (0.0, 0.7, 1.4):
+        img = jnp.asarray(renderer._render_jit(sim.pose(renderer.traj, jnp.float64(t)), 0))
+        kp, d = _describe_frame(img)
+        descs.append(np.asarray(d)[np.asarray(kp.valid)])
+    train = jnp.asarray(np.concatenate(descs))
+    vocab0 = make_vocabulary(size=128)
+    vocab1 = train_vocabulary(train, size=128, iters=6)
+    d0 = np.asarray(H.hamming_matrix_ref(train, vocab0)).min(axis=1).mean()
+    d1 = np.asarray(H.hamming_matrix_ref(train, vocab1)).min(axis=1).mean()
+    assert d1 < d0 * 0.8, (d0, d1)
+    # trained vocab plugs into the database unchanged
+    from svin_tpu.loopclosure import KeyframeDatabase
+
+    db = KeyframeDatabase(vocab=vocab1)
+    idx = db.add(train[:100], jnp.ones(100, bool))
+    assert idx == 0
