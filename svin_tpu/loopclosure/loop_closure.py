@@ -222,7 +222,10 @@ class LoopCloser:
             j=self.edges.j.at[k].set(loop.query_index),
             t_ij=self.edges.t_ij.at[k].set(jnp.asarray(loop.rel_t, self._dtype)),
             yaw_ij=self.edges.yaw_ij.at[k].set(loop.rel_yaw),
-            weight=self.edges.weight.at[k].set(5.0),
+            # loop edges carry the same weight as odometry edges (the
+            # reference's FourDOFWeightError; robustness comes from Huber,
+            # not over-weighting — a PnP relative is noisier than VIO)
+            weight=self.edges.weight.at[k].set(1.0),
             is_loop=self.edges.is_loop.at[k].set(True),
             valid=self.edges.valid.at[k].set(True),
         )

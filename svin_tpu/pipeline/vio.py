@@ -760,6 +760,18 @@ class VioEngine:
             ),
             self.rig.cameras[0].width, self.rig.cameras[0].height,
         )
+        # covisibility counts vs other window frames: shared landmark slots
+        # (the export's per-point covisibility list, ThreadedKFVio.cpp:1147+)
+        my_lms = set(int(l) for l in lm_slots)
+        covis = {}
+        for s2, fd2 in self.frames.items():
+            if s2 == slot:
+                continue
+            shared = sum(
+                1 for l in fd2.kp_landmark[0] if l >= 0 and int(l) in my_lms
+            )
+            if shared > 0:
+                covis[int(np.asarray(self.window.state_id[s2]))] = shared
         return {
             "kf_index": self.kf_count,
             "timestamp": fd.timestamp,
@@ -773,6 +785,7 @@ class VioEngine:
             "num_tracked": int(len(sel)),
             "quadrant_counts": np.asarray(q),
             "response_strengths": np.asarray(fd.kp_score[0][jnp.asarray(sel)]),
+            "covisibilities": covis,  # state_id -> shared landmark count
         }
 
     # ------------------------------------------------------------- output

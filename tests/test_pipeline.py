@@ -76,7 +76,7 @@ def test_pipeline_keyframe_export_contract(vio_run):
     for key in (
         "kf_index", "timestamp", "image", "T_WC_r", "T_WC_q", "points_W",
         "landmark_ids", "keypoints_uv", "quality", "num_tracked",
-        "quadrant_counts", "response_strengths",
+        "quadrant_counts", "response_strengths", "covisibilities",
     ):
         assert key in kf, key
     assert kf["points_W"].shape[1] == 3
@@ -90,3 +90,23 @@ def test_trajectory_save_tum(tmp_path, vio_run):
     rows = np.loadtxt(p)
     assert rows.shape[1] == 8
     assert rows.shape[0] == len(engine.trajectory)
+
+
+def test_engine_from_reference_config():
+    """The engine must construct directly from the reference's shipped rig
+    configs (EuRoC + stereorig_v2 with resizeFactor 0.5)."""
+    import os
+    from svin_tpu.pipeline import load_config
+
+    for name in (
+        "/root/reference/okvis_ros/okvis/config/config_fpga_p2_euroc.yaml",
+        "/root/reference/config/config_stereorig_v2.yaml",
+    ):
+        if not os.path.exists(name):
+            pytest.skip("reference configs unavailable")
+        cfg = load_config(name)
+        engine = VioEngine(cfg)
+        assert engine.rig.num_cameras == 2
+        assert engine.wcfg.num_states == cfg.num_keyframes + cfg.num_imu_frames
+        # stereo overlap must hold after resizeFactor rescale
+        assert engine.rig.has_overlap(0, 1)
