@@ -15,9 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# The axon TPU PJRT plugin is registered by sitecustomize in every process and
-# its (network-tunneled) lazy init costs ~100 s. Tests are CPU-only: drop the
-# factory before any backend is initialized.
+# The axon TPU PJRT plugin is registered by sitecustomize at interpreter
+# startup (which imports jax, so jax.config has already captured
+# JAX_PLATFORMS=axon — the env override above is too late for the config
+# default). Its (network-tunneled) lazy init costs ~100 s. Tests are
+# CPU-only: point the config at the test platform and drop the factory
+# before any backend is initialized.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 try:  # pragma: no cover - only present under the axon harness
     from jax._src import xla_bridge as _xb
 
