@@ -1,5 +1,6 @@
 from .factors import (
     eval_depth,
+    eval_ext_prior,
     eval_imu,
     eval_priors,
     eval_reprojection,
@@ -10,6 +11,7 @@ from .marginalization import marginalize_slot
 from .rig import RigParams, rig_params
 from .window import (
     DepthFactors,
+    ExtrinsicsPrior,
     Factors,
     ImuFactors,
     MarginalPrior,
@@ -24,6 +26,7 @@ from .window import (
 
 __all__ = [
     "DepthFactors",
+    "ExtrinsicsPrior",
     "Factors",
     "ImuFactors",
     "MarginalPrior",
@@ -39,6 +42,7 @@ __all__ = [
     "empty_factors",
     "empty_window",
     "eval_depth",
+    "eval_ext_prior",
     "eval_imu",
     "eval_priors",
     "eval_reprojection",

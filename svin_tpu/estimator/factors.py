@@ -29,6 +29,7 @@ class ReprojEval(NamedTuple):
     res: jnp.ndarray  # (O,2) weighted residual
     J_pose: jnp.ndarray  # (O,2,6) weighted d res / d [δp, δα]
     J_lm: jnp.ndarray  # (O,2,3) weighted d res / d δl
+    J_ext: jnp.ndarray  # (O,2,6) weighted d res / d [δp_SC, δα_SC]
     valid: jnp.ndarray  # (O,) effective validity (input mask ∧ in-front)
     rho_cost: jnp.ndarray  # (O,) robustified cost contribution (0.5·ρ)
     weight: jnp.ndarray  # (O,) IRLS robust weight ρ'(s)
@@ -37,11 +38,15 @@ class ReprojEval(NamedTuple):
 def eval_reprojection(
     window: WindowState, factors: Factors, rig: RigParams, cfg: WindowConfig
 ) -> ReprojEval:
+    """Extrinsics T_SC are read from the window (seeded from the rig; only
+    optimized when cfg.estimate_extrinsics); rig supplies intrinsics. The
+    extrinsics Jacobian mirrors the reference's chained analytic form
+    (implementation/ReprojectionError.hpp:85-229, J wrt T_SC)."""
     f = factors.reproj
 
     def one(uv, s, l, c, w_info, ok):
         T_WS = Transformation(r=window.r[s], q=window.q[s])
-        T_SC = rig.T_SC(c)
+        T_SC = Transformation(r=window.ext_r[c], q=window.ext_q[c])
         p_W = window.hp_W[l, :3]
         # p_C = C_CS (C_SW (p_W - r_WS) - r_SC)
         C_SW = quat.to_rotation_matrix(T_WS.q).T
@@ -57,8 +62,14 @@ def eval_reprojection(
         C_CW = C_CS @ C_SW
         J_pC_dp = -C_CW
         J_pC_da = C_CW @ quat.cross_mx(p_W - T_WS.r)
+        # minimal perturbation of T_SC: r_SC += δp; C_SC ← exp(δα^) C_SC,
+        # so p_C = C_CS exp(-δα^)(p_S - r_SC):
+        #   d p_C / d δp_SC = -C_CS,  d p_C / d δα_SC = C_CS (p_S - r_SC)^
+        J_pC_dpe = -C_CS
+        J_pC_dae = C_CS @ quat.cross_mx(p_S - T_SC.r)
         # residual = measured - predicted → J_res = -J_pred
         Jp = -Juv @ jnp.concatenate([J_pC_dp, J_pC_da], axis=1)  # (2,6)
+        Je = -Juv @ jnp.concatenate([J_pC_dpe, J_pC_dae], axis=1)  # (2,6)
         Jl = -Juv @ C_CW  # (2,3)
         r = uv - uv_hat
         # robust (Cauchy) IRLS weight on the squared weighted norm
@@ -72,6 +83,7 @@ def eval_reprojection(
             res=w_tot * r,
             J_pose=w_tot * Jp,
             J_lm=w_tot * Jl,
+            J_ext=w_tot * Je,
             valid=ok,
             rho_cost=jnp.where(ok, 0.5 * rho, 0.0),
             weight=rho_p,
@@ -167,6 +179,26 @@ def eval_priors(window: WindowState, factors: Factors) -> PriorEval:
     return PriorEval(
         pose_res=pose_res, pose_J=pose_J, pose_valid=ok_p,
         sb_res=sb_res, sb_J=sb_J, sb_valid=ok_s,
+    )
+
+
+class ExtPriorEval(NamedTuple):
+    res: jnp.ndarray  # (C,6) weighted residual
+    J: jnp.ndarray  # (C,6,6) weighted Jacobian
+    valid: jnp.ndarray  # (C,)
+
+
+def eval_ext_prior(window: WindowState, factors: Factors) -> ExtPriorEval:
+    """Absolute extrinsics prior (reference Estimator.cpp:332-345:
+    ceres::PoseError on T_SC with sigma_absolute variances)."""
+    p = factors.ext_prior
+    dq = quat.multiply(window.ext_q, quat.conjugate(p.mean_q))
+    e = jnp.concatenate([window.ext_r - p.mean_r, quat.log(dq)], axis=-1)
+    w = jnp.where(p.valid, 1.0, 0.0)[:, None]
+    return ExtPriorEval(
+        res=w * jnp.einsum("cij,cj->ci", p.sqrt_info, e),
+        J=w[..., None] * p.sqrt_info,
+        valid=p.valid,
     )
 
 

@@ -19,6 +19,7 @@ from ..imu import ImuParameters
 from ..kinematics import quaternion as quat
 from .factors import (
     eval_depth,
+    eval_ext_prior,
     eval_imu,
     eval_priors,
     eval_reprojection,
@@ -29,12 +30,20 @@ from .rig import RigParams
 from .window import Factors, WindowConfig, WindowState
 
 
+def _block_diag(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(C,k,k) → (C·k, C·k) block-diagonal."""
+    C, k = blocks.shape[0], blocks.shape[1]
+    out = jnp.zeros((C, k, C, k), blocks.dtype)
+    out = out.at[jnp.arange(C), :, jnp.arange(C), :].set(blocks)
+    return out.reshape(C * k, C * k)
+
+
 class NormalEqs(NamedTuple):
-    H: jnp.ndarray  # (D,D) state-state
-    b: jnp.ndarray  # (D,)
+    H: jnp.ndarray  # (Dx,Dx) state(+extrinsics)-block
+    b: jnp.ndarray  # (Dx,)
     Hll: jnp.ndarray  # (L,3,3)
     bl: jnp.ndarray  # (L,3)
-    W: jnp.ndarray  # (L,3,D) landmark-state coupling
+    W: jnp.ndarray  # (L,3,Dx) landmark-state coupling
     cost: jnp.ndarray  # () total robustified cost
 
 
@@ -45,7 +54,11 @@ def assemble(
     imu_params: ImuParameters,
     cfg: WindowConfig,
 ) -> NormalEqs:
+    """Dx = state_dim, plus C·6 appended extrinsics coords when
+    cfg.estimate_extrinsics (online calibration, Estimator.cpp:205-345)."""
     S, L, D = cfg.num_states, cfg.num_landmarks, cfg.state_dim
+    C = cfg.num_cameras
+    Dx = cfg.full_dim if cfg.estimate_extrinsics else D
     dtype = window.r.dtype
     Hb = jnp.zeros((S, S, 15, 15), dtype)
     b = jnp.zeros((S, 15), dtype)
@@ -55,6 +68,7 @@ def assemble(
     re = eval_reprojection(window, factors, rig, cfg)
     s_idx = factors.reproj.state_idx
     l_idx = factors.reproj.lm_idx
+    c_idx = factors.reproj.cam_idx
     Hpp = jnp.einsum("oia,oib->oab", re.J_pose, re.J_pose)  # (O,6,6)
     Hll_o = jnp.einsum("oia,oib->oab", re.J_lm, re.J_lm)  # (O,3,3)
     Wls_o = jnp.einsum("oia,oib->oab", re.J_lm, re.J_pose)  # (O,3,6)
@@ -73,6 +87,28 @@ def assemble(
     W = W.at[:, :, :, :6].add(jnp.swapaxes(Wls, 1, 2))
     W = W.reshape(L, 3, D)
     cost = cost + jnp.sum(re.rho_cost)
+
+    if cfg.estimate_extrinsics:
+        # extrinsics diag blocks, pose-ext coupling, landmark-ext coupling
+        Hee = jax.ops.segment_sum(
+            jnp.einsum("oia,oib->oab", re.J_ext, re.J_ext), c_idx, num_segments=C
+        )  # (C,6,6)
+        be = jax.ops.segment_sum(
+            jnp.einsum("oia,oi->oa", re.J_ext, re.res), c_idx, num_segments=C
+        )  # (C,6)
+        Hpe = jax.ops.segment_sum(
+            jnp.einsum("oia,oib->oab", re.J_pose, re.J_ext),
+            s_idx * C + c_idx, num_segments=S * C,
+        ).reshape(S, C, 6, 6)
+        Wle = jax.ops.segment_sum(
+            jnp.einsum("oia,oib->oab", re.J_lm, re.J_ext),
+            l_idx * C + c_idx, num_segments=L * C,
+        ).reshape(L, C, 3, 6)
+        # prior on extrinsics
+        ep = eval_ext_prior(window, factors)
+        Hee = Hee + jnp.einsum("cia,cib->cab", ep.J, ep.J)
+        be = be + jnp.einsum("cia,ci->ca", ep.J, ep.res)
+        cost = cost + 0.5 * jnp.sum(ep.res * ep.res)
 
     # --- IMU ---
     im = eval_imu(window, factors, imu_params)
@@ -108,7 +144,7 @@ def assemble(
         jnp.sum(pr.pose_res * pr.pose_res) + jnp.sum(pr.sb_res * pr.sb_res)
     )
 
-    # --- marginalization prior (FEJ) ---
+    # --- marginalization prior (FEJ; occupies the S·15 state block) ---
     H = Hb.transpose(0, 2, 1, 3).reshape(D, D)
     bf = b.reshape(D)
     m = factors.marg
@@ -117,6 +153,19 @@ def assemble(
     H = H + mw * m.H
     bf = bf + mw * (m.b + m.H @ dm)
     cost = cost + mw * (0.5 * dm @ m.H @ dm + m.b @ dm)
+
+    if cfg.estimate_extrinsics:
+        Hf = jnp.zeros((Dx, Dx), dtype)
+        Hf = Hf.at[:D, :D].set(H)
+        Hf = Hf.at[D:, D:].set(_block_diag(Hee))
+        Hpe_f = Hpe.transpose(0, 2, 1, 3).reshape(S * 6, C * 6)
+        # scatter pose-ext coupling: pose rows live at s*15..s*15+6
+        rows = (jnp.arange(S)[:, None] * 15 + jnp.arange(6)[None, :]).reshape(-1)
+        Hf = Hf.at[rows[:, None], D + jnp.arange(C * 6)[None, :]].add(Hpe_f)
+        Hf = Hf.at[D + jnp.arange(C * 6)[:, None], rows[None, :]].add(Hpe_f.T)
+        bfx = jnp.concatenate([bf, be.reshape(-1)])
+        Wf = jnp.concatenate([W, Wle.transpose(0, 2, 1, 3).reshape(L, 3, C * 6)], axis=2)
+        return NormalEqs(H=Hf, b=bfx, Hll=Hll, bl=bl, W=Wf, cost=cost)
 
     return NormalEqs(H=H, b=bf, Hll=Hll, bl=bl, W=W, cost=cost)
 
@@ -137,7 +186,7 @@ def total_cost(
     m = factors.marg
     dm = marg_delta(window, factors)
     mw = jnp.where(m.valid, 1.0, 0.0)
-    return (
+    cost = (
         jnp.sum(re.rho_cost)
         + 0.5 * jnp.sum(im.res**2)
         + 0.5 * jnp.sum(de.res**2)
@@ -146,17 +195,25 @@ def total_cost(
         + 0.5 * jnp.sum(pr.sb_res**2)
         + mw * (0.5 * dm @ m.H @ dm + m.b @ dm)
     )
+    if cfg.estimate_extrinsics:
+        ep = eval_ext_prior(window, factors)
+        cost = cost + 0.5 * jnp.sum(ep.res**2)
+    return cost
 
 
 def _solve_step(
     eqs: NormalEqs, window: WindowState, lam: jnp.ndarray, cfg: WindowConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One damped Schur-complement solve → (δx (D,), δl (L,3))."""
-    D = cfg.state_dim
+    """One damped Schur-complement solve → (δx (Dx,), δl (L,3))."""
+    D = eqs.H.shape[0]
     dtype = eqs.H.dtype
 
     # damping + inactive-slot regularization
     state_active = jnp.repeat(window.state_valid, 15)
+    if cfg.estimate_extrinsics:
+        state_active = jnp.concatenate(
+            [state_active, jnp.ones(cfg.num_cameras * 6, bool)]
+        )
     dH = jnp.diag(eqs.H)
     damp = lam * jnp.maximum(dH, 1e-6) + jnp.where(state_active, 0.0, 1.0)
     H = eqs.H + jnp.diag(damp)
@@ -182,7 +239,7 @@ def apply_step(
     window: WindowState, dx: jnp.ndarray, dl: jnp.ndarray
 ) -> WindowState:
     S = window.r.shape[0]
-    d = dx.reshape(S, 15)
+    d = dx[: S * 15].reshape(S, 15)
     dp, da, dsb = d[:, :3], d[:, 3:6], d[:, 6:15]
     sv = window.state_valid[:, None]
     r_new = jnp.where(sv, window.r + dp, window.r)
@@ -194,7 +251,15 @@ def apply_step(
     hp_new = window.hp_W.at[:, :3].set(
         jnp.where(lv, window.hp_W[:, :3] + dl, window.hp_W[:, :3])
     )
-    return window._replace(r=r_new, q=q_new, speed_bias=sb_new, hp_W=hp_new)
+    ext_r, ext_q = window.ext_r, window.ext_q
+    if dx.shape[0] > S * 15:  # extrinsics coords appended
+        de = dx[S * 15:].reshape(-1, 6)
+        ext_r = ext_r + de[:, :3]
+        ext_q = quat.normalize(quat.multiply(quat.exp(de[:, 3:6]), ext_q))
+    return window._replace(
+        r=r_new, q=q_new, speed_bias=sb_new, hp_W=hp_new,
+        ext_r=ext_r, ext_q=ext_q,
+    )
 
 
 class OptimizeResult(NamedTuple):

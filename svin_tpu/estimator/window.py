@@ -29,10 +29,23 @@ class WindowConfig(NamedTuple):
     num_obs: int = 2048  # O flat observation slots
     max_iterations: int = 10  # LM iterations (reference ceres max 10)
     cauchy_c: float = 1.0  # Cauchy robust-loss scale (reference CauchyLoss(1))
+    num_cameras: int = 2  # C rig cameras (extrinsics slots in the window)
+    # Online extrinsics calibration (reference Estimator.cpp:205-228,332-345:
+    # sigma_absolute_translation/orientation > 0 estimates T_SC with an
+    # absolute pose prior; == 0 keeps it constant). One shared block per
+    # camera — the reference's per-state-block random-walk variant only
+    # activates for sigma_c_relative > 0, which no shipped config uses.
+    estimate_extrinsics: bool = False
 
     @property
     def state_dim(self) -> int:
         return self.num_states * 15
+
+    @property
+    def full_dim(self) -> int:
+        """States + extrinsics minimal dims (solver-side layout: the
+        C·6 extrinsics coords are appended after the S·15 state coords)."""
+        return self.num_states * 15 + self.num_cameras * 6
 
 
 class WindowState(NamedTuple):
@@ -51,11 +64,18 @@ class WindowState(NamedTuple):
     lm_valid: jnp.ndarray  # (L,) bool
     lm_id: jnp.ndarray  # (L,) int32 global ids
     lm_quality: jnp.ndarray  # (L,) float (3x3 Hessian eigen ratio)
+    # camera extrinsics T_SC per rig camera (optimized only when
+    # cfg.estimate_extrinsics; otherwise carried as constants)
+    ext_r: jnp.ndarray  # (C,3)
+    ext_q: jnp.ndarray  # (C,4) xyzw
 
     def pose(self, idx=None) -> Transformation:
         if idx is None:
             return Transformation(r=self.r, q=self.q)
         return Transformation(r=self.r[idx], q=self.q[idx])
+
+    def T_SC(self, c) -> Transformation:
+        return Transformation(r=self.ext_r[c], q=self.ext_q[c])
 
 
 class ReprojectionFactors(NamedTuple):
@@ -113,6 +133,17 @@ class PriorFactors(NamedTuple):
     sb_valid: jnp.ndarray  # (S,) bool
 
 
+class ExtrinsicsPrior(NamedTuple):
+    """Absolute pose prior on each camera's T_SC — the reference's online
+    extrinsics calibration (Estimator.cpp:332-345: PoseError with
+    sigma_absolute_translation/orientation variances when > 0)."""
+
+    mean_r: jnp.ndarray  # (C,3)
+    mean_q: jnp.ndarray  # (C,4)
+    sqrt_info: jnp.ndarray  # (C,6,6)
+    valid: jnp.ndarray  # (C,) bool
+
+
 class MarginalPrior(NamedTuple):
     """Dense FEJ marginalization prior over the full minimal state:
     cost = ½ ‖b + H (χ ⊟ χ_lin)‖²_H-metric accumulated as
@@ -133,12 +164,22 @@ class Factors(NamedTuple):
     depth: DepthFactors
     sonar: SonarFactors
     priors: PriorFactors
+    ext_prior: ExtrinsicsPrior
     marg: MarginalPrior
 
 
-def empty_window(cfg: WindowConfig, dtype=jnp.float64) -> WindowState:
-    S, L = cfg.num_states, cfg.num_landmarks
+def empty_window(cfg: WindowConfig, dtype=jnp.float64, rig=None) -> WindowState:
+    """Fresh window. ``rig`` (a RigParams) seeds the extrinsics slots; the
+    identity is used otherwise (callers with off-origin cameras must pass it —
+    reprojection evaluates T_SC from the window, not from RigParams)."""
+    S, L, C = cfg.num_states, cfg.num_landmarks, cfg.num_cameras
     q0 = jnp.zeros((S, 4), dtype).at[:, 3].set(1.0)
+    if rig is not None:
+        ext_r = jnp.asarray(rig.T_SC_r[:C], dtype)
+        ext_q = jnp.asarray(rig.T_SC_q[:C], dtype)
+    else:
+        ext_r = jnp.zeros((C, 3), dtype)
+        ext_q = jnp.zeros((C, 4), dtype).at[:, 3].set(1.0)
     return WindowState(
         r=jnp.zeros((S, 3), dtype),
         q=q0,
@@ -151,6 +192,8 @@ def empty_window(cfg: WindowConfig, dtype=jnp.float64) -> WindowState:
         lm_valid=jnp.zeros(L, bool),
         lm_id=jnp.full(L, -1, jnp.int32),
         lm_quality=jnp.zeros(L, dtype),
+        ext_r=ext_r,
+        ext_q=ext_q,
     )
 
 
@@ -205,6 +248,12 @@ def empty_factors(cfg: WindowConfig, dtype=jnp.float64) -> Factors:
             sb_mean=jnp.zeros((S, 9), dtype),
             sb_sqrt_info=jnp.zeros((S, 9, 9), dtype),
             sb_valid=jnp.zeros(S, bool),
+        ),
+        ext_prior=ExtrinsicsPrior(
+            mean_r=jnp.zeros((cfg.num_cameras, 3), dtype),
+            mean_q=jnp.zeros((cfg.num_cameras, 4), dtype).at[:, 3].set(1.0),
+            sqrt_info=jnp.zeros((cfg.num_cameras, 6, 6), dtype),
+            valid=jnp.zeros(cfg.num_cameras, bool),
         ),
         marg=MarginalPrior(
             H=jnp.zeros((D, D), dtype),

@@ -3,6 +3,7 @@ from .ransac import (
     absolute_pose_ransac,
     rotation_only_ransac,
 )
+from .scale_refinement import ScaleEstimate, ScaleRefiner, solve_scale
 from .triangulation import (
     TriangulationResult,
     point_from_homogeneous,
@@ -11,9 +12,12 @@ from .triangulation import (
 
 __all__ = [
     "RansacResult",
+    "ScaleEstimate",
+    "ScaleRefiner",
     "TriangulationResult",
     "absolute_pose_ransac",
     "point_from_homogeneous",
     "rotation_only_ransac",
+    "solve_scale",
     "triangulate_fast",
 ]

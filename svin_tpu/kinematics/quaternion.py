@@ -109,10 +109,15 @@ def log(q: jnp.ndarray) -> jnp.ndarray:
     sgn = jnp.where(qw < 0, -1.0, 1.0)
     qv = qv * sgn[..., None]
     qw = qw * sgn
-    n = jnp.linalg.norm(qv, axis=-1)
+    # norm via clamped sqrt: d sqrt(max(n2, tiny))/d qv is 0 at qv == 0,
+    # so autodiff through log(identity) stays NaN-free (plain
+    # jnp.linalg.norm has a 0/0 gradient at the origin that poisons
+    # cotangents even through masked `where` branches)
+    n2 = jnp.sum(qv * qv, axis=-1)
+    n = jnp.sqrt(jnp.maximum(n2, _EPS * _EPS))
     angle = 2.0 * jnp.arctan2(n, qw)
-    small = n < 1e-7
-    k = jnp.where(small, 2.0 / jnp.clip(qw, 1e-7), angle / jnp.maximum(n, _EPS))
+    small = n2 < 1e-14
+    k = jnp.where(small, 2.0 / jnp.clip(qw, 1e-7), angle / n)
     return qv * k[..., None]
 
 

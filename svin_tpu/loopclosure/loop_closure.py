@@ -180,6 +180,8 @@ class LoopCloser:
             kf.loop_rel_yaw = loop.rel_yaw
             self.earliest_loop_index = min(self.earliest_loop_index, loop.match_index)
             self._add_loop_edge(loop)
+            if self.cfg.fast_relocalization:
+                self._fast_relocalize(loop)
             self._optimize_and_update_drift()
             if self.loop_callback:
                 self.loop_callback(loop)
@@ -320,6 +322,35 @@ class LoopCloser:
             rel_t=rel_t,
             rel_yaw=rel_yaw,
         )
+
+    def _fast_relocalize(self, loop: LoopInfo) -> None:
+        """Immediate drift update from one verified loop constraint — the
+        reference's fast-relocalization path (PoseGraph::updateKeyFrameLoop,
+        PoseGraph.cpp:579-611): the current keyframe is re-anchored at the
+        old keyframe's corrected pose composed with the PnP relative, before
+        (and independently of) pose-graph optimization. Same gates as the
+        reference: |rel yaw| < 30°, ‖rel t‖ < 20 m."""
+        if (
+            abs(np.degrees(loop.rel_yaw)) > 30.0
+            or np.linalg.norm(loop.rel_t) > 20.0
+        ):
+            return
+        old = loop.match_index
+        p_old = np.asarray(self.nodes.p[old])
+        R_old = np.asarray(
+            ypr_to_matrix(
+                self.nodes.yaw[old], self.nodes.pitch[old], self.nodes.roll[old]
+            )
+        )
+        w_P_cur = R_old @ loop.rel_t + p_old
+        yaw_w_cur = float(self.nodes.yaw[old]) + loop.rel_yaw
+        kf = self.keyframes[loop.query_index]
+        yaw_vio = float(matrix_to_ypr(quat.to_rotation_matrix(kf.T_WC_vio.q))[0])
+        self.yaw_drift = float(normalize_angle(yaw_w_cur - yaw_vio))
+        Rz = np.asarray(
+            ypr_to_matrix(jnp.asarray(self.yaw_drift, self._dtype), 0.0, 0.0)
+        )
+        self.t_drift = w_P_cur - Rz @ np.asarray(kf.T_WC_vio.r)
 
     def _optimize_and_update_drift(self):
         # fix everything up to and including the earliest looped keyframe

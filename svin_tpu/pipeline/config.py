@@ -76,6 +76,11 @@ class VioConfig:
     detection_octaves: int = 0
     max_keypoints: int = 400
     image_delay: float = 0.0
+    # online extrinsics calibration (reference camera_params:
+    # sigma_absolute_translation/orientation — 0.0 keeps T_SC constant,
+    # > 0 estimates it with an absolute pose prior, Estimator.cpp:205-345)
+    sigma_absolute_translation: float = 0.0
+    sigma_absolute_orientation: float = 0.0
     is_sonar_used: bool = False
     is_depth_used: bool = False
     histogram_method: str = "NONE"
@@ -83,6 +88,9 @@ class VioConfig:
     clahe_tiles: int = 4
     resize_factor: float = 1.0
     timestamp_tolerance: float = 0.005
+    # immediate single-loop drift re-anchoring (reference Parameters.cpp:128,
+    # PoseGraph::updateKeyFrameLoop fast path)
+    fast_relocalization: bool = False
     loop_closure: LoopClosureConfig = field(default_factory=LoopClosureConfig)
     health: HealthConfig = field(default_factory=HealthConfig)
     global_map: GlobalMapConfig = field(default_factory=GlobalMapConfig)
@@ -158,6 +166,12 @@ def load_config(path: str) -> VioConfig:
     cam_p = d.get("camera_params", {}) or {}
     cfg.camera_rate = float(cam_p.get("camera_rate", 20.0))
     cfg.timestamp_tolerance = float(cam_p.get("timestamp_tolerance", 0.005))
+    cfg.sigma_absolute_translation = float(
+        cam_p.get("sigma_absolute_translation", 0.0)
+    )
+    cfg.sigma_absolute_orientation = float(
+        cam_p.get("sigma_absolute_orientation", 0.0)
+    )
 
     cfg.num_keyframes = int(d.get("numKeyframes", 5))
     cfg.num_imu_frames = int(d.get("numImuFrames", 3))
@@ -181,6 +195,7 @@ def load_config(path: str) -> VioConfig:
     cfg.clahe_tiles = int(d.get("claheTilesGridSize", 4))
     cfg.resize_factor = float(d.get("resizeFactor", 1.0))
 
+    cfg.fast_relocalization = _b(d.get("fast_relocalization", False))
     lc = d.get("loop_closure_params", {}) or {}
     cfg.loop_closure = LoopClosureConfig(
         enable=_b(lc.get("enable", 1)),

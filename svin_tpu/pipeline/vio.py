@@ -23,6 +23,7 @@ every device call here is non-blocking until results are read.
 """
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
@@ -39,7 +40,12 @@ from ..estimator import (
     optimize,
     rig_params,
 )
-from ..frontend import absolute_pose_ransac, point_from_homogeneous, triangulate_fast
+from ..frontend import (
+    ScaleRefiner,
+    absolute_pose_ransac,
+    point_from_homogeneous,
+    triangulate_fast,
+)
 from ..imu import init_pose_from_imu, preintegrate, propagate, sqrt_information
 from ..kinematics import (
     Transformation,
@@ -53,6 +59,8 @@ from ..utils import Timer
 from .config import VioConfig
 
 TEMPORAL_IMU_OVERLAP = 0.02  # s (reference ThreadedKFVio.cpp:87)
+
+_LOG = logging.getLogger("svin_tpu")
 
 
 @dataclass
@@ -96,15 +104,40 @@ class VioEngine:
         self.rig = rig if rig is not None else config.build_rig()
         self.rig_p = rig_params(self.rig, dtype)
         S = config.num_keyframes + config.num_imu_frames
+        estimate_ext = (
+            config.sigma_absolute_translation > 1e-16
+            and config.sigma_absolute_orientation > 1e-16
+        )
         self.wcfg = WindowConfig(
             num_states=S,
             num_landmarks=512,
             num_obs=4096,
             max_iterations=config.max_iterations,
+            num_cameras=self.rig.num_cameras,
+            estimate_extrinsics=estimate_ext,
         )
         self.dtype = dtype
-        self.window = empty_window(self.wcfg, dtype)
+        self.window = empty_window(self.wcfg, dtype, rig=self.rig_p)
         self.factors = empty_factors(self.wcfg, dtype)
+        if estimate_ext:
+            # absolute extrinsics prior at the config values
+            # (Estimator.cpp:332-345)
+            si = jnp.diag(
+                jnp.asarray(
+                    [1.0 / config.sigma_absolute_translation] * 3
+                    + [1.0 / config.sigma_absolute_orientation] * 3,
+                    dtype,
+                )
+            )
+            ep = self.factors.ext_prior
+            self.factors = self.factors._replace(
+                ext_prior=ep._replace(
+                    mean_r=self.window.ext_r,
+                    mean_q=self.window.ext_q,
+                    sqrt_info=jnp.tile(si, (self.rig.num_cameras, 1, 1)),
+                    valid=jnp.ones(self.rig.num_cameras, bool),
+                )
+            )
         self.imu_t: List[float] = []
         self.imu_gyro: List[np.ndarray] = []
         self.imu_acc: List[np.ndarray] = []
@@ -122,6 +155,13 @@ class VioEngine:
         self.keyframe_callback: Optional[Callable[[dict], None]] = None
         self.trajectory: List[tuple] = []  # (t, r, q) of latest estimates
         self._rng = np.random.RandomState(1234)
+        # one-shot scale-refinement diagnostic over the first keyframes
+        # (Frontend.cpp:469-614; like the reference it reports, not rescales)
+        self.scale_refiner = ScaleRefiner(
+            r_SC=np.asarray(self.rig.T_SC[0].r, float)
+        )
+        self._last_ransac_T_WS: Optional[Transformation] = None
+        self._scale_last_t: Optional[float] = None
 
     # ------------------------------------------------------------------ IMU
     def add_imu_measurement(self, t: float, gyro, acc) -> None:
@@ -163,6 +203,13 @@ class VioEngine:
             jnp.asarray(bias, self.dtype), self.cfg.imu,
         )
 
+    def _T_SC(self, ci: int) -> Transformation:
+        """Current camera extrinsics — the window estimate when online
+        calibration is active, otherwise the (seeded) config values."""
+        return Transformation(
+            r=self.window.ext_r[ci], q=self.window.ext_q[ci]
+        )
+
     # ------------------------------------------------------------- frontend
     def _detect_describe(self, images: List[np.ndarray], T_WS_pred: Transformation):
         """Stage 1: preprocess + detect + describe each camera image."""
@@ -176,7 +223,7 @@ class VioEngine:
             )
             kp = detection.detect(im, max_keypoints=self.cfg.max_keypoints)
             # gravity-aligned extraction direction (Frontend.cpp:91-113)
-            T_WC = compose(T_WS_pred, self.rig.T_SC[ci])
+            T_WC = compose(T_WS_pred, self._T_SC(ci))
             g_C = quat.rotate(quat.conjugate(T_WC.q), jnp.array([0.0, 0.0, -1.0], im.dtype))
             ang = desc_ops.gravity_angles(kp.uv, g_C)
             d = desc_ops.describe(im, kp.uv, ang, kp.valid)
@@ -404,8 +451,8 @@ class VioEngine:
         # triangulate in world frame
         rays_a = back_project(self.rig.cameras[0], fd.kp_uv[0][jnp.asarray(ia)])
         rays_b = back_project(self.rig.cameras[1], fd.kp_uv[1][jnp.asarray(ib)])
-        T_WA = compose(T_WS, self.rig.T_SC[0])
-        T_WB = compose(T_WS, self.rig.T_SC[1])
+        T_WA = compose(T_WS, self._T_SC(0))
+        T_WB = compose(T_WS, self._T_SC(1))
         eA = quat.rotate(T_WA.q, rays_a)
         eB = quat.rotate(T_WB.q, rays_b)
         pA = jnp.broadcast_to(T_WA.r, eA.shape)
@@ -458,7 +505,7 @@ class VioEngine:
         gate_px = 30.0
         candidates = []  # (cam, kp_idx, lm_slot, uv, bearing_C)
         for ci in range(self.rig.num_cameras):
-            T_WC = compose(T_WS_pred, self.rig.T_SC[ci])
+            T_WC = compose(T_WS_pred, self._T_SC(ci))
             p_C = transform_point(inverse(T_WC), self.window.hp_W[:, :3])
             uv_pred, proj_ok = project(self.rig.cameras[ci], p_C)
             proj_ok = proj_ok & self.window.lm_valid
@@ -487,9 +534,10 @@ class VioEngine:
         # RANSAC the camera-0 candidates for a pose model, then gate every
         # candidate (all cameras) by reprojection through the fitted pose.
         lm_pts = np.asarray(self.window.hp_W[:, :3])
-        T_WC0 = compose(T_WS_pred, self.rig.T_SC[0])
+        T_WC0 = compose(T_WS_pred, self._T_SC(0))
         c0 = [c for c in candidates if c[0] == 0]
         T_WS_fit = T_WS_pred
+        self._last_ransac_T_WS = None
         accept_px = 8.0  # looser gate when only the IMU prediction is trusted
         if len(c0) >= 6:
             # fixed-size RANSAC problem (pad to capacity → one compilation)
@@ -514,8 +562,9 @@ class VioEngine:
             if bool(rr.success):
                 T_WS_fit = compose(
                     Transformation(r=rr.T.r, q=rr.T.q),
-                    inverse(self.rig.T_SC[0]),
+                    inverse(self._T_SC(0)),
                 )
+                self._last_ransac_T_WS = T_WS_fit
                 accept_px = 4.0
         rows = []
         refresh_l, refresh_d = [], []
@@ -523,7 +572,7 @@ class VioEngine:
             sel = [c for c in candidates if c[0] == ci]
             if not sel:
                 continue
-            T_CW = inverse(compose(T_WS_fit, self.rig.T_SC[ci]))
+            T_CW = inverse(compose(T_WS_fit, self._T_SC(ci)))
             p_C = transform_point(
                 T_CW, jnp.asarray(np.stack([lm_pts[c[2]] for c in sel]), self.dtype)
             )
@@ -547,6 +596,42 @@ class VioEngine:
             )
         self._add_observations(rows)
         return n_tracked
+
+    def _accumulate_scale_state(self, t: float) -> None:
+        """One-shot scale refinement over the first keyframes
+        (Frontend.cpp:510-588): accumulate the RANSAC vision pose + the IMU
+        preintegral bridging from the previously accumulated keyframe; a
+        small linear alignment solves for velocities/gravity/scale and the
+        result is logged as a diagnostic (the reference prints it)."""
+        sr = self.scale_refiner
+        if sr.refined or self._last_ransac_T_WS is None:
+            return
+        T = self._last_ransac_T_WS
+        C_WS = np.asarray(quat.to_rotation_matrix(T.q))
+        p_C = np.asarray(compose(T, self._T_SC(0)).r)
+        if not sr.C_WS:  # first accumulated state
+            sr.add_state(C_WS, p_C)
+            self._scale_last_t = t
+            return
+        slot = self.n_states - 1
+        pre = self._preintegrate(
+            self._scale_last_t, t, self.window.speed_bias[slot][3:9]
+        )
+        if pre is None:
+            return
+        sr.add_state(
+            C_WS, p_C,
+            delta_p=np.asarray(pre.acc_doubleintegral),
+            delta_v=np.asarray(pre.acc_integral),
+            dt=float(pre.Delta_t),
+        )
+        self._scale_last_t = t
+        if sr.refined:
+            est = sr.result
+            _LOG.info(
+                "scale refinement: s=%.4f |g|=%.3f over %d keyframes",
+                est.scale, est.gravity_norm, est.n_states,
+            )
 
     def _need_new_keyframe(self, fd: _FrameData) -> bool:
         """Hull-overlap/matching-ratio heuristic
@@ -642,6 +727,7 @@ class VioEngine:
             )
             self.last_kf_slot = slot
             self.kf_count += 1
+            self._accumulate_scale_state(t)
 
         # ---- 6. optimize ----
         with Timer("3.1 optimization"):
@@ -745,7 +831,7 @@ class VioEngine:
         fd = self.frames[slot]
         T_WS = self.window.pose(slot)
         T_WC = compose(
-            Transformation(r=T_WS.r, q=T_WS.q), self.rig.T_SC[0]
+            Transformation(r=T_WS.r, q=T_WS.q), self._T_SC(0)
         )
         kp_lm = fd.kp_landmark[0]
         sel = np.nonzero(kp_lm >= 0)[0]

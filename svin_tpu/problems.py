@@ -60,7 +60,7 @@ def build_window_problem(
     center = transform_point(T_gt[S // 2], jnp.array([0.0, 0.0, 4.0]))
     lms = sim.landmark_grid(keys[0], n_landmarks, center, jnp.array([8.0, 8.0, 4.0]))
 
-    window = empty_window(cfg, dtype)
+    window = empty_window(cfg, dtype, rig=rig_p)
     factors = empty_factors(cfg, dtype)
 
     r0 = jnp.stack([T.r for T in T_gt]).astype(dtype)

@@ -68,7 +68,7 @@ def build_problem(
     center = transform_point(T_gt[S // 2], jnp.array([0.0, 0.0, 4.0]))
     lms = sim.landmark_grid(keys[0], n_landmarks, center, jnp.array([8.0, 8.0, 4.0]))
 
-    window = empty_window(cfg)
+    window = empty_window(cfg, rig=rig_p)
     factors = empty_factors(cfg)
 
     # states: ground truth + perturbation

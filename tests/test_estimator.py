@@ -16,7 +16,7 @@ from svin_tpu.estimator import (
     optimize,
     total_cost,
 )
-from svin_tpu.kinematics import oplus, quaternion as quat
+from svin_tpu.kinematics import Transformation, oplus, quaternion as quat
 
 from helpers import IMU_PARAMS, build_problem, pose_errors
 
@@ -107,6 +107,92 @@ def test_invalid_slots_untouched(problem):
         np.testing.assert_array_equal(
             np.array(res.window.r[S:]), np.array(window.r[S:])
         )
+
+
+def test_extrinsics_gradient_matches_autodiff(problem):
+    """With online calibration on, the appended extrinsics coords of b must
+    equal the autodiff gradient wrt minimal T_SC perturbations."""
+    window, factors, rig_p, truth = problem
+    cfg = CFG._replace(estimate_extrinsics=True)
+    eqs = assemble(window, factors, rig_p, IMU_PARAMS, cfg)
+    C = cfg.num_cameras
+    D = cfg.state_dim
+    assert eqs.H.shape == (cfg.full_dim, cfg.full_dim)
+    np.testing.assert_allclose(eqs.H, eqs.H.T, atol=1e-8)
+
+    def cost_of(de):
+        d = de.reshape(C, 6)
+        win = window._replace(
+            ext_r=window.ext_r + d[:, :3],
+            ext_q=quat.normalize(
+                quat.multiply(quat.exp(d[:, 3:6]), window.ext_q)
+            ),
+        )
+        return total_cost(win, factors, rig_p, IMU_PARAMS, cfg)
+
+    g = jax.grad(cost_of)(jnp.zeros(C * 6))
+    np.testing.assert_allclose(eqs.b[D:], g, rtol=2e-5, atol=1e-6)
+
+
+def test_online_extrinsics_calibration(problem):
+    """Reference online-calib mode (sigma_absolute_* > 0,
+    Estimator.cpp:205-345): a miscalibrated T_SC with a loose absolute prior
+    must be pulled back toward the true extrinsics by the reprojections."""
+    window, factors, rig_p, truth = problem
+    cfg = CFG._replace(estimate_extrinsics=True, max_iterations=10)
+    # perturb camera-1 extrinsics: 15 mm translation + ~0.6° rotation
+    dp = jnp.array([0.010, -0.008, 0.006])
+    da = jnp.array([0.006, -0.005, 0.008])
+    win_bad = window._replace(
+        ext_r=window.ext_r.at[1].add(dp),
+        ext_q=window.ext_q.at[1].set(
+            quat.normalize(quat.multiply(quat.exp(da), window.ext_q[1]))
+        ),
+    )
+    # loose prior centred at the (wrong) initial values — 5 cm / 3°
+    ep = factors.ext_prior
+    si = jnp.diag(jnp.concatenate([jnp.full(3, 1 / 0.05), jnp.full(3, 1 / 0.05)]))
+    fac = factors._replace(
+        ext_prior=ep._replace(
+            mean_r=win_bad.ext_r,
+            mean_q=win_bad.ext_q,
+            sqrt_info=jnp.tile(si, (cfg.num_cameras, 1, 1)),
+            valid=jnp.ones(cfg.num_cameras, bool),
+        )
+    )
+    res = optimize(win_bad, fac, rig_p, IMU_PARAMS, cfg)
+    # the observable component is the relative cam0→cam1 extrinsic (the
+    # common mode trades off against the landmark field and is only weakly
+    # excited by a short gentle trajectory — as in real camera-IMU calib)
+    from svin_tpu.kinematics import compose, inverse
+
+    def rel(w):
+        T0 = Transformation(r=w.ext_r[0], q=w.ext_q[0])
+        T1 = Transformation(r=w.ext_r[1], q=w.ext_q[1])
+        return compose(inverse(T0), T1)
+
+    rel_true = rel(window)
+    rel0 = rel(win_bad)
+    rel1 = rel(res.window)
+    err0 = float(jnp.linalg.norm(rel0.r - rel_true.r))
+    err1 = float(jnp.linalg.norm(rel1.r - rel_true.r))
+    assert err0 > 0.01  # the perturbation was in the relative transform
+    assert err1 < 0.3 * err0, (err0, err1)
+    assert err1 < 4e-3, err1
+    dq = quat.multiply(res.window.ext_q[1], quat.conjugate(window.ext_q[1]))
+    ang1 = float(jnp.linalg.norm(quat.log(dq)))
+    assert ang1 < 3e-3, ang1
+
+
+def test_extrinsics_fixed_when_disabled(problem):
+    window, factors, rig_p, truth = problem
+    res = optimize(window, factors, rig_p, IMU_PARAMS, CFG)
+    np.testing.assert_array_equal(
+        np.array(res.window.ext_r), np.array(window.ext_r)
+    )
+    np.testing.assert_array_equal(
+        np.array(res.window.ext_q), np.array(window.ext_q)
+    )
 
 
 def test_marginalization_keeps_estimates_consistent(problem):

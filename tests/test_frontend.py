@@ -115,3 +115,48 @@ def test_rotation_only_ransac():
     dq = quat.log(quat.multiply(quat.conjugate(res.T.q), q_ab))
     assert float(jnp.linalg.norm(dq)) < 5e-3
     assert np.array(res.inliers)[:8].sum() <= 1
+
+
+def test_scale_refinement_recovers_scale():
+    """Visual positions shrunk by 1/s_true must yield scale ≈ s_true and a
+    gravity vector of ≈ 9.81 magnitude (Frontend.cpp:469-614 analog)."""
+    from svin_tpu import sim
+    from svin_tpu.frontend import ScaleRefiner
+    from svin_tpu.imu import ImuParameters, preintegrate
+
+    params = ImuParameters()
+    traj = sim.default_trajectory()
+    times = [0.3 + 0.35 * k for k in range(7)]
+    series = sim.simulate_imu(
+        traj, times[0] - 0.05, times[-1] + 0.05, 200.0, params,
+        key=jax.random.PRNGKey(3), noisy=False,
+    )
+    s_true = 1.7
+    r_SC = np.array([0.04, -0.01, 0.02])
+    sr = ScaleRefiner(min_states=7, r_SC=r_SC)
+    last_t = None
+    for t in times:
+        T = sim.pose(traj, t)
+        C = np.asarray(quat.to_rotation_matrix(T.q))
+        p_cam_metric = np.asarray(T.r) + C @ r_SC
+        p_vis = p_cam_metric / s_true  # up-to-scale visual position
+        if last_t is None:
+            sr.add_state(C, p_vis)
+        else:
+            pre = preintegrate(
+                series.t, series.gyro, series.acc,
+                jnp.ones(series.t.shape, bool),
+                jnp.asarray(last_t), jnp.asarray(t),
+                jnp.zeros(6), params,
+            )
+            sr.add_state(
+                C, p_vis,
+                delta_p=np.asarray(pre.acc_doubleintegral),
+                delta_v=np.asarray(pre.acc_integral),
+                dt=float(pre.Delta_t),
+            )
+        last_t = t
+    assert sr.refined
+    est = sr.result
+    assert abs(est.scale - s_true) < 0.05 * s_true, est.scale
+    assert abs(est.gravity_norm - 9.81) < 0.15, est.gravity_norm

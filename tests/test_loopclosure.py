@@ -328,3 +328,67 @@ def test_trained_vocabulary_improves_quantization():
     db = KeyframeDatabase(vocab=vocab1)
     idx = db.add(train[:100], jnp.ones(100, bool))
     assert idx == 0
+
+
+def test_fast_relocalization_drift_update():
+    """PoseGraph::updateKeyFrameLoop analog: one verified loop constraint
+    immediately re-anchors the drift so the current pose lands at the old
+    keyframe's corrected pose composed with the relative transform."""
+    from svin_tpu.loopclosure.loop_closure import LoopInfo, LoopKeyframe
+
+    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
+    cfg = VioConfig()
+    cfg.fast_relocalization = True
+    closer = LoopCloser(cam, cfg)
+    dtype = closer._dtype
+
+    # old keyframe node at its corrected ("world") pose
+    p_old = np.array([1.0, 2.0, 0.5])
+    yaw_old = 0.3
+    closer.nodes = closer.nodes._replace(
+        p=closer.nodes.p.at[0].set(jnp.asarray(p_old, dtype)),
+        yaw=closer.nodes.yaw.at[0].set(yaw_old),
+        valid=closer.nodes.valid.at[0].set(True),
+    )
+    z8 = jnp.zeros((8, 8), jnp.uint32)
+
+    def mk_kf(idx, r, yaw):
+        q = quat.from_rotation_matrix(ypr_to_matrix(jnp.asarray(yaw), 0.0, 0.0))
+        return LoopKeyframe(
+            index=idx, timestamp=float(idx),
+            T_WC_vio=Transformation(r=jnp.asarray(r, dtype), q=q),
+            points_W=np.zeros((0, 3)), point_uv=np.zeros((0, 2)),
+            window_desc=z8, window_valid=jnp.zeros(8, bool),
+            extra_uv=jnp.zeros((8, 2)), extra_desc=z8,
+            extra_valid=jnp.zeros(8, bool),
+        )
+
+    # current keyframe: drifted VIO pose (true pose differs by dyaw + dt)
+    closer.keyframes = [
+        mk_kf(0, [9.0, 9.0, 9.0], 0.0),  # VIO pose of old kf (unused here)
+        mk_kf(1, [4.0, 1.0, 0.2], 0.1),  # drifted VIO pose of current kf
+    ]
+    rel_t = np.array([0.5, -0.2, 0.1])  # old→cur in old's ypr frame
+    rel_yaw = 0.15
+    loop = LoopInfo(
+        query_index=1, match_index=0, num_inliers=30,
+        rel_t=rel_t, rel_yaw=rel_yaw,
+    )
+    closer._fast_relocalize(loop)
+    # expected corrected current pose
+    R_old = np.asarray(ypr_to_matrix(jnp.asarray(yaw_old), 0.0, 0.0))
+    p_expect = R_old @ rel_t + p_old
+    T_cor = closer.apply_drift(closer.keyframes[1].T_WC_vio)
+    np.testing.assert_allclose(np.asarray(T_cor.r), p_expect, atol=1e-9)
+    yaw_cor = float(matrix_to_ypr(quat.to_rotation_matrix(T_cor.q))[0])
+    assert abs(normalize_angle(yaw_cor - (yaw_old + rel_yaw))) < 1e-9
+
+    # out-of-gate loops must not touch the drift
+    yaw_before, t_before = closer.yaw_drift, closer.t_drift.copy()
+    bad = LoopInfo(
+        query_index=1, match_index=0, num_inliers=30,
+        rel_t=np.array([25.0, 0.0, 0.0]), rel_yaw=0.0,
+    )
+    closer._fast_relocalize(bad)
+    assert closer.yaw_drift == yaw_before
+    np.testing.assert_array_equal(closer.t_drift, t_before)
