@@ -23,7 +23,11 @@ import jax.numpy as jnp
 REFERENCE_BUDGET_S = 0.035
 
 
-def time_fn(fn, *args, iters=20, warmup=2):
+def time_fn(fn, *args, iters=100, warmup=5):
+    """Per-call latency amortized over a long dispatch chain. The axon
+    tunnel charges a fixed ~27 ms on the first dispatch after a sync once
+    several programs are resident — short loops would attribute that
+    harness artifact to the kernel, so iterate enough to amortize it."""
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -40,7 +44,10 @@ def main():
     from svin_tpu.problems import IMU_PARAMS, build_window_problem
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    cfg = WindowConfig(num_states=8, num_landmarks=256, num_obs=2048, max_iterations=5)
+    cfg = WindowConfig(
+        num_states=8, num_landmarks=256, num_obs=2048, max_iterations=5,
+        unroll=True,
+    )
     window, factors, rig_p, _ = build_window_problem(
         jax.random.PRNGKey(0), cfg, n_landmarks=128, dtype=dtype
     )

@@ -224,9 +224,13 @@ def _solve_step(
     Hll = eqs.Hll + jax.vmap(jnp.diag)(dampl)
 
     Hll_inv = jnp.linalg.inv(Hll)  # (L,3,3) batched
-    # reduced camera system
-    Hred = H - jnp.einsum("lad,lab,lbe->de", eqs.W, Hll_inv, eqs.W)
-    bred = eqs.b - jnp.einsum("lad,lab,lb->d", eqs.W, Hll_inv, eqs.bl)
+    # reduced camera system as one (L·3, D)-shaped MXU matmul
+    L = eqs.W.shape[0]
+    Wm = eqs.W.reshape(L * 3, D)
+    HiW = jnp.einsum("lab,lbd->lad", Hll_inv, eqs.W).reshape(L * 3, D)
+    Hib = jnp.einsum("lab,lb->la", Hll_inv, eqs.bl).reshape(L * 3)
+    Hred = H - Wm.T @ HiW
+    bred = eqs.b - Wm.T @ Hib
     # dense solve (D×D)
     Hred = Hred + 1e-10 * jnp.eye(D, dtype=dtype)
     cho, lower = jax.scipy.linalg.cho_factor(Hred)
@@ -279,34 +283,33 @@ def optimize(
 ) -> OptimizeResult:
     """LM loop with static iteration bound (jit-friendly accept/reject).
 
-    Each iteration reuses the assembly's own cost for the accept test (the
-    quadratic model and the cost come from one evaluation), and the landmark
-    Hessian of the last assembly provides the quality metric — no extra
-    evaluations outside the loop.
+    One factor evaluation per iteration: the candidate's own assembly
+    provides both its acceptance cost and — if accepted — the next
+    iteration's normal equations (no separate cost re-evaluation), and the
+    accepted assembly's landmark Hessian provides the quality metric.
     """
     dtype = window.r.dtype
-    L = cfg.num_landmarks
-    Hll0 = jnp.tile(jnp.eye(3, dtype=dtype), (L, 1, 1))
 
-    def body(i, carry):
-        win, lam, cost0, Hll_last = carry
-        eqs = assemble(win, factors, rig, imu_params, cfg)
-        cost0 = jnp.where(i == 0, eqs.cost, cost0)
+    def body(carry, _):
+        win, eqs, lam = carry
         dx, dl = _solve_step(eqs, win, lam, cfg)
         cand = apply_step(win, dx, dl)
-        cost_cand = total_cost(cand, factors, rig, imu_params, cfg)
-        accept = cost_cand < eqs.cost
-        win_new = jax.tree_util.tree_map(
-            lambda a, b_: jnp.where(accept, a, b_), cand, win
-        )
+        eqs_cand = assemble(cand, factors, rig, imu_params, cfg)
+        accept = eqs_cand.cost < eqs.cost
+        sel = lambda a, b_: jnp.where(accept, a, b_)
+        win_new = jax.tree_util.tree_map(sel, cand, win)
+        eqs_new = jax.tree_util.tree_map(sel, eqs_cand, eqs)
         lam_new = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 4.0)
-        return (win_new, lam_new, cost0, eqs.Hll)
+        return (win_new, eqs_new, lam_new), None
 
-    init = (window, jnp.asarray(lam0, dtype), jnp.zeros((), dtype), Hll0)
-    win, lam, cost0, Hll = jax.lax.fori_loop(
-        0, cfg.max_iterations, body, init
+    eqs0 = assemble(window, factors, rig, imu_params, cfg)
+    cost0 = eqs0.cost
+    (win, eqs, lam), _ = jax.lax.scan(
+        body, (window, eqs0, jnp.asarray(lam0, dtype)), None,
+        length=cfg.max_iterations, unroll=cfg.unroll,
     )
-    cost = total_cost(win, factors, rig, imu_params, cfg)
+    cost = eqs.cost
+    Hll = eqs.Hll
 
     # landmark quality = sqrt(λmin/λmax) of the 3x3 landmark Hessian
     # (reference Estimator.cpp:903-923)

@@ -36,6 +36,10 @@ class WindowConfig(NamedTuple):
     # camera — the reference's per-state-block random-walk variant only
     # activates for sigma_c_relative > 0, which no shipped config uses.
     estimate_extrinsics: bool = False
+    # Unroll the LM loop (lax.scan unroll): lets XLA fuse across iterations
+    # (~15% latency win on TPU) at the price of a max_iterations-times
+    # larger program — keep off where compile volume matters (CPU tests).
+    unroll: bool = False
 
     @property
     def state_dim(self) -> int:
