@@ -68,13 +68,18 @@ def describe(
     angle: jnp.ndarray,  # (K,) extraction direction [rad]
     valid: jnp.ndarray,  # (K,)
     smooth_sigma: float = 2.0,
+    octave: jnp.ndarray = None,  # (K,) int32 pyramid level; scales the pattern
 ) -> jnp.ndarray:
-    """Compute packed descriptors (K, 8) uint32. Invalid keypoints get 0."""
+    """Compute packed descriptors (K, 8) uint32. Invalid keypoints get 0.
+    Keypoints from coarser octaves sample a 2^octave-scaled pattern (the
+    reference's scale-dependent BRISK sampling)."""
     smoothed = gaussian_blur(img, sigma=smooth_sigma, radius=3)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     R = jnp.stack(
         [jnp.stack([ca, -sa], -1), jnp.stack([sa, ca], -1)], axis=-2
     )  # (K,2,2)
+    if octave is not None:
+        R = R * jnp.exp2(octave.astype(img.dtype))[:, None, None]
     # rotate pattern per keypoint: (K, 256, pair-point, coord)
     rot = jnp.einsum("kij,paj->kpai", R, PATTERN)
     pos = uv[:, None, None, :] + rot  # (K,256,2,2)

@@ -22,10 +22,11 @@ from .image import _separable_conv, gaussian_blur
 
 
 class Keypoints(NamedTuple):
-    uv: jnp.ndarray  # (K,2) float pixel coords (x, y)
+    uv: jnp.ndarray  # (K,2) float pixel coords (x, y) at full resolution
     score: jnp.ndarray  # (K,)
     angle: jnp.ndarray  # (K,) orientation [rad] (filled by descriptor stage)
     valid: jnp.ndarray  # (K,) bool
+    octave: jnp.ndarray = None  # (K,) int32 pyramid level (0 = full res)
 
 
 def harris_score(img: jnp.ndarray, k: float = 0.04, sigma: float = 1.0) -> jnp.ndarray:
@@ -59,19 +60,23 @@ def nms(score: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
     return score >= mx
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "cell", "cell_cap", "border"))
-def detect(
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2×2 mean pooling (one pyramid level down)."""
+    h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    return img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+
+
+def _detect_level(
     img: jnp.ndarray,
-    max_keypoints: int = 400,
-    threshold: float = 1e-6,
-    cell: int = 0,
-    cell_cap: int = 8,
-    border: int = 20,
-) -> Keypoints:
-    """Detect up to K Harris corners. ``cell`` > 0 caps density to
-    ``cell_cap`` keypoints per cell×cell tile (the uniformity enforcement of
-    the reference's BRISK scale-space detector, expressed as cell_cap rounds
-    of per-cell argmax + suppression — static shapes throughout)."""
+    max_keypoints: int,
+    threshold: float,
+    cell: int,
+    cell_cap: int,
+    border: int,
+):
+    """Single-scale Harris + NMS + (optional per-cell cap) + top-K on one
+    pyramid level; returns (uv, score, valid) in this level's pixels."""
     h, w = img.shape
     s = harris_score(img)
     keep = nms(s)
@@ -105,11 +110,65 @@ def detect(
         [(idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32)], axis=-1
     )
     valid = jnp.isfinite(scores)
+    return uv, jnp.where(valid, scores, 0.0), valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_keypoints", "cell", "cell_cap", "border", "octaves"),
+)
+def detect(
+    img: jnp.ndarray,
+    max_keypoints: int = 400,
+    threshold: float = 1e-6,
+    cell: int = 0,
+    cell_cap: int = 8,
+    border: int = 20,
+    octaves: int = 0,
+) -> Keypoints:
+    """Detect up to K Harris corners. ``cell`` > 0 caps density to
+    ``cell_cap`` keypoints per cell×cell tile (the uniformity enforcement of
+    the reference's BRISK scale-space detector, expressed as cell_cap rounds
+    of per-cell argmax + suppression — static shapes throughout).
+
+    ``octaves`` > 0 adds coarser pyramid levels (2× downsampled each, the
+    reference's scale-space detection, detection_options.octaves): each
+    level detects independently, coordinates are mapped back to full
+    resolution, and the global top-K by response is kept. Per-level response
+    magnitudes are comparable because Harris is evaluated on the smoothed
+    mean-pooled image with the same kernel."""
+    levels = []
+    im = img
+    for L in range(octaves + 1):
+        uv, score, valid = _detect_level(
+            im, max_keypoints, threshold, cell, max(cell_cap >> L, 1),
+            max(border >> L, 4),
+        )
+        s = float(1 << L)
+        uv0 = uv * s + (s - 1.0) / 2.0  # center-aligned full-res coords
+        levels.append(
+            (uv0, score, valid, jnp.full(uv.shape[0], L, jnp.int32))
+        )
+        if L < octaves:
+            im = _downsample2(im)
+    if octaves == 0:
+        uv0, score, valid, octv = levels[0]
+    else:
+        uv0 = jnp.concatenate([l[0] for l in levels])
+        score = jnp.concatenate([l[1] for l in levels])
+        valid = jnp.concatenate([l[2] for l in levels])
+        octv = jnp.concatenate([l[3] for l in levels])
+        top, idx = jax.lax.top_k(jnp.where(valid, score, -jnp.inf), max_keypoints)
+        uv0, score, valid, octv = (
+            uv0[idx], jnp.where(jnp.isfinite(top), top, 0.0),
+            jnp.isfinite(top), octv[idx],
+        )
     return Keypoints(
-        uv=uv,
-        score=jnp.where(valid, scores, 0.0),
+        uv=uv0,
+        score=score,
         angle=jnp.zeros(max_keypoints, img.dtype),
         valid=valid,
+        octave=octv,
     )
 
 

@@ -4,6 +4,7 @@ from .dataset import (
     SyntheticRenderer,
     read_euroc_folder,
     run_events,
+    sonar_range_from_intensity,
     synthetic_sequence,
 )
 from .vio import FrameResult, VioEngine
@@ -16,6 +17,7 @@ __all__ = [
     "VioEngine",
     "load_config",
     "read_euroc_folder",
+    "sonar_range_from_intensity",
     "run_events",
     "synthetic_sequence",
 ]

@@ -43,6 +43,35 @@ class SensorEvent:
     sonar: Optional[Tuple[float, float]] = None  # (range, heading)
 
 
+def sonar_range_from_intensity(
+    intensities,
+    max_range: float,
+    head_position_deg: float,
+    discard_tail: int = 100,
+    max_valid_range: float = 4.5,
+    min_intensity: float = 10.0,
+) -> Optional[Tuple[float, float]]:
+    """Mechanically-scanned sonar intensity profile → (range, heading).
+
+    The reference's imagenex831l ProcessedRange extraction
+    (okvis_ros/src/Subscriber.cpp:223-243): range resolution =
+    max_range / n_bins, take the max-intensity bin ignoring the last
+    ``discard_tail`` bins (noisy far range during data collection), gate on
+    range < 4.5 m and intensity > 10. Returns None when gated out."""
+    inten = np.asarray(intensities, float)
+    n = inten.shape[0]
+    if n == 0:
+        return None
+    resolution = max_range / n
+    usable = inten[: max(n - discard_tail, 1)]
+    idx = int(np.argmax(usable))
+    peak = float(usable[idx])
+    rng = (idx + 1) * resolution
+    if rng < max_valid_range and peak > min_intensity:
+        return rng, float(np.radians(head_position_deg))
+    return None
+
+
 def read_euroc_folder(path: str, num_cams: int = 2) -> Iterator[SensorEvent]:
     """EuRoC ASL-format folder: mav0/imu0/data.csv, mav0/cam{i}/data/*.png.
 

@@ -87,6 +87,7 @@ class _FrameData:
     kp_valid: List[jnp.ndarray]
     kp_landmark: List[np.ndarray]  # (K,) landmark slot per keypoint or -1
     kp_score: List[jnp.ndarray]
+    kp_octave: List[np.ndarray]  # (K,) pyramid level per keypoint
 
 
 class VioEngine:
@@ -213,7 +214,7 @@ class VioEngine:
     # ------------------------------------------------------------- frontend
     def _detect_describe(self, images: List[np.ndarray], T_WS_pred: Transformation):
         """Stage 1: preprocess + detect + describe each camera image."""
-        uvs, descs, valids, scores = [], [], [], []
+        uvs, descs, valids, scores, octs = [], [], [], [], []
         for ci, img in enumerate(images):
             im = image_ops.preprocess(
                 jnp.asarray(img),
@@ -221,17 +222,21 @@ class VioEngine:
                 histogram_method=self.cfg.histogram_method,
                 clahe_clip_limit=self.cfg.clahe_clip_limit,
             )
-            kp = detection.detect(im, max_keypoints=self.cfg.max_keypoints)
+            kp = detection.detect(
+                im, max_keypoints=self.cfg.max_keypoints,
+                octaves=self.cfg.detection_octaves,
+            )
             # gravity-aligned extraction direction (Frontend.cpp:91-113)
             T_WC = compose(T_WS_pred, self._T_SC(ci))
             g_C = quat.rotate(quat.conjugate(T_WC.q), jnp.array([0.0, 0.0, -1.0], im.dtype))
             ang = desc_ops.gravity_angles(kp.uv, g_C)
-            d = desc_ops.describe(im, kp.uv, ang, kp.valid)
+            d = desc_ops.describe(im, kp.uv, ang, kp.valid, octave=kp.octave)
             uvs.append(kp.uv)
             descs.append(d)
             valids.append(kp.valid)
             scores.append(kp.score)
-        return uvs, descs, valids, scores
+            octs.append(kp.octave)
+        return uvs, descs, valids, scores, octs
 
     def _landmark_descriptors(self):
         """(L, 8) uint32 descriptor per landmark slot (latest observation)."""
@@ -303,8 +308,11 @@ class VioEngine:
             return self._track(t, images)
 
     # The per-keypoint sqrt information: reference scales by keypoint size
-    # (64/size²); our detector is single-scale so a 1 px sigma is used.
+    # (64/size²); sigma = 1 px at octave 0, doubling per octave.
     _KP_SQRT_INFO = 1.0
+
+    def _kp_info(self, fd: "_FrameData", ci: int, k: int) -> float:
+        return self._KP_SQRT_INFO / float(1 << int(fd.kp_octave[ci][k]))
 
     def _initialize(self, t: float, images: List[np.ndarray]) -> Optional[FrameResult]:
         if len(self.imu_t) < 3:
@@ -352,11 +360,12 @@ class VioEngine:
         self.factors = self.factors._replace(priors=pr)
         self._attach_depth_factor(slot, t)
 
-        uvs, descs, valids, scores = self._detect_describe(images, T0)
+        uvs, descs, valids, scores, octs = self._detect_describe(images, T0)
         fd = _FrameData(
             timestamp=t, kp_uv=uvs, kp_desc=descs, kp_valid=valids,
             kp_landmark=[np.full(self.cfg.max_keypoints, -1, np.int64) for _ in images],
             kp_score=scores,
+            kp_octave=[np.asarray(o) for o in octs],
         )
         self.frames[slot] = fd
         n_new = self._stereo_initialize_landmarks(slot, fd, T0)
@@ -486,8 +495,10 @@ class VioEngine:
                 continue
             fd.kp_landmark[0][a] = slots[k]
             fd.kp_landmark[1][b_] = slots[k]
-            rows.append((np.asarray(fd.kp_uv[0][a]), slot, slots[k], 0, self._KP_SQRT_INFO))
-            rows.append((np.asarray(fd.kp_uv[1][b_]), slot, slots[k], 1, self._KP_SQRT_INFO))
+            rows.append((np.asarray(fd.kp_uv[0][a]), slot, slots[k], 0,
+                         self._kp_info(fd, 0, a)))
+            rows.append((np.asarray(fd.kp_uv[1][b_]), slot, slots[k], 1,
+                         self._kp_info(fd, 1, b_)))
         self._add_observations(rows)
         return int((slots >= 0).sum())
 
@@ -586,7 +597,7 @@ class VioEngine:
                     continue
                 _, k, l, uv, _ = c
                 fd.kp_landmark[ci][k] = l
-                rows.append((uv, slot, l, ci, self._KP_SQRT_INFO))
+                rows.append((uv, slot, l, ci, self._kp_info(fd, ci, k)))
                 refresh_l.append(l)
                 refresh_d.append(fd.kp_desc[ci][k])
                 n_tracked += 1
@@ -672,11 +683,12 @@ class VioEngine:
 
         # ---- 1. detection/description at predicted attitude ----
         with Timer("2.1 detect_describe"):
-            uvs, descs, valids, scores = self._detect_describe(images, T_pred)
+            uvs, descs, valids, scores, octs = self._detect_describe(images, T_pred)
         fd = _FrameData(
             timestamp=t, kp_uv=uvs, kp_desc=descs, kp_valid=valids,
             kp_landmark=[np.full(self.cfg.max_keypoints, -1, np.int64) for _ in images],
             kp_score=scores,
+            kp_octave=[np.asarray(o) for o in octs],
         )
 
         # ---- marginalization BEFORE adding if window is full ----

@@ -108,3 +108,24 @@ def test_sonar_end_to_end():
     # sonar factors may or may not find nearby-landmark targets every frame;
     # the buffer must at least have been fed
     assert len(engine.sonar_buffer) > 0
+
+
+def test_sonar_intensity_extraction():
+    """Subscriber.cpp:223-243 analog: peak bin -> range, gates 4.5 m and
+    intensity > 10, tail bins discarded."""
+    from svin_tpu.pipeline.dataset import sonar_range_from_intensity
+
+    inten = np.zeros(600)
+    inten[199] = 80.0  # peak at bin 199
+    inten[580] = 200.0  # in the discarded tail
+    out = sonar_range_from_intensity(inten, max_range=6.0, head_position_deg=90.0)
+    assert out is not None
+    rng, heading = out
+    assert abs(rng - 200 * (6.0 / 600)) < 1e-9
+    assert abs(heading - np.pi / 2) < 1e-12
+    # gate: too far
+    far = np.zeros(600); far[490] = 80.0
+    assert sonar_range_from_intensity(far, 6.0, 0.0) is None
+    # gate: too weak
+    weak = np.zeros(600); weak[100] = 5.0
+    assert sonar_range_from_intensity(weak, 6.0, 0.0) is None

@@ -194,3 +194,39 @@ def test_detect_cell_cap_uniformity():
     cells2 = (uv2[:, 1].astype(int) // 40) * 8 + (uv2[:, 0].astype(int) // 40)
     _, counts2 = np.unique(cells2, return_counts=True)
     assert counts2.max() > 3
+
+
+def test_multi_octave_detection():
+    """octaves > 0 (reference detection_options.octaves, BRISK scale space):
+    coarser levels must contribute keypoints on large-scale structure, with
+    coordinates mapped back to full resolution."""
+    rng = np.random.RandomState(0)
+    img = rng.rand(150, 200).astype(np.float32) * 0.05
+    for (y, x) in [(40, 50), (90, 140)]:
+        img[y:y + 6, x:x + 6] += 0.9
+    blob_centers = [(60, 100), (110, 60)]
+    for (y, x) in blob_centers:
+        img[y:y + 16, x:x + 16] += 0.5
+    kp = detection.detect(jnp.asarray(img), max_keypoints=64, octaves=1, border=8)
+    v = np.asarray(kp.valid)
+    octv = np.asarray(kp.octave)[v]
+    uv = np.asarray(kp.uv)[v]
+    assert (octv == 0).any() and (octv == 1).any()
+    assert (uv[:, 0] < 200).all() and (uv[:, 1] < 150).all()
+    # a coarse-level keypoint lands near a blob corner (full-res coords)
+    corners = np.array(
+        [[x + dx, y + dy] for (y, x) in blob_centers
+         for dx in (0, 16) for dy in (0, 16)], float
+    )
+    uv1 = uv[octv == 1]
+    d = np.linalg.norm(uv1[:, None, :] - corners[None, :, :], axis=-1).min(axis=1)
+    assert (d < 4.0).any(), d.min()
+    # octave-scaled descriptors remain valid and distinct across octaves
+    from svin_tpu.ops import descriptor as desc_ops
+
+    d0 = desc_ops.describe(jnp.asarray(img), kp.uv, kp.angle, kp.valid)
+    d1 = desc_ops.describe(
+        jnp.asarray(img), kp.uv, kp.angle, kp.valid, octave=kp.octave
+    )
+    both = v & (np.asarray(kp.octave) == 1)
+    assert (np.asarray(d0)[both] != np.asarray(d1)[both]).any()
