@@ -62,9 +62,23 @@ def main():
     match_fn = jax.jit(hamming.hamming_matrix)
     t_match = time_fn(match_fn, da, db)
 
+    # frontend detail (EuRoC-resolution detect + describe; not part of the
+    # headline metric, which tracks the reference's matching+optimize budget)
+    from svin_tpu.ops import descriptor as desc_ops, detection
+
+    img = jax.random.uniform(jax.random.PRNGKey(2), (480, 752), jnp.float32)
+    det_fn = jax.jit(lambda im: detection.detect(im, max_keypoints=400))
+    t_det = time_fn(det_fn, img)
+    kp = det_fn(img)
+    desc_fn = jax.jit(
+        lambda im, u, a, v: desc_ops.describe(im, u, a, v)
+    )
+    t_desc = time_fn(desc_fn, img, kp.uv, kp.angle, kp.valid)
+
     t_frame = t_opt + t_match
     print(
         f"detail: optimize {t_opt*1e3:.3f} ms, matching {t_match*1e3:.3f} ms, "
+        f"detect {t_det*1e3:.3f} ms, describe {t_desc*1e3:.3f} ms, "
         f"device {jax.devices()[0].platform}", file=sys.stderr,
     )
     print(

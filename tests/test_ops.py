@@ -226,7 +226,8 @@ def test_multi_octave_detection():
 
     d0 = desc_ops.describe(jnp.asarray(img), kp.uv, kp.angle, kp.valid)
     d1 = desc_ops.describe(
-        jnp.asarray(img), kp.uv, kp.angle, kp.valid, octave=kp.octave
+        jnp.asarray(img), kp.uv, kp.angle, kp.valid, octave=kp.octave,
+        max_octave=1,
     )
     both = v & (np.asarray(kp.octave) == 1)
     assert (np.asarray(d0)[both] != np.asarray(d1)[both]).any()
