@@ -53,8 +53,13 @@ def main(argv=None) -> int:
     gmap = GlobalMap(min_quality=cfg.global_map.min_landmark_quality)
     n_loops = [0]
 
+    kf_key = {}  # closer keyframe index -> global-map keyframe key
+
     def on_kf(export):
+        idx = len(closer.keyframes)
         loop = closer.add_keyframe(export)
+        if len(closer.keyframes) > idx:
+            kf_key[idx] = export["kf_index"]
         T = Transformation(
             r=jnp.asarray(export["T_WC_r"]), q=jnp.asarray(export["T_WC_q"])
         )
@@ -64,6 +69,14 @@ def main(argv=None) -> int:
         )
         if loop is not None:
             n_loops[0] += 1
+            # re-project the global map through loop-corrected poses
+            # (LoopClosure::updateGlobalMap analog)
+            corrected = {
+                kf_key[k]: T_c
+                for k, T_c in closer.corrected_keyframe_poses().items()
+                if k in kf_key
+            }
+            gmap.update_after_loop(corrected)
 
     engine.keyframe_callback = on_kf
     state_csv = CsvStateWriter(os.path.join(out_dir, "state.csv"))
@@ -72,8 +85,9 @@ def main(argv=None) -> int:
     if data == "--synthetic":
         from .. import sim
 
+        duration = float(os.environ.get("SVIN_SYNTH_DURATION", "5.0"))
         events, _ = synthetic_sequence(
-            engine.rig, duration=5.0, cam_rate=cfg.camera_rate,
+            engine.rig, duration=duration, cam_rate=cfg.camera_rate,
             imu_rate=float(cfg.imu.rate), imu_params=cfg.imu,
             traj=sim.default_trajectory(scale=0.4, ramp_tau=0.8),
             spread=6.0, depth_offset=3.0, t_first_frame=0.12,

@@ -383,6 +383,20 @@ class LoopCloser:
         n = len(self.keyframes)
         return np.asarray(self.nodes.p[:n])
 
+    def corrected_keyframe_poses(self) -> Dict[int, Transformation]:
+        """Loop-corrected pose per keyframe index — feeds
+        GlobalMap.update_after_loop (reference LoopClosure::updateGlobalMap
+        re-projects the map through these after optimization)."""
+        out: Dict[int, Transformation] = {}
+        for k in range(len(self.keyframes)):
+            R = ypr_to_matrix(
+                self.nodes.yaw[k], self.nodes.pitch[k], self.nodes.roll[k]
+            )
+            out[k] = Transformation(
+                r=self.nodes.p[k], q=quat.from_rotation_matrix(R)
+            )
+        return out
+
     def save_trajectory_tum(self, path: str):
         """TUM export of the loop-corrected keyframe path
         (Publisher::saveTrajectory analog)."""

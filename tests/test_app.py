@@ -1,0 +1,66 @@
+"""CLI app test: the okvis_app_synchronous analog end-to-end — config file →
+engine + loop closer + global map → TUM/CSV/PLY outputs (reference
+``okvis_apps/src/okvis_app_synchronous.cpp`` + pose_graph_node outputs).
+
+Uses the shared vio_fixtures rig dimensions so the device programs compiled
+here match the other engine modules' shapes.
+"""
+import os
+
+import numpy as np
+
+from vio_fixtures import IMG_W, IMG_H, MAX_KEYPOINTS
+
+CONFIG_YAML = f"""%YAML:1.0
+cameras:
+  - T_SC: [1.0, 0.0, 0.0, 0.0,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+    image_dimension: [{IMG_W}, {IMG_H}]
+    focal_length: [160.0, 160.0]
+    principal_point: [100.0, 75.0]
+    distortion_coefficients: []
+    distortion_type: none
+  - T_SC: [1.0, 0.0, 0.0, 0.2,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+    image_dimension: [{IMG_W}, {IMG_H}]
+    focal_length: [160.0, 160.0]
+    principal_point: [100.0, 75.0]
+    distortion_coefficients: []
+    distortion_type: none
+
+camera_params:
+    camera_rate: 6
+
+imu_params:
+    imu_rate: 100
+
+numKeyframes: 4
+numImuFrames: 2
+
+ceres_options:
+    maxIterations: 5
+
+detection_options:
+    threshold: 40.0
+    octaves: 0
+    maxNoKeypoints: {MAX_KEYPOINTS}
+"""
+
+
+def test_app_synchronous_synthetic(tmp_path, monkeypatch):
+    cfg_path = tmp_path / "rig.yaml"
+    cfg_path.write_text(CONFIG_YAML)
+    out_dir = tmp_path / "out"
+    monkeypatch.setenv("SVIN_SYNTH_DURATION", "2.2")
+
+    from svin_tpu.apps.run_synchronous import main
+
+    rc = main([str(cfg_path), "--synthetic", str(out_dir)])
+    assert rc == 0
+    files = set(os.listdir(out_dir))
+    assert {"svin_vio.txt", "svin_loop.txt", "global_map.ply",
+            "state.csv", "landmarks.csv"} <= files
+    # TUM trajectory is parseable and non-trivial
+    traj = np.loadtxt(out_dir / "svin_vio.txt")
+    assert traj.ndim == 2 and traj.shape[1] == 8 and traj.shape[0] >= 8
+    # quaternions normalized
+    qn = np.linalg.norm(traj[:, 4:8], axis=1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-5)
