@@ -101,6 +101,14 @@ def main(argv=None) -> int:
     engine.save_trajectory_tum(os.path.join(out_dir, "svin_vio.txt"))
     closer.save_trajectory_tum(os.path.join(out_dir, "svin_loop.txt"))
     gmap.save_ply(os.path.join(out_dir, "global_map.ply"))
+    closer.save_switch_info(os.path.join(out_dir, "switch_info.txt"))
+    # robust ("uber") trajectory from the switching estimator
+    with open(os.path.join(out_dir, "svin_robust.txt"), "w") as f:
+        for t, r, q in closer.robust_trajectory:
+            f.write(
+                f"{t:.6f} {r[0]:.6f} {r[1]:.6f} {r[2]:.6f} "
+                f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+            )
     lm_csv = CsvLandmarkWriter(os.path.join(out_dir, "landmarks.csv"))
     lv = np.asarray(engine.window.lm_valid)
     lm_csv.write_map(

@@ -32,6 +32,7 @@ from .posegraph import (
     ypr_to_matrix,
 )
 from .retrieval import KeyframeDatabase
+from .switching import HealthStatus, SwitchingEstimator, check_health
 
 RECENCY_EXCLUSION = 50  # skip the most recent N keyframes (PoseGraph.cpp:197)
 MIN_LOOP_SCORE = 0.015  # absolute floor on BoW score
@@ -107,6 +108,11 @@ class LoopCloser:
         self.loop_callback: Optional[Callable[[LoopInfo], None]] = None
         self._dtype = dtype
         self._pending_optimize = False
+        # health gate + robust-pose state machine (LoopClosure::run health
+        # check + SwitchingEstimator; the robust pose is the uber_odometry
+        # analog). Primitive odometry arrives via add_primitive_pose.
+        self.switching = SwitchingEstimator(cfg=self.cfg.health)
+        self.robust_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
 
     # ------------------------------------------------------------- intake
     def add_keyframe(self, kf_export: dict) -> Optional[LoopInfo]:
@@ -121,6 +127,26 @@ class LoopCloser:
         T_WC = Transformation(
             r=jnp.asarray(kf_export["T_WC_r"]), q=jnp.asarray(kf_export["T_WC_q"])
         )
+        # health gate + robust pose (LoopClosure.cpp:57-188: unhealthy
+        # keyframes feed the switching estimator but are not processed)
+        t_kf = float(kf_export["timestamp"])
+        if self.cfg.health.enable:
+            health = check_health(
+                self.cfg.health,
+                int(kf_export.get("num_tracked", 0)),
+                np.asarray(kf_export.get("quadrant_counts", np.zeros(4))),
+                int(kf_export.get("num_new", 0)),
+                np.asarray(kf_export.get("response_strengths", np.zeros(0))),
+            )
+        else:
+            health = HealthStatus(True)
+        robust = self.switching.add_keyframe(t_kf, T_WC, health)
+        if robust is not None:
+            self.robust_trajectory.append(
+                (t_kf, np.asarray(robust.r), np.asarray(robust.q))
+            )
+        if self.cfg.health.enable and not health.healthy:
+            return None
         # window-keypoint descriptors (recomputed on the keyframe image like
         # the reference's computeWindowBRIEFPoint) — padded to WINDOW_CAP so
         # every downstream device call has one static shape
@@ -368,6 +394,17 @@ class LoopCloser:
         self.yaw_drift = float(normalize_angle(yaw_opt - yaw_vio))
         Rz = np.asarray(ypr_to_matrix(jnp.asarray(self.yaw_drift), 0.0, 0.0))
         self.t_drift = np.asarray(self.nodes.p[last]) - Rz @ np.asarray(kf.T_WC_vio.r)
+
+    def add_primitive_pose(self, t: float, T: Transformation) -> None:
+        """Robot dead-reckoning odometry stream for the switching estimator
+        (the reference's primitive-estimator subscription)."""
+        self.switching.add_primitive_pose(float(t), T)
+
+    def save_switch_info(self, path: str) -> None:
+        """switch_info.txt analog (pose_graph_node.cpp:79-91)."""
+        with open(path, "w") as f:
+            for t, msg in self.switching.switch_log:
+                f.write(f"{t:.6f} {msg}\n")
 
     # ------------------------------------------------------------- output
     def apply_drift(self, T_WC: Transformation) -> Transformation:

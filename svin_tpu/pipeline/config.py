@@ -81,6 +81,11 @@ class VioConfig:
     # > 0 estimates it with an absolute pose prior, Estimator.cpp:205-345)
     sigma_absolute_translation: float = 0.0
     sigma_absolute_orientation: float = 0.0
+    # extrinsics random walk between frames (reference sigma_c_relative_*:
+    # per-state T_SC blocks chained by RelativePoseError). Re-expressed on
+    # the shared block as per-frame prior re-centering + information decay.
+    sigma_c_relative_translation: float = 0.0
+    sigma_c_relative_orientation: float = 0.0
     is_sonar_used: bool = False
     is_depth_used: bool = False
     histogram_method: str = "NONE"
@@ -171,6 +176,12 @@ def load_config(path: str) -> VioConfig:
     )
     cfg.sigma_absolute_orientation = float(
         cam_p.get("sigma_absolute_orientation", 0.0)
+    )
+    cfg.sigma_c_relative_translation = float(
+        cam_p.get("sigma_c_relative_translation", 0.0)
+    )
+    cfg.sigma_c_relative_orientation = float(
+        cam_p.get("sigma_c_relative_orientation", 0.0)
     )
 
     cfg.num_keyframes = int(d.get("numKeyframes", 5))

@@ -108,6 +108,9 @@ class VioEngine:
         estimate_ext = (
             config.sigma_absolute_translation > 1e-16
             and config.sigma_absolute_orientation > 1e-16
+        ) or (
+            config.sigma_c_relative_translation > 1e-12
+            and config.sigma_c_relative_orientation > 1e-12
         )
         self.wcfg = WindowConfig(
             num_states=S,
@@ -122,13 +125,16 @@ class VioEngine:
         self.factors = empty_factors(self.wcfg, dtype)
         if estimate_ext:
             # absolute extrinsics prior at the config values
-            # (Estimator.cpp:332-345)
+            # (Estimator.cpp:332-345); with only a random-walk sigma the
+            # initial anchor is one second of walk
+            sat = config.sigma_absolute_translation or (
+                config.sigma_c_relative_translation
+            )
+            sao = config.sigma_absolute_orientation or (
+                config.sigma_c_relative_orientation
+            )
             si = jnp.diag(
-                jnp.asarray(
-                    [1.0 / config.sigma_absolute_translation] * 3
-                    + [1.0 / config.sigma_absolute_orientation] * 3,
-                    dtype,
-                )
+                jnp.asarray([1.0 / sat] * 3 + [1.0 / sao] * 3, dtype)
             )
             ep = self.factors.ext_prior
             self.factors = self.factors._replace(
@@ -611,6 +617,33 @@ class VioEngine:
         self._add_observations(rows)
         return n_tracked
 
+    def _decay_extrinsics_prior(self, dt: float) -> None:
+        """Extrinsics random walk (reference sigma_c_relative_*: per-state
+        T_SC blocks chained by RelativePoseError, Estimator.cpp:384-404).
+        On the shared block the chain's marginal is a prior re-centered at
+        the running estimate whose covariance grows by Q·dt each frame."""
+        st = self.cfg.sigma_c_relative_translation
+        so = self.cfg.sigma_c_relative_orientation
+        if not self.wcfg.estimate_extrinsics or st < 1e-12 or so < 1e-12:
+            return
+        dt = max(float(dt), 1e-6)
+        Q = np.diag([st * st * dt] * 3 + [so * so * dt] * 3)
+        ep = self.factors.ext_prior
+        S = np.asarray(ep.sqrt_info)  # (C,6,6)
+        S_new = np.empty_like(S)
+        for c in range(S.shape[0]):
+            info = S[c].T @ S[c]
+            P = np.linalg.inv(info + 1e-12 * np.eye(6)) + Q
+            info_new = np.linalg.inv(P)
+            S_new[c] = np.linalg.cholesky(info_new).T
+        self.factors = self.factors._replace(
+            ext_prior=ep._replace(
+                mean_r=self.window.ext_r,
+                mean_q=self.window.ext_q,
+                sqrt_info=jnp.asarray(S_new, self.dtype),
+            )
+        )
+
     def _accumulate_scale_state(self, t: float) -> None:
         """One-shot scale refinement over the first keyframes
         (Frontend.cpp:510-588): accumulate the RANSAC vision pose + the IMU
@@ -729,6 +762,7 @@ class VioEngine:
 
         self._attach_depth_factor(slot, t)
         self._attach_sonar_factor(slot, t, T_pred)
+        self._decay_extrinsics_prior(t - t_prev)
 
         # ---- 3. data association ----
         with Timer("2.4 matching"):
@@ -884,6 +918,11 @@ class VioEngine:
             "keypoints_uv": np.asarray(fd.kp_uv[0][jnp.asarray(sel)]),
             "quality": qual,
             "num_tracked": int(len(sel)),
+            # fresh (untracked) keypoints on the exported camera — the
+            # SvinHealth new_kps field (Publisher.cpp:147-270)
+            "num_new": int(
+                (np.asarray(fd.kp_valid[0]) & (fd.kp_landmark[0] < 0)).sum()
+            ),
             "quadrant_counts": np.asarray(q),
             "response_strengths": np.asarray(fd.kp_score[0][jnp.asarray(sel)]),
             "covisibilities": covis,  # state_id -> shared landmark count

@@ -392,3 +392,68 @@ def test_fast_relocalization_drift_update():
     closer._fast_relocalize(bad)
     assert closer.yaw_drift == yaw_before
     np.testing.assert_array_equal(closer.t_drift, t_before)
+
+
+def test_loopcloser_health_gate_and_switching():
+    """LoopClosure::run analog: unhealthy keyframes feed the switching
+    estimator but are not processed for loop closure; sustained failures
+    switch the robust pose to re-anchored primitive odometry."""
+    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
+    cfg = VioConfig()
+    cfg.health.enable = True
+    cfg.health.min_keypoints = 10
+    cfg.health.consecutive_keyframes = 1  # switch after 1+3 failures
+    closer = LoopCloser(cam, cfg)
+    rng = np.random.RandomState(0)
+    img = rng.rand(150, 200).astype(np.float32)
+
+    def export(t, tracked, r):
+        n = max(tracked, 1)
+        return {
+            "kf_index": int(t * 10),
+            "timestamp": t,
+            "image": img,
+            "T_WC_r": np.asarray(r, float),
+            "T_WC_q": np.array([0.0, 0.0, 0.0, 1.0]),
+            "points_W": rng.rand(n, 3) + np.array([0, 0, 3.0]),
+            "landmark_ids": np.arange(n),
+            "keypoints_uv": rng.rand(n, 2) * [200, 150],
+            "quality": np.ones(n),
+            "num_tracked": tracked,
+            "num_new": 3,
+            "quadrant_counts": np.array([9, 9, 9, 9]),
+            "response_strengths": np.ones(n),
+            "covisibilities": {},
+        }
+
+    from svin_tpu.kinematics import Transformation as T
+
+    ident = np.array([0.0, 0.0, 0.0, 1.0])
+    closer.add_primitive_pose(0.0, T(r=jnp.array([5.0, 0, 0]), q=jnp.asarray(ident)))
+    closer.add_keyframe(export(0.0, tracked=50, r=[0, 0, 0]))
+    assert len(closer.keyframes) == 1
+    assert closer.switching.state == TrackingState.TRACKING_VIO
+
+    # 4 consecutive unhealthy keyframes -> gated out + switch to primitive
+    for k in range(1, 5):
+        closer.add_primitive_pose(
+            float(k), T(r=jnp.array([5.0 + 0.1 * k, 0, 0]), q=jnp.asarray(ident))
+        )
+        closer.add_keyframe(export(float(k), tracked=2, r=[0.01 * k, 0, 0]))
+    assert len(closer.keyframes) == 1  # all gated
+    assert closer.switching.state == TrackingState.TRACKING_PRIMITIVE
+    assert any("VIO->PRIMITIVE" in m for _, m in closer.switching.switch_log)
+
+    # robust pose = anchored primitive: continuous at the switch, then
+    # following primitive increments
+    t0, r0, q0 = closer.robust_trajectory[-1]
+    closer.add_primitive_pose(5.0, T(r=jnp.array([5.6, 0, 0]), q=jnp.asarray(ident)))
+    rp = closer.switching.robust_pose()
+    # primitive advanced 0.2 beyond the switch-time primitive (5.4 -> 5.6)
+    assert abs(float(rp.r[0]) - (r0[0] + 0.2)) < 1e-9
+
+    # recovery: healthy keyframes switch back to VIO
+    for k in range(6, 8):
+        closer.add_keyframe(export(float(k), tracked=50, r=[0.05 * k, 0, 0]))
+    assert closer.switching.state == TrackingState.TRACKING_VIO
+    assert len(closer.keyframes) == 3

@@ -110,3 +110,34 @@ def test_engine_from_reference_config():
         assert engine.wcfg.num_states == cfg.num_keyframes + cfg.num_imu_frames
         # stereo overlap must hold after resizeFactor rescale
         assert engine.rig.has_overlap(0, 1)
+
+
+def test_extrinsics_random_walk_decay():
+    """sigma_c_relative_* mode (reference per-state T_SC chain with
+    RelativePoseError): the shared-block prior re-centers at the running
+    estimate and its covariance grows by Q·dt each frame."""
+    from vio_fixtures import small_config, small_rig
+    from svin_tpu.pipeline import VioEngine
+
+    cfg = small_config()
+    cfg.sigma_c_relative_translation = 1e-3
+    cfg.sigma_c_relative_orientation = 1e-3
+    engine = VioEngine(cfg, rig=small_rig())
+    assert engine.wcfg.estimate_extrinsics
+    S0 = np.asarray(engine.factors.ext_prior.sqrt_info).copy()
+    engine._decay_extrinsics_prior(0.5)
+    S1 = np.asarray(engine.factors.ext_prior.sqrt_info)
+    i0 = S0[0].T @ S0[0]
+    i1 = S1[0].T @ S1[0]
+    # information strictly decreased, covariance grew by exactly Q·dt
+    assert np.trace(i1) < np.trace(i0)
+    P0 = np.linalg.inv(i0 + 1e-12 * np.eye(6))
+    P1 = np.linalg.inv(i1)
+    np.testing.assert_allclose(
+        P1 - P0, np.diag([1e-6 * 0.5] * 6), atol=1e-9
+    )
+    # mean re-centred at the current extrinsics estimate
+    np.testing.assert_allclose(
+        np.asarray(engine.factors.ext_prior.mean_r),
+        np.asarray(engine.window.ext_r),
+    )
