@@ -1,0 +1,37 @@
+"""ATE evaluation CLI: Sim(3)/SE(3)-aligned trajectory error vs ground truth.
+
+Usage:
+  python -m svin_tpu.apps.evaluate <est_tum.txt> <gt_tum.txt> [--se3] [--max-dt S]
+
+The evaluation protocol for the reference's COLMAP pseudo-ground-truth
+(``colmap_groundtruth/README.md``: trajectories are accurate up to scale, so
+ATE is reported after Sim(3) alignment; pass --se3 for metric ground truth
+like EuRoC). Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    est, gt = argv[0], argv[1]
+    with_scale = "--se3" not in argv
+    max_dt = 0.02
+    if "--max-dt" in argv:
+        max_dt = float(argv[argv.index("--max-dt") + 1])
+
+    from ..evaluation import evaluate_tum
+
+    out = evaluate_tum(est, gt, with_scale=with_scale, max_dt=max_dt)
+    out["alignment"] = "sim3" if with_scale else "se3"
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -64,3 +64,36 @@ def test_app_synchronous_synthetic(tmp_path, monkeypatch):
     # quaternions normalized
     qn = np.linalg.norm(traj[:, 4:8], axis=1)
     np.testing.assert_allclose(qn, 1.0, atol=1e-5)
+
+
+def test_evaluate_cli(tmp_path, capsys):
+    """ATE CLI recovers the injected Sim(3) and reports noise-level RMSE."""
+    rng = np.random.RandomState(0)
+    t = np.arange(200) * 0.05
+    gt = np.cumsum(rng.randn(200, 3) * 0.05, axis=0)
+    th = 0.4
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    est = (gt @ R.T) * 0.5 + np.array([1, 2, 3]) + rng.randn(200, 3) * 0.005
+
+    def save(p, pos):
+        with open(p, "w") as f:
+            for i in range(200):
+                f.write(
+                    f"{t[i]:.6f} "
+                    + " ".join(f"{v:.6f}" for v in pos[i])
+                    + " 0 0 0 1\n"
+                )
+
+    save(tmp_path / "gt.txt", gt)
+    save(tmp_path / "est.txt", est)
+    from svin_tpu.apps.evaluate import main
+    import json
+
+    rc = main([str(tmp_path / "est.txt"), str(tmp_path / "gt.txt")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["scale"] - 2.0) < 0.01
+    assert out["ate_rmse"] < 0.03
+    assert out["n_pairs"] == 200
