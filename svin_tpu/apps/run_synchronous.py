@@ -2,14 +2,19 @@
 
 Usage:
   python -m svin_tpu.apps.run_synchronous <config.yaml> <dataset_dir> [out_dir]
+  python -m svin_tpu.apps.run_synchronous <config.yaml> <rosbag2_dir> [out_dir]
   python -m svin_tpu.apps.run_synchronous <config.yaml> --synthetic [out_dir]
 
 Reads a reference-format rig config (``config_fpga_p2_euroc.yaml`` /
-``config_stereorig_v2.yaml`` load unchanged), streams an EuRoC-format folder
-(or a synthetic rendered sequence) through the deterministic blocking-mode
-pipeline with the loop closer attached, and writes TUM trajectories, CSV
-state/landmark logs, and a global-map PLY (reference:
-``okvis_apps/src/okvis_app_synchronous.cpp:185-356`` + pose_graph outputs).
+``config_stereorig_v2.yaml`` load unchanged), streams an EuRoC-format folder,
+a rosbag2 directory/.db3 file (the ``okvis_node_synchronous`` analog; topics
+default to the reference's hard-coded ``/cam{i}/image_raw`` + ``/imu`` and
+can be overridden with SVIN_CAM_TOPICS / SVIN_IMU_TOPIC / SVIN_DEPTH_TOPIC /
+SVIN_SONAR_TOPIC), or a synthetic rendered sequence through the
+deterministic blocking-mode pipeline with the loop closer attached, and
+writes TUM trajectories, CSV state/landmark logs, and a global-map PLY
+(reference: ``okvis_apps/src/okvis_app_synchronous.cpp:185-356`` +
+pose_graph outputs).
 """
 from __future__ import annotations
 
@@ -92,6 +97,23 @@ def main(argv=None) -> int:
             traj=sim.default_trajectory(scale=0.4, ramp_tau=0.8),
             spread=6.0, depth_offset=3.0, t_first_frame=0.12,
             depth_enabled=cfg.is_depth_used,
+        )
+    elif data.endswith(".db3") or os.path.exists(
+        os.path.join(data, "metadata.yaml")
+    ):
+        from ..pipeline.rosbag import read_rosbag
+
+        n = engine.rig.num_cameras
+        cam_topics = os.environ.get(
+            "SVIN_CAM_TOPICS",
+            ",".join(f"/cam{i}/image_raw" for i in range(n)),
+        ).split(",")
+        events = read_rosbag(
+            data, cam_topics=cam_topics,
+            imu_topic=os.environ.get("SVIN_IMU_TOPIC", "/imu"),
+            depth_topic=os.environ.get("SVIN_DEPTH_TOPIC") or None,
+            sonar_topic=os.environ.get("SVIN_SONAR_TOPIC") or None,
+            skip_first_s=float(os.environ.get("SVIN_SKIP_FIRST_S", "0")),
         )
     else:
         events = read_euroc_folder(data, num_cams=engine.rig.num_cameras)
