@@ -49,7 +49,11 @@ def main(argv=None) -> int:
         run_events,
         synthetic_sequence,
     )
-    from ..pipeline.outputs import CsvLandmarkWriter, CsvStateWriter
+    from ..pipeline.outputs import (
+        CsvLandmarkWriter,
+        CsvStateWriter,
+        TopDownViewer,
+    )
     from ..utils import Timing
 
     cfg = load_config(config_path)
@@ -85,7 +89,13 @@ def main(argv=None) -> int:
 
     engine.keyframe_callback = on_kf
     state_csv = CsvStateWriter(os.path.join(out_dir, "state.csv"))
-    engine.state_callback = state_csv.write
+    viewer = TopDownViewer()
+
+    def on_state(r):
+        state_csv.write(r)
+        viewer.add_result(r)
+
+    engine.state_callback = on_state
 
     if data == "--synthetic":
         from .. import sim
@@ -140,6 +150,8 @@ def main(argv=None) -> int:
     )
     lm_csv.close()
     state_csv.close()
+    # top-down trajectory view (the reference app's PoseViewer window)
+    viewer.save(os.path.join(out_dir, "top_view.png"))
 
     print(
         f"frames: {len(results)}  keyframes: {len(closer.keyframes)}  "

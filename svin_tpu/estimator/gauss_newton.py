@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..imu import ImuParameters
 from ..kinematics import quaternion as quat
+from ..ops.linalg3 import eigvalsh3x3, inv3x3
 from .factors import (
     eval_depth,
     eval_ext_prior,
@@ -223,7 +224,7 @@ def _solve_step(
     dampl = lam * jnp.maximum(dLl, 1e-6) + jnp.where(lm_active, 0.0, 1.0)[:, None]
     Hll = eqs.Hll + jax.vmap(jnp.diag)(dampl)
 
-    Hll_inv = jnp.linalg.inv(Hll)  # (L,3,3) batched
+    Hll_inv = inv3x3(Hll)  # (L,3,3) batched, closed-form (VPU-fusable)
     # reduced camera system as one (L·3, D)-shaped MXU matmul
     L = eqs.W.shape[0]
     Wm = eqs.W.reshape(L * 3, D)
@@ -313,9 +314,9 @@ def optimize(
 
     # landmark quality = sqrt(λmin/λmax) of the 3x3 landmark Hessian
     # (reference Estimator.cpp:903-923)
-    evs = jnp.linalg.eigvalsh(
+    evs = eigvalsh3x3(
         Hll + 1e-12 * jnp.eye(3, dtype=Hll.dtype)
-    )  # (L,3) ascending
+    )  # (L,3) ascending, closed form
     quality = jnp.sqrt(jnp.clip(evs[:, 0], 0) / jnp.maximum(evs[:, 2], 1e-12))
     win = win._replace(lm_quality=jnp.where(win.lm_valid, quality, 0.0))
     return OptimizeResult(

@@ -1,3 +1,3 @@
-from . import descriptor, detection, hamming, image
+from . import descriptor, detection, hamming, image, linalg3
 
 __all__ = ["descriptor", "detection", "hamming", "image"]

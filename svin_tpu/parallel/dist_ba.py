@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cameras.pinhole import project, project_jacobian
 from ..estimator.rig import RigParams
+from ..ops.linalg3 import inv3x3
 from ..kinematics import Transformation, quaternion as quat
 
 
@@ -112,7 +113,7 @@ def _gn_iteration(prob: GlobalMapProblem, rig: RigParams, lm_base, K, Lloc,
         prob.lm_valid, 0.0, 1.0
     )[:, None]
     Hll_d = Hll + jax.vmap(jnp.diag)(damp_l)
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = inv3x3(Hll_d)  # closed-form batched 3x3 (VPU-fusable)
     # reduced camera system: H_red[ka,kb] -= Σ_l W[l,ka]ᵀ Hll⁻¹ W[l,kb]
     Hred_blocks = -jnp.einsum("lkab,lac,lmcd->kmbd", W, Hll_inv, W)
     Hred_blocks = Hred_blocks.at[jnp.arange(K), jnp.arange(K)].add(Hpp)

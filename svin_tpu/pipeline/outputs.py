@@ -165,3 +165,79 @@ class DebugOutputDirs:
     def close(self):
         self.loop_log.close()
         self.switch_log.close()
+
+
+# ------------------------------------------------------- top-down pose view
+class TopDownViewer:
+    """Top-down trajectory renderer — the offline app's ``PoseViewer``
+    (okvis_apps/src/okvis_app_synchronous.cpp:66-182) without a GUI: the
+    path is height-colored (low = blue, high = red), the latest body axes
+    are drawn at ``frame_scale`` meters, and the canvas autoscales to the
+    trajectory extent. ``render()`` returns an (S, S, 3) uint8 image;
+    ``save()`` writes a PNG.
+    """
+
+    def __init__(self, image_size: int = 500, frame_scale: float = 0.2):
+        self.size = int(image_size)
+        self.frame_scale = float(frame_scale)
+        self._path: List[np.ndarray] = []  # (x, y, z)
+        self._C_last = np.eye(3)
+        self._v_last = np.zeros(3)
+
+    def add_pose(self, T_WS: Transformation, velocity=None) -> None:
+        r = np.asarray(T_WS.r, float).reshape(3)
+        self._path.append(r)
+        self._C_last = np.asarray(T_WS.C, float)
+        if velocity is not None:
+            self._v_last = np.asarray(velocity, float).reshape(3)
+
+    def add_result(self, r: FrameResult) -> None:
+        self.add_pose(r.T_WS, r.speed_bias[:3])
+
+    # -- drawing helpers -----------------------------------------------
+    def _to_image(self, xy: np.ndarray, lo: np.ndarray, scale: float):
+        pt = (xy - lo) * scale
+        return pt[..., 0], self.size - pt[..., 1]  # y up
+
+    @staticmethod
+    def _draw_segment(img, u0, v0, u1, v1, color):
+        n = int(max(abs(u1 - u0), abs(v1 - v0), 1)) + 1
+        us = np.clip(np.round(np.linspace(u0, u1, n)).astype(int), 0,
+                     img.shape[1] - 1)
+        vs = np.clip(np.round(np.linspace(v0, v1, n)).astype(int), 0,
+                     img.shape[0] - 1)
+        img[vs, us] = color
+
+    def render(self) -> np.ndarray:
+        img = np.full((self.size, self.size, 3), 10, np.uint8)
+        if len(self._path) < 2:
+            return img
+        path = np.asarray(self._path)
+        fs = self.frame_scale
+        lo = path[:, :2].min(axis=0) - fs
+        hi = path[:, :2].max(axis=0) + fs
+        scale = min(self.size / max(hi[0] - lo[0], 1e-9),
+                    self.size / max(hi[1] - lo[1], 1e-9))
+        z = path[:, 2]
+        z_lo, z_hi = z.min(), max(z.max(), z.min() + 1e-9)
+        u, v = self._to_image(path[:, :2], lo, scale)
+        for i in range(len(path) - 1):
+            rel_h = (z[i] + z[i + 1] - 2 * z_lo) * 0.5 / (z_hi - z_lo)
+            color = np.array(
+                [255 * rel_h, 0, 255 * (1 - rel_h)], np.uint8)  # RGB
+            self._draw_segment(img, u[i], v[i], u[i + 1], v[i + 1], color)
+        # body axes at the last pose (x red, y green, z blue)
+        origin = path[-1, :2]
+        axis_colors = ([255, 0, 0], [0, 255, 0], [0, 0, 255])
+        for ax in range(3):
+            tip = origin + self._C_last[:2, ax] * fs
+            u0, v0 = self._to_image(origin, lo, scale)
+            u1, v1 = self._to_image(tip, lo, scale)
+            self._draw_segment(img, u0, v0, u1, v1,
+                               np.array(axis_colors[ax], np.uint8))
+        return img
+
+    def save(self, path: str) -> None:
+        import cv2
+
+        cv2.imwrite(path, self.render()[:, :, ::-1])  # RGB -> BGR

@@ -46,6 +46,7 @@ from ..frontend import (
     point_from_homogeneous,
     triangulate_fast,
 )
+from ..frontend.hull import keyframe_overlap_ratio
 from ..imu import init_pose_from_imu, preintegrate, propagate, sqrt_information
 from ..kinematics import (
     Transformation,
@@ -681,29 +682,23 @@ class VioEngine:
             )
 
     def _need_new_keyframe(self, fd: _FrameData) -> bool:
-        """Hull-overlap/matching-ratio heuristic
-        (Frontend::doWeNeedANewKeyframe, thresholds 0.6/0.2; bbox overlap
-        approximates the convex hulls)."""
+        """Convex-hull overlap/matching-ratio heuristic, exact reference
+        semantics (Frontend::doWeNeedANewKeyframe, Frontend.cpp:265-332):
+        per camera, overlap = area(hull of matched kps) / area(hull of all
+        kps) and ratio = n_matched / #kps strictly inside the matched hull;
+        max over cameras; keep the frame a non-keyframe only when
+        overlap > 0.6 and ratio > 0.2 (defaults Frontend.cpp:81-82)."""
         if self.last_kf_slot is None:
             return True
-        matched, total = [], 0
+        all_uv, matched_uv = [], []
         for ci in range(self.rig.num_cameras):
             v = np.asarray(fd.kp_valid[ci])
-            total += v.sum()
-            m = (fd.kp_landmark[ci] >= 0) & v
-            if m.sum():
-                matched.append(np.asarray(fd.kp_uv[ci])[m])
-        if total == 0:
-            return True
-        n_match = sum(len(m) for m in matched)
-        ratio = n_match / max(total, 1)
-        if n_match < 2:
-            return True
-        pts = np.concatenate(matched)
-        area_m = np.prod(pts.max(axis=0) - pts.min(axis=0) + 1e-6)
-        area_all = self.rig.cameras[0].width * self.rig.cameras[0].height
-        overlap = area_m / area_all
-        return overlap < 0.55 or ratio < 0.2
+            uv = np.asarray(fd.kp_uv[ci])[v]
+            m = (np.asarray(fd.kp_landmark[ci]) >= 0)[v]
+            all_uv.append(uv)
+            matched_uv.append(uv[m])
+        overlap, ratio = keyframe_overlap_ratio(all_uv, matched_uv)
+        return not (overlap > 0.6 and ratio > 0.2)
 
     def _track(self, t: float, images: List[np.ndarray]) -> FrameResult:
         # ---- 2. IMU propagation for prediction ----

@@ -57,7 +57,7 @@ def test_app_synchronous_synthetic(tmp_path, monkeypatch):
     assert rc == 0
     files = set(os.listdir(out_dir))
     assert {"svin_vio.txt", "svin_loop.txt", "global_map.ply",
-            "state.csv", "landmarks.csv"} <= files
+            "state.csv", "landmarks.csv", "top_view.png"} <= files
     # TUM trajectory is parseable and non-trivial
     traj = np.loadtxt(out_dir / "svin_vio.txt")
     assert traj.ndim == 2 and traj.shape[1] == 8 and traj.shape[0] >= 8

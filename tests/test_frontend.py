@@ -160,3 +160,50 @@ def test_scale_refinement_recovers_scale():
     est = sr.result
     assert abs(est.scale - s_true) < 0.05 * s_true, est.scale
     assert abs(est.gravity_norm - 9.81) < 0.15, est.gravity_norm
+
+
+# ---------------------------------------------------------------------------
+# Convex-hull keyframe heuristic (Frontend::doWeNeedANewKeyframe geometry,
+# Frontend.cpp:265-332)
+# ---------------------------------------------------------------------------
+
+
+def test_convex_hull_square_with_interior():
+    from svin_tpu.frontend.hull import convex_hull, polygon_area
+
+    pts = np.array(
+        [[0, 0], [4, 0], [4, 4], [0, 4], [2, 2], [1, 3], [3, 1]], float
+    )
+    hull = convex_hull(pts)
+    assert hull.shape[0] == 4
+    assert abs(polygon_area(hull) - 16.0) < 1e-12
+    # collinear boundary point is dropped
+    hull2 = convex_hull(np.vstack([pts, [[2, 0]]]))
+    assert hull2.shape[0] == 4
+
+
+def test_points_strictly_inside_excludes_boundary():
+    from svin_tpu.frontend.hull import convex_hull, points_strictly_inside
+
+    hull = convex_hull(np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float))
+    probe = np.array([[2, 2], [0, 0], [2, 0], [4.5, 2], [3.999, 3.999]])
+    inside = points_strictly_inside(hull, probe)
+    assert inside.tolist() == [True, False, False, False, True]
+
+
+def test_keyframe_overlap_ratio_reference_semantics():
+    from svin_tpu.frontend.hull import keyframe_overlap_ratio
+
+    rng = np.random.default_rng(3)
+    # all keypoints cover [0,100]^2; matches cover the central quarter
+    pts_all = rng.uniform(0, 100, (200, 2))
+    corners = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], float)
+    pts_all = np.vstack([pts_all, corners])
+    m = (np.abs(pts_all - 50.0) < 25.0).all(axis=1)
+    overlap, ratio = keyframe_overlap_ratio([pts_all], [pts_all[m]])
+    assert 0.15 < overlap < 0.35  # ~ (50/100)^2 with hull shrinkage
+    # every point inside the matched hull IS a match here -> ratio ~ 1
+    assert 0.8 < ratio <= 1.5
+    # fewer than 3 matches -> camera skipped -> zeros
+    overlap0, ratio0 = keyframe_overlap_ratio([pts_all], [pts_all[:2]])
+    assert overlap0 == 0.0 and ratio0 == 0.0

@@ -231,3 +231,48 @@ def test_multi_octave_detection():
     )
     both = v & (np.asarray(kp.octave) == 1)
     assert (np.asarray(d0)[both] != np.asarray(d1)[both]).any()
+
+
+# ---------------------------------------------------------------------------
+# Closed-form batched 3x3 linear algebra (Schur/quality hot path)
+# ---------------------------------------------------------------------------
+
+
+def test_inv3x3_matches_numpy():
+    from svin_tpu.ops.linalg3 import inv3x3
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(64, 3, 3))
+    spd = np.einsum("lab,lcb->lac", A, A) + 0.1 * np.eye(3)  # SPD blocks
+    got = np.asarray(inv3x3(jnp.asarray(spd)))
+    want = np.linalg.inv(spd)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_eigvalsh3x3_matches_numpy():
+    from svin_tpu.ops.linalg3 import eigvalsh3x3
+
+    rng = np.random.default_rng(8)
+    A = rng.normal(size=(128, 3, 3))
+    sym = 0.5 * (A + np.swapaxes(A, 1, 2))
+    got = np.asarray(eigvalsh3x3(jnp.asarray(sym)))
+    want = np.linalg.eigvalsh(sym)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # ascending order
+    assert (np.diff(got, axis=1) >= -1e-6).all()
+    # degenerate: multiple of identity
+    eye = np.broadcast_to(np.eye(3) * 2.5, (4, 3, 3))
+    np.testing.assert_allclose(
+        np.asarray(eigvalsh3x3(jnp.asarray(eye))), 2.5, atol=1e-6
+    )
+
+
+def test_eigvalsh3x3_rank_deficient_quality_ratio():
+    from svin_tpu.ops.linalg3 import eigvalsh3x3
+
+    # rank-1 block (single-observation landmark): lmin ~ 0 -> quality 0
+    v = np.array([1.0, 2.0, 3.0])
+    B = np.outer(v, v)[None]
+    lam = np.asarray(eigvalsh3x3(jnp.asarray(B)))[0]
+    assert abs(lam[0]) < 1e-5 and abs(lam[1]) < 1e-5
+    assert abs(lam[2] - v @ v) < 1e-4

@@ -181,3 +181,26 @@ def test_debug_output_dirs(tmp_path):
     assert (tmp_path / "dbg" / "loop_closure.txt").read_text().startswith("5 1 30")
     assert (tmp_path / "dbg" / "switch_info.txt").exists()
     assert (tmp_path / "dbg" / "loop_candidates" / "kf5.npy").exists()
+
+
+def test_topdown_viewer_renders_and_saves(tmp_path):
+    from svin_tpu.kinematics import Transformation
+    from svin_tpu.pipeline.outputs import TopDownViewer
+    import jax.numpy as jnp
+
+    v = TopDownViewer(image_size=120, frame_scale=0.2)
+    assert v.render().shape == (120, 120, 3)  # empty canvas OK
+    for i in range(20):
+        t = i * 0.3
+        T = Transformation(
+            r=jnp.array([np.cos(t), np.sin(t), 0.05 * i]),
+            q=jnp.array([0.0, 0.0, 0.0, 1.0]),
+        )
+        v.add_pose(T, velocity=np.zeros(3))
+    img = v.render()
+    assert img.shape == (120, 120, 3) and img.dtype == np.uint8
+    # path pixels were drawn (not all background)
+    assert (img != 10).any()
+    out = tmp_path / "top.png"
+    v.save(str(out))
+    assert out.exists() and out.stat().st_size > 0
