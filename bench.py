@@ -77,9 +77,14 @@ def main():
 
     t_frame = t_opt + t_match
     print(
+    # stereo per-frame estimate: frontend twice (2 cameras) + match + optimize
+    t_e2e = 2.0 * (t_det + t_desc) + t_match + t_opt
+    print(
         f"detail: optimize {t_opt*1e3:.3f} ms, matching {t_match*1e3:.3f} ms, "
         f"detect {t_det*1e3:.3f} ms, describe {t_desc*1e3:.3f} ms, "
-        f"device {jax.devices()[0].platform}", file=sys.stderr,
+        f"stereo-frame e2e {t_e2e*1e3:.3f} ms ({1.0/t_e2e:.0f} fps; reference "
+        f"sustains 20 Hz stereo), device {jax.devices()[0].platform}",
+        file=sys.stderr,
     )
     print(
         json.dumps(

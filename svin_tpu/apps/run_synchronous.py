@@ -41,7 +41,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from ..kinematics import Transformation
-    from ..loopclosure import GlobalMap, LoopCloser
+    from ..loopclosure import GlobalMap, LoopCloser, save_frustums_ply
     from ..pipeline import (
         VioEngine,
         load_config,
@@ -152,6 +152,12 @@ def main(argv=None) -> int:
     state_csv.close()
     # top-down trajectory view (the reference app's PoseViewer window)
     viewer.save(os.path.join(out_dir, "top_view.png"))
+    # keyframe frusta + loop edges (rviz MarkerArray analog -> PLY line set)
+    save_frustums_ply(
+        os.path.join(out_dir, "keyframes.ply"),
+        closer.corrected_keyframe_poses(),
+        [(lp.query_index, lp.match_index) for lp in closer.loops],
+    )
 
     print(
         f"frames: {len(results)}  keyframes: {len(closer.keyframes)}  "

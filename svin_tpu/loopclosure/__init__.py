@@ -1,3 +1,4 @@
+from .frustums import frustum_lines, save_frustums_ply
 from .globalmap import GlobalMap
 from .loop_closure import LoopCloser, LoopInfo, LoopKeyframe
 from .posegraph import (
@@ -21,6 +22,8 @@ from .switching import (
 
 __all__ = [
     "GlobalMap",
+    "frustum_lines",
+    "save_frustums_ply",
     "HealthStatus",
     "KeyframeDatabase",
     "LoopCloser",

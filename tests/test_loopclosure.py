@@ -457,3 +457,31 @@ def test_loopcloser_health_gate_and_switching():
         closer.add_keyframe(export(float(k), tracked=50, r=[0.05 * k, 0, 0]))
     assert closer.switching.state == TrackingState.TRACKING_VIO
     assert len(closer.keyframes) == 3
+
+
+def test_frustum_ply_export(tmp_path):
+    """Frustum + loop-edge line-set export (CameraPoseVisualization analog)."""
+    import jax.numpy as jnp
+
+    from svin_tpu.kinematics import Transformation
+    from svin_tpu.loopclosure import frustum_lines, save_frustums_ply
+
+    poses = {
+        i: Transformation(
+            r=jnp.array([float(i), 0.0, 0.0]), q=jnp.array([0, 0, 0, 1.0])
+        )
+        for i in range(3)
+    }
+    lines = frustum_lines(poses[1], scale=0.5)
+    assert len(lines) == 8
+    # optical-center connector starts at the camera center
+    np.testing.assert_allclose(lines[4][0], [1.0, 0.0, 0.0], atol=1e-12)
+    out = tmp_path / "kf.ply"
+    save_frustums_ply(str(out), poses, loop_edges=[(0, 2), (0, 99)])
+    text = out.read_text().splitlines()
+    n_vert = int(next(l for l in text if l.startswith("element vertex")).split()[-1])
+    n_edge = int(next(l for l in text if l.startswith("element edge")).split()[-1])
+    # 3 frusta x 8 segments + 1 valid loop edge (edge to missing kf 99 dropped)
+    assert n_edge == 3 * 8 + 1
+    assert n_vert == 2 * n_edge
+    assert len(text) == text.index("end_header") + 1 + n_vert + n_edge
