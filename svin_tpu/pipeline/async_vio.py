@@ -177,3 +177,49 @@ class AsyncVioEngine:
         self._worker.join()
         self._results.shutdown()
         self._publisher.join()
+
+
+class AsyncLoopCloser:
+    """Loop closure in its own worker thread — the in-process analog of the
+    reference's separate ``pose_graph_node`` process (keyframes crossed a
+    ROS topic into ``LoopClosure::run``'s queue-draining thread,
+    pose_graph/src/pose_graph/LoopClosure.cpp:57-188). Keyframe exports are
+    pushed into a bounded native queue (drop-oldest in live mode, blocking
+    in deterministic mode) and consumed by a daemon thread driving a
+    ``LoopCloser``; loop events surface on ``loop_callback`` from that
+    thread. Wire as ``engine.keyframe_callback = acl.add_keyframe``.
+    """
+
+    def __init__(self, closer, queue_size: int = 16, blocking: bool = False):
+        self.closer = closer
+        self.blocking = blocking
+        self._queue = ThreadSafeQueue(queue_size)
+        self.loop_callback: Optional[Callable] = None
+        self.dropped_keyframes = 0
+        self.processed = 0
+        self._lock = threading.Lock()  # guards closer during finish()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def add_keyframe(self, export: dict) -> None:
+        if self.blocking:
+            self._queue.push_blocking(export)
+        elif self._queue.push_dropping(export) is not None:
+            self.dropped_keyframes += 1
+
+    def _run(self) -> None:
+        while True:
+            export = self._queue.pop_blocking()  # None ⇔ shutdown + drained
+            if export is None:
+                break
+            with self._lock:
+                loop = self.closer.add_keyframe(export)
+                self.processed += 1
+            if loop is not None and self.loop_callback:
+                self.loop_callback(loop)
+
+    def finish(self) -> None:
+        """Drain the queue and stop the worker (same discipline as
+        AsyncVioEngine.finish: shut the intake, join unbounded)."""
+        self._queue.shutdown()
+        self._worker.join()

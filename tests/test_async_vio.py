@@ -96,3 +96,42 @@ def test_async_propagated_state_publishing():
     ts = [p[0] for p in prop]
     assert ts == sorted(ts)
     assert all(np.isfinite(p[1]).all() for p in prop)
+
+
+def test_async_loop_closer_thread():
+    """Keyframe exports cross a bounded queue into a loop-closure worker
+    thread (the pose_graph_node process-boundary analog)."""
+    from svin_tpu.loopclosure import LoopCloser
+    from svin_tpu.pipeline.async_vio import AsyncLoopCloser
+
+    rig, cfg = _setup()
+    engine = VioEngine(cfg, rig=rig)
+    closer = LoopCloser(engine.rig.cameras[0], cfg)
+    acl = AsyncLoopCloser(closer, blocking=True)
+    engine_kf = [0]
+
+    def on_kf(export):
+        engine_kf[0] += 1
+        acl.add_keyframe(export)
+
+    async_engine = AsyncVioEngine(engine, blocking=True)
+    async_engine.keyframe_callback = on_kf
+
+    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    events, _ = synthetic_sequence(
+        rig, duration=1.6, cam_rate=5.0, imu_rate=100.0, imu_params=cfg.imu,
+        seed=5, n_points=250, traj=traj, spread=6.0, depth_offset=3.0,
+        t_first_frame=0.12,
+    )
+    for ev in events:
+        if ev.kind == "imu":
+            async_engine.add_imu_measurement(ev.t, *ev.imu)
+        elif ev.kind == "frame":
+            for ci, img in enumerate(ev.images):
+                async_engine.add_image(ev.t, ci, img)
+    async_engine.finish()
+    acl.finish()
+    assert engine_kf[0] >= 1
+    assert acl.processed == engine_kf[0]
+    assert acl.dropped_keyframes == 0
+    assert len(closer.keyframes) <= acl.processed  # health gate may skip
