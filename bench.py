@@ -76,7 +76,6 @@ def main():
     t_desc = time_fn(desc_fn, img, kp.uv, kp.angle, kp.valid)
 
     t_frame = t_opt + t_match
-    print(
     # stereo per-frame estimate: frontend twice (2 cameras) + match + optimize
     t_e2e = 2.0 * (t_det + t_desc) + t_match + t_opt
     print(
