@@ -12,7 +12,15 @@ from .posegraph import (
     optimize_6dof,
     ypr_to_matrix,
 )
-from .retrieval import KeyframeDatabase, bow_vector, l1_scores, make_vocabulary
+from .retrieval import (
+    KeyframeDatabase,
+    bow_vector,
+    l1_scores,
+    load_vocabulary,
+    make_vocabulary,
+    save_vocabulary,
+    train_vocabulary,
+)
 from .switching import (
     HealthStatus,
     SwitchingEstimator,
@@ -26,6 +34,9 @@ __all__ = [
     "save_frustums_ply",
     "HealthStatus",
     "KeyframeDatabase",
+    "save_vocabulary",
+    "load_vocabulary",
+    "train_vocabulary",
     "LoopCloser",
     "LoopInfo",
     "LoopKeyframe",

@@ -24,11 +24,14 @@ from ..kinematics import Transformation, quaternion as quat
 from ..ops import descriptor as desc_ops, detection, hamming
 from ..pipeline.config import VioConfig
 from .posegraph import (
+    PoseGraph6Edges,
+    PoseGraph6Nodes,
     PoseGraphEdges,
     PoseGraphNodes,
     matrix_to_ypr,
     normalize_angle,
     optimize_4dof,
+    optimize_6dof,
     ypr_to_matrix,
 )
 from .retrieval import KeyframeDatabase
@@ -65,6 +68,10 @@ class LoopInfo:
     num_inliers: int
     rel_t: np.ndarray
     rel_yaw: float
+    # full SE(3) relative (old → cur in old's full camera frame) — feeds the
+    # 6-DoF pose graph (reference PoseGraph3dErrorTerm edges)
+    rel_t_full: Optional[np.ndarray] = None
+    rel_q_full: Optional[np.ndarray] = None
 
 
 class LoopCloser:
@@ -100,10 +107,16 @@ class LoopCloser:
             valid=jnp.zeros(E, bool),
         )
         self.n_edges = 0
+        # full SE(3) relative per edge (same order as `edges` slots); only
+        # consumed by the 6-DoF pose-graph mode
+        self._edges_full: List[Tuple[np.ndarray, np.ndarray]] = []
         self.earliest_loop_index = capacity
         self.loops: List[LoopInfo] = []
-        # drift: corrected = R_drift @ p_vio + t_drift (4-DoF: yaw + t)
+        # drift: corrected = R_drift @ p_vio + t_drift. 4-DoF mode constrains
+        # R_drift to a yaw rotation (the reference's r_drift); 6-DoF mode uses
+        # the full rotation drift.
         self.yaw_drift = 0.0
+        self.R_drift = np.eye(3)
         self.t_drift = np.zeros(3)
         self.loop_callback: Optional[Callable[[LoopInfo], None]] = None
         self._dtype = dtype
@@ -225,11 +238,21 @@ class LoopCloser:
         yaw_j = matrix_to_ypr(quat.to_rotation_matrix(Tj.q))[0]
         return t_ij, float(normalize_angle(yaw_j - yaw_i))
 
+    def _vio_rel_full(self, i: int, j: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Full SE(3) relative i → j in i's camera frame (for 6-DoF edges)."""
+        Ti = self.keyframes[i].T_WC_vio
+        Tj = self.keyframes[j].T_WC_vio
+        Ri = np.asarray(quat.to_rotation_matrix(Ti.q))
+        t = Ri.T @ (np.asarray(Tj.r) - np.asarray(Ti.r))
+        q = np.asarray(quat.multiply(quat.conjugate(Ti.q), Tj.q))
+        return t, q
+
     def _add_sequential_edge(self, i: int, j: int):
         t_ij, yaw_ij = self._vio_rel(i, j)
         k = self.n_edges
         if k >= self.edges.i.shape[0]:
             return
+        self._edges_full.append(self._vio_rel_full(i, j))
         self.edges = self.edges._replace(
             i=self.edges.i.at[k].set(i),
             j=self.edges.j.at[k].set(j),
@@ -245,6 +268,13 @@ class LoopCloser:
         k = self.n_edges
         if k >= self.edges.i.shape[0]:
             return
+        if loop.rel_t_full is not None:
+            self._edges_full.append((loop.rel_t_full, loop.rel_q_full))
+        else:
+            Rz = np.asarray(ypr_to_matrix(jnp.asarray(loop.rel_yaw), 0.0, 0.0))
+            self._edges_full.append(
+                (loop.rel_t, np.asarray(quat.from_rotation_matrix(Rz)))
+            )
         self.edges = self.edges._replace(
             i=self.edges.i.at[k].set(loop.match_index),
             j=self.edges.j.at[k].set(loop.query_index),
@@ -341,12 +371,17 @@ class LoopCloser:
             return None
         if np.linalg.norm(rel_t) > lc.max_position_diff:
             return None
+        R_of = np.asarray(quat.to_rotation_matrix(T_old_fit.q))
         return LoopInfo(
             query_index=cur.index,
             match_index=old.index,
             num_inliers=int(rr.num_inliers),
             rel_t=rel_t,
             rel_yaw=rel_yaw,
+            rel_t_full=R_of.T @ (np.asarray(cur.T_WC_vio.r) - np.asarray(T_old_fit.r)),
+            rel_q_full=np.asarray(
+                quat.multiply(quat.conjugate(T_old_fit.q), cur.T_WC_vio.q)
+            ),
         )
 
     def _fast_relocalize(self, loop: LoopInfo) -> None:
@@ -376,6 +411,7 @@ class LoopCloser:
         Rz = np.asarray(
             ypr_to_matrix(jnp.asarray(self.yaw_drift, self._dtype), 0.0, 0.0)
         )
+        self.R_drift = Rz
         self.t_drift = w_P_cur - Rz @ np.asarray(kf.T_WC_vio.r)
 
     def _optimize_and_update_drift(self):
@@ -383,17 +419,77 @@ class LoopCloser:
         # (the reference holds poses before earliest_loop_index constant and
         # anchors the first looped keyframe)
         fix_before = jnp.int32(max(self.earliest_loop_index + 1, 1))
-        self.nodes = optimize_4dof(self.nodes, self.edges, fix_before, iters=10)
-        # drift: newest node's optimized pose vs its drift-corrected VIO pose
+        if self.cfg.loop_closure.pgo_mode == "6dof":
+            self._optimize_6dof(fix_before)
+        else:
+            self.nodes = optimize_4dof(self.nodes, self.edges, fix_before, iters=10)
+        # drift: newest node's optimized pose vs its raw VIO pose
         last = len(self.keyframes) - 1
         kf = self.keyframes[last]
-        yaw_vio = float(
-            matrix_to_ypr(quat.to_rotation_matrix(kf.T_WC_vio.q))[0]
+        if self.cfg.loop_closure.pgo_mode == "6dof":
+            # full-rotation drift (the reference 6-DoF path's r_drift)
+            R_opt = np.asarray(
+                ypr_to_matrix(
+                    self.nodes.yaw[last], self.nodes.pitch[last], self.nodes.roll[last]
+                )
+            )
+            R_vio = np.asarray(quat.to_rotation_matrix(kf.T_WC_vio.q))
+            self.R_drift = R_opt @ R_vio.T
+            self.yaw_drift = float(matrix_to_ypr(jnp.asarray(self.R_drift))[0])
+        else:
+            yaw_vio = float(
+                matrix_to_ypr(quat.to_rotation_matrix(kf.T_WC_vio.q))[0]
+            )
+            yaw_opt = float(self.nodes.yaw[last])
+            self.yaw_drift = float(normalize_angle(yaw_opt - yaw_vio))
+            self.R_drift = np.asarray(
+                ypr_to_matrix(jnp.asarray(self.yaw_drift), 0.0, 0.0)
+            )
+        self.t_drift = (
+            np.asarray(self.nodes.p[last]) - self.R_drift @ np.asarray(kf.T_WC_vio.r)
         )
-        yaw_opt = float(self.nodes.yaw[last])
-        self.yaw_drift = float(normalize_angle(yaw_opt - yaw_vio))
-        Rz = np.asarray(ypr_to_matrix(jnp.asarray(self.yaw_drift), 0.0, 0.0))
-        self.t_drift = np.asarray(self.nodes.p[last]) - Rz @ np.asarray(kf.T_WC_vio.r)
+
+    def _optimize_6dof(self, fix_before: jnp.ndarray) -> None:
+        """Full-SE(3) pose-graph solve (reference optimize6DoFPoseGraph,
+        PoseGraph.cpp:387-543, PoseGraph3dErrorTerm with sqrt information
+        diag(20,20,20,100,100,0.573)); nodes written back into the shared
+        yaw/pitch/roll table."""
+        N = self.capacity
+        Rm = jax.vmap(ypr_to_matrix)(
+            self.nodes.yaw, self.nodes.pitch, self.nodes.roll
+        )
+        q = jax.vmap(quat.from_rotation_matrix)(Rm)
+        nodes6 = PoseGraph6Nodes(
+            r=self.nodes.p, q=q.astype(self._dtype), valid=self.nodes.valid
+        )
+        E = self.edges.i.shape[0]
+        t_full = np.zeros((E, 3))
+        q_full = np.zeros((E, 4))
+        q_full[:, 3] = 1.0
+        for k, (t, qr) in enumerate(self._edges_full[:E]):
+            t_full[k] = t
+            q_full[k] = qr
+        W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
+        edges6 = PoseGraph6Edges(
+            i=self.edges.i,
+            j=self.edges.j,
+            t_ij=jnp.asarray(t_full, self._dtype),
+            q_ij=jnp.asarray(q_full, self._dtype),
+            sqrt_info=jnp.broadcast_to(
+                jnp.asarray(W, self._dtype), (E, 6, 6)
+            ),
+            valid=self.edges.valid,
+        )
+        out = optimize_6dof(nodes6, edges6, fix_before, iters=5)
+        ypr = jax.vmap(lambda qq: jnp.stack(matrix_to_ypr(quat.to_rotation_matrix(qq))))(
+            out.q
+        )
+        self.nodes = self.nodes._replace(
+            p=out.r,
+            yaw=ypr[:, 0].astype(self._dtype),
+            pitch=ypr[:, 1].astype(self._dtype),
+            roll=ypr[:, 2].astype(self._dtype),
+        )
 
     def add_primitive_pose(self, t: float, T: Transformation) -> None:
         """Robot dead-reckoning odometry stream for the switching estimator
@@ -408,11 +504,12 @@ class LoopCloser:
 
     # ------------------------------------------------------------- output
     def apply_drift(self, T_WC: Transformation) -> Transformation:
-        """Drift-corrected pose for a raw VIO pose (4-DoF correction)."""
-        Rz = ypr_to_matrix(jnp.asarray(self.yaw_drift, self._dtype), 0.0, 0.0)
-        dq = quat.from_rotation_matrix(Rz)
+        """Drift-corrected pose for a raw VIO pose (yaw-only rotation drift
+        in 4-DoF mode, full rotation drift in 6-DoF mode)."""
+        Rd = jnp.asarray(self.R_drift, self._dtype)
+        dq = quat.from_rotation_matrix(Rd)
         return Transformation(
-            r=Rz @ jnp.asarray(T_WC.r, self._dtype) + jnp.asarray(self.t_drift, self._dtype),
+            r=Rd @ jnp.asarray(T_WC.r, self._dtype) + jnp.asarray(self.t_drift, self._dtype),
             q=quat.normalize(quat.multiply(dq, jnp.asarray(T_WC.q, self._dtype))),
         )
 

@@ -103,6 +103,22 @@ def train_vocabulary(
     return centroids
 
 
+def save_vocabulary(path: str, vocab: jnp.ndarray) -> None:
+    """Persist a (trained) codebook — the analog of the reference's binary
+    vocabulary file (``pose_graph/ThirdParty/DBoW/VocabularyBinary.cpp``,
+    the ``brief_k10L6.bin`` artifact loaded in ``LoopClosure.cpp:18-55``)."""
+    arr = np.asarray(vocab)
+    assert arr.dtype == np.uint32 and arr.ndim == 2 and arr.shape[1] == DESC_WORDS
+    np.save(path, arr, allow_pickle=False)
+
+
+def load_vocabulary(path: str) -> jnp.ndarray:
+    arr = np.load(path, allow_pickle=False)
+    if arr.dtype != np.uint32 or arr.ndim != 2 or arr.shape[1] != DESC_WORDS:
+        raise ValueError(f"not a svin_tpu vocabulary: {path}")
+    return jnp.asarray(arr)
+
+
 class KeyframeDatabase:
     """Host-managed growable database of BoW vectors (device-resident matrix).
 

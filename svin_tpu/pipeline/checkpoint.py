@@ -107,6 +107,10 @@ def save_loop_closer(closer, path: str) -> None:
     }
     out["meta"] = np.asarray(json.dumps(meta))
     out["t_drift"] = closer.t_drift
+    out["R_drift"] = closer.R_drift
+    if closer._edges_full:
+        out["edges_full_t"] = np.stack([t for t, _ in closer._edges_full])
+        out["edges_full_q"] = np.stack([q for _, q in closer._edges_full])
     # keyframe essentials (poses + timestamps; descriptors/points per-kf)
     if closer.keyframes:
         out["kf_t"] = np.asarray([k.timestamp for k in closer.keyframes])
@@ -132,6 +136,13 @@ def load_loop_closer(closer, path: str):
     closer.earliest_loop_index = meta["earliest_loop_index"]
     closer.yaw_drift = meta["yaw_drift"]
     closer.t_drift = np.asarray(data["t_drift"])
+    if "R_drift" in data:
+        closer.R_drift = np.asarray(data["R_drift"])
+    if "edges_full_t" in data:
+        closer._edges_full = [
+            (np.asarray(t), np.asarray(q))
+            for t, q in zip(data["edges_full_t"], data["edges_full_q"])
+        ]
     n = int(data["db_vectors"].shape[0])
     closer.db.vectors = closer.db.vectors.at[:n].set(jnp.asarray(data["db_vectors"]))
     closer.db.count = n

@@ -43,6 +43,9 @@ class LoopClosureConfig:
     keyframe_queue: int = 5
     max_yaw_diff: float = 30.0
     max_position_diff: float = 6.0
+    # "4dof" (yaw+XYZ, the reference's default optimize4DoFPoseGraph) or
+    # "6dof" (full SE(3), optimize6DoFPoseGraph, PoseGraph.cpp:387-543)
+    pgo_mode: str = "4dof"
 
 
 @dataclass
@@ -216,6 +219,7 @@ def load_config(path: str) -> VioConfig:
         keyframe_queue=int(lc.get("keyframe_queue", 5)),
         max_yaw_diff=float(lc.get("max_yaw_diff", 30.0)),
         max_position_diff=float(lc.get("max_position_diff", 6.0)),
+        pgo_mode=str(lc.get("pgo_mode", "4dof")).strip('"'),
     )
     h = d.get("health", {}) or {}
     cfg.health = HealthConfig(

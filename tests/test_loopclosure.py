@@ -485,3 +485,101 @@ def test_frustum_ply_export(tmp_path):
     assert n_edge == 3 * 8 + 1
     assert n_vert == 2 * n_edge
     assert len(text) == text.index("end_header") + 1 + n_vert + n_edge
+
+
+def test_loopcloser_6dof_mode_corrects_pitch_drift():
+    """pgo_mode="6dof" runs the full-SE(3) pose graph
+    (optimize6DoFPoseGraph analog) and extracts a full-rotation drift —
+    a pitch error the 4-DoF mode cannot represent must be corrected."""
+    from svin_tpu.loopclosure.loop_closure import LoopInfo, LoopKeyframe
+
+    cam = make_camera(200, 150, 160.0, 160.0, 100.0, 75.0, model="none")
+    cfg = VioConfig()
+    cfg.loop_closure.pgo_mode = "6dof"
+    closer = LoopCloser(cam, cfg)
+    dtype = closer._dtype
+    z8 = jnp.zeros((8, 8), jnp.uint32)
+
+    def mk_kf(idx, r, q):
+        return LoopKeyframe(
+            index=idx, timestamp=float(idx),
+            T_WC_vio=Transformation(
+                r=jnp.asarray(r, dtype), q=jnp.asarray(q, dtype)
+            ),
+            points_W=np.zeros((0, 3)), point_uv=np.zeros((0, 2)),
+            window_desc=z8, window_valid=jnp.zeros(8, bool),
+            extra_uv=jnp.zeros((8, 2)), extra_desc=z8,
+            extra_valid=jnp.zeros(8, bool),
+        )
+
+    # ground truth: kf0 at a generic pose, kf1 offset with full 3D rotation
+    R0 = np.asarray(ypr_to_matrix(jnp.asarray(0.3), jnp.asarray(0.1), jnp.asarray(-0.05)))
+    q0 = np.asarray(quat.from_rotation_matrix(jnp.asarray(R0)))
+    p0 = np.array([1.0, 2.0, 0.5])
+    R1 = np.asarray(ypr_to_matrix(jnp.asarray(0.5), jnp.asarray(0.3), jnp.asarray(0.1)))
+    q1 = np.asarray(quat.from_rotation_matrix(jnp.asarray(R1)))
+    p1 = np.array([2.0, 1.5, 0.8])
+
+    # VIO pose of kf1 is drifted by a PITCH rotation + translation
+    Rd = np.asarray(ypr_to_matrix(jnp.asarray(0.0), jnp.asarray(0.15), jnp.asarray(0.0)))
+    p1_vio = Rd @ p1 + np.array([0.4, -0.3, 0.25])
+    q1_vio = np.asarray(
+        quat.multiply(quat.from_rotation_matrix(jnp.asarray(Rd)), jnp.asarray(q1))
+    )
+
+    closer.keyframes = [mk_kf(0, p0, q0), mk_kf(1, p1_vio, q1_vio)]
+    y0, pi0, ro0 = matrix_to_ypr(jnp.asarray(R0))
+    R1v = np.asarray(quat.to_rotation_matrix(jnp.asarray(q1_vio)))
+    y1, pi1, ro1 = matrix_to_ypr(jnp.asarray(R1v))
+    closer.nodes = closer.nodes._replace(
+        p=closer.nodes.p.at[0].set(jnp.asarray(p0, dtype)).at[1].set(
+            jnp.asarray(p1_vio, dtype)),
+        yaw=closer.nodes.yaw.at[0].set(y0).at[1].set(y1),
+        pitch=closer.nodes.pitch.at[0].set(pi0).at[1].set(pi1),
+        roll=closer.nodes.roll.at[0].set(ro0).at[1].set(ro1),
+        valid=closer.nodes.valid.at[0].set(True).at[1].set(True),
+    )
+    # verified loop with the TRUE full relative (old frame 0 → cur 1)
+    rel_t_full = R0.T @ (p1 - p0)
+    rel_q_full = np.asarray(
+        quat.multiply(quat.conjugate(jnp.asarray(q0)), jnp.asarray(q1))
+    )
+    loop = LoopInfo(
+        query_index=1, match_index=0, num_inliers=30,
+        rel_t=rel_t_full, rel_yaw=0.2,
+        rel_t_full=rel_t_full, rel_q_full=rel_q_full,
+    )
+    closer.earliest_loop_index = 0
+    closer._add_loop_edge(loop)
+    closer._optimize_and_update_drift()
+
+    # node 1 must land on the ground truth (zero-residual single-edge solve)
+    np.testing.assert_allclose(np.asarray(closer.nodes.p[1]), p1, atol=5e-3)
+    R1_opt = np.asarray(
+        ypr_to_matrix(closer.nodes.yaw[1], closer.nodes.pitch[1], closer.nodes.roll[1])
+    )
+    np.testing.assert_allclose(R1_opt, R1, atol=5e-3)
+    # drift rotation must be non-yaw-only (pitch corrected)
+    assert abs(closer.R_drift[2, 0]) > 0.05 or abs(closer.R_drift[2, 1]) > 0.05
+    # applying the drift to the drifted VIO pose recovers ground truth
+    T_cor = closer.apply_drift(closer.keyframes[1].T_WC_vio)
+    np.testing.assert_allclose(np.asarray(T_cor.r), p1, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(quat.to_rotation_matrix(T_cor.q)), R1, atol=5e-3
+    )
+
+
+def test_vocabulary_save_load_roundtrip(tmp_path):
+    """VocabularyBinary analog: persisted codebooks reload bit-identical and
+    plug into the database."""
+    from svin_tpu.loopclosure import load_vocabulary, make_vocabulary, save_vocabulary
+
+    vocab = make_vocabulary(seed=3, size=256)
+    path = str(tmp_path / "vocab.npy")
+    save_vocabulary(path, vocab)
+    back = load_vocabulary(path)
+    np.testing.assert_array_equal(np.asarray(vocab), np.asarray(back))
+    db = KeyframeDatabase(vocab=back)
+    db.add(vocab[:50], jnp.ones(50, bool))
+    idx, scores = db.query(vocab[:50], jnp.ones(50, bool), top_k=1, exclude_after=1)
+    assert idx[0] == 0 and scores[0] > 0.9
