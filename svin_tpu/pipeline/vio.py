@@ -63,6 +63,43 @@ TEMPORAL_IMU_OVERLAP = 0.02  # s (reference ThreadedKFVio.cpp:87)
 
 _LOG = logging.getLogger("svin_tpu")
 
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints", "octaves", "histogram_method", "clahe_clip_limit"
+    ),
+)
+def _frontend_batch(
+    imgs: jnp.ndarray,  # (C,H,W) raw images
+    g_C: jnp.ndarray,  # (C,3) gravity direction per camera frame
+    *,
+    max_keypoints: int,
+    octaves: int,
+    histogram_method: str,
+    clahe_clip_limit: float,
+):
+    """Preprocess + detect + describe for ALL cameras in one compiled
+    program (vmap over the camera axis)."""
+
+    def one(img, g):
+        im = image_ops.preprocess(
+            img,
+            resize_factor=1.0,
+            histogram_method=histogram_method,
+            clahe_clip_limit=clahe_clip_limit,
+        )
+        kp = detection.detect(im, max_keypoints=max_keypoints, octaves=octaves)
+        ang = desc_ops.gravity_angles(kp.uv, g.astype(im.dtype))
+        d = desc_ops.describe(
+            im, kp.uv, ang, kp.valid, octave=kp.octave, max_octave=octaves
+        )
+        return kp.uv, d, kp.valid, kp.score, kp.octave
+
+    return jax.vmap(one)(imgs, g_C)
+
 
 @dataclass
 class FrameResult:
@@ -220,7 +257,37 @@ class VioEngine:
 
     # ------------------------------------------------------------- frontend
     def _detect_describe(self, images: List[np.ndarray], T_WS_pred: Transformation):
-        """Stage 1: preprocess + detect + describe each camera image."""
+        """Stage 1: preprocess + detect + describe each camera image.
+
+        All same-shape cameras run as ONE batched device program (vmap over
+        the camera axis) — the reference's per-camera frameConsumer threads
+        (ThreadedKFVio.cpp:421-633) collapse into a single dispatch whose
+        convolutions/matmuls batch onto the MXU."""
+        # gravity-aligned extraction direction (Frontend.cpp:91-113)
+        g_Cs = []
+        for ci in range(len(images)):
+            T_WC = compose(T_WS_pred, self._T_SC(ci))
+            g_Cs.append(
+                quat.rotate(
+                    quat.conjugate(T_WC.q), jnp.array([0.0, 0.0, -1.0], self.dtype)
+                )
+            )
+        shapes = {np.asarray(img).shape for img in images}
+        if len(images) > 1 and len(shapes) == 1:
+            uv, d, valid, score, octv = _frontend_batch(
+                jnp.asarray(np.stack([np.asarray(i) for i in images])),
+                jnp.stack(g_Cs).astype(jnp.float32),
+                max_keypoints=self.cfg.max_keypoints,
+                octaves=self.cfg.detection_octaves,
+                histogram_method=self.cfg.histogram_method,
+                clahe_clip_limit=self.cfg.clahe_clip_limit,
+            )
+            n = len(images)
+            return (
+                [uv[c] for c in range(n)], [d[c] for c in range(n)],
+                [valid[c] for c in range(n)], [score[c] for c in range(n)],
+                [octv[c] for c in range(n)],
+            )
         uvs, descs, valids, scores, octs = [], [], [], [], []
         for ci, img in enumerate(images):
             im = image_ops.preprocess(
@@ -233,10 +300,7 @@ class VioEngine:
                 im, max_keypoints=self.cfg.max_keypoints,
                 octaves=self.cfg.detection_octaves,
             )
-            # gravity-aligned extraction direction (Frontend.cpp:91-113)
-            T_WC = compose(T_WS_pred, self._T_SC(ci))
-            g_C = quat.rotate(quat.conjugate(T_WC.q), jnp.array([0.0, 0.0, -1.0], im.dtype))
-            ang = desc_ops.gravity_angles(kp.uv, g_C)
+            ang = desc_ops.gravity_angles(kp.uv, g_Cs[ci].astype(im.dtype))
             d = desc_ops.describe(
                 im, kp.uv, ang, kp.valid, octave=kp.octave,
                 max_octave=self.cfg.detection_octaves,
