@@ -192,6 +192,7 @@ class VioEngine:
         self.n_states = 0  # valid slots in window
         self.frames: Dict[int, _FrameData] = {}  # slot -> frame data
         self.last_kf_slot: Optional[int] = None
+        self._track_miss_streak = 0  # widens the projection gate on losses
         self.frame_count = 0
         self.kf_count = 0
         self.next_state_id = 0
@@ -576,6 +577,119 @@ class VioEngine:
         self._add_observations(rows)
         return int((slots >= 0).sum())
 
+    def _temporal_initialize_landmarks(
+        self, slot: int, fd: _FrameData, T_WS: Transformation
+    ) -> int:
+        """2D-2D matching to the LAST KEYFRAME + two-view triangulation →
+        new landmarks (the reference's temporal landmark bootstrap:
+        Frontend::matchToKeyframes / matchToLastFrame 2D-2D paths,
+        Frontend.cpp:336-465, where untracked keypoints are matched across
+        time and triangulated against the pose prior). This is the only
+        landmark source for MONO rigs and adds temporal-baseline landmarks
+        (useful at long range) for stereo rigs."""
+        prev_slot = self.last_kf_slot
+        if prev_slot is None or prev_slot == slot or prev_slot not in self.frames:
+            return 0
+        fd_prev = self.frames[prev_slot]
+        T_prev = self.window.pose(prev_slot)
+        # minimum-baseline gate: with no baseline every correct match has
+        # zero parallax, so the angle gate below would invert the selection
+        # and keep only MISmatches — defer until the platform has moved
+        baseline = float(np.linalg.norm(np.asarray(T_WS.r) - np.asarray(T_prev.r)))
+        if baseline < 0.02:
+            return 0
+        total = 0
+        rows = []
+        CAP = self.cfg.max_keypoints
+        diag = float(
+            np.hypot(self.rig.cameras[0].width, self.rig.cameras[0].height)
+        )
+        for ci in range(min(self.rig.num_cameras, len(fd_prev.kp_uv))):
+            un_cur = jnp.asarray(fd.kp_landmark[ci] < 0)
+            un_prev = jnp.asarray(fd_prev.kp_landmark[ci] < 0)
+            # optical-flow gate: keyframe-to-keyframe image motion is
+            # bounded; distant uv pairs are almost surely wrong matches
+            d2_uv = jnp.sum(
+                (fd.kp_uv[ci][:, None, :] - fd_prev.kp_uv[ci][None, :, :]) ** 2,
+                axis=-1,
+            )
+            flow_mask = d2_uv < (0.25 * diag) ** 2
+            res = hamming.match_descriptors(
+                fd.kp_desc[ci], fd_prev.kp_desc[ci],
+                fd.kp_valid[ci] & un_cur, fd_prev.kp_valid[ci] & un_prev,
+                mask=flow_mask, max_distance=60, mutual=True,
+            )
+            m = np.asarray(res.valid)
+            if m.sum() == 0:
+                continue
+            ia_raw = np.nonzero(m)[0][:CAP]
+            ib_raw = np.asarray(res.idx_b)[ia_raw]
+            npair = len(ia_raw)
+            ia = np.zeros(CAP, np.int64)
+            ib = np.zeros(CAP, np.int64)
+            ia[:npair] = ia_raw
+            ib[:npair] = ib_raw
+            pair_ok = np.arange(CAP) < npair
+            rays_a = back_project(self.rig.cameras[ci], fd.kp_uv[ci][jnp.asarray(ia)])
+            rays_b = back_project(
+                self.rig.cameras[ci], fd_prev.kp_uv[ci][jnp.asarray(ib)]
+            )
+            T_WA = compose(T_WS, self._T_SC(ci))
+            T_WB = compose(T_prev, self._T_SC(ci))
+            eA = quat.rotate(T_WA.q, rays_a)
+            eB = quat.rotate(T_WB.q, rays_b)
+            pA = jnp.broadcast_to(T_WA.r, eA.shape)
+            pB = jnp.broadcast_to(T_WB.r, eB.shape)
+            sigma = jnp.full(eA.shape[0], 2.0 / float(self.rig.cameras[ci].fu))
+            tri = triangulate_fast(pA, eA, pB, eB, sigma)
+            pts = np.asarray(point_from_homogeneous(tri.hp))
+            good = np.asarray(tri.valid) & ~np.asarray(tri.parallel) & pair_ok
+            depth = np.linalg.norm(pts - np.asarray(T_WA.r), axis=1)
+            good &= (depth > 0.1) & (depth < 60.0)
+            # epipolar-consistency gate: a correct match is coplanar with the
+            # baseline (|eA · (t̂ × eB)| ≈ 0) at ANY depth; wrong matches are
+            # not. This is what actually rejects mismatches — a bare parallax
+            # gate would keep only mismatches when the baseline is small.
+            t_ab = np.asarray(T_WB.r) - np.asarray(T_WA.r)
+            t_hat = t_ab / max(np.linalg.norm(t_ab), 1e-12)
+            n_ep = np.cross(np.broadcast_to(t_hat, np.asarray(eB).shape), np.asarray(eB))
+            nn = np.linalg.norm(n_ep, axis=1)
+            ok_n = nn > 1e-6  # eB parallel to baseline → epipolar undefined
+            n_ep = n_ep / np.maximum(nn, 1e-12)[:, None]
+            good &= ok_n & (
+                np.abs(np.sum(np.asarray(eA) * n_ep, axis=1)) < np.sin(np.radians(0.7))
+            )
+            # parallax gate: require a minimum triangulation angle (≈1°) or
+            # the depth is ill-conditioned (the stereo path needs no such
+            # gate — its baseline is fixed by the rig)
+            cos_ang = np.asarray(jnp.sum(eA * eB, axis=-1))
+            good &= cos_ang < np.cos(np.radians(1.0))
+            ia, ib, pts, depth = ia[good], ib[good], pts[good], depth[good]
+            if len(ia) == 0:
+                continue
+            # dedup against existing landmarks (same rule as stereo init)
+            lm_valid = np.asarray(self.window.lm_valid)
+            if lm_valid.sum() > 0:
+                existing = np.asarray(self.window.hp_W[:, :3])[lm_valid]
+                d = np.linalg.norm(pts[:, None, :] - existing[None, :, :], axis=-1)
+                keep = d.min(axis=1) > np.maximum(0.1, 0.04 * depth)
+                ia, ib, pts = ia[keep], ib[keep], pts[keep]
+                if len(ia) == 0:
+                    continue
+            slots = self._allocate_landmarks(pts, fd.kp_desc[ci][jnp.asarray(ia)])
+            for k, (a, b_) in enumerate(zip(ia, ib)):
+                if slots[k] < 0:
+                    continue
+                fd.kp_landmark[ci][a] = slots[k]
+                fd_prev.kp_landmark[ci][b_] = slots[k]
+                rows.append((np.asarray(fd.kp_uv[ci][a]), slot, slots[k], ci,
+                             self._kp_info(fd, ci, a)))
+                rows.append((np.asarray(fd_prev.kp_uv[ci][b_]), prev_slot,
+                             slots[k], ci, self._kp_info(fd_prev, ci, b_)))
+                total += 1
+        self._add_observations(rows)
+        return total
+
     def _match_to_map(
         self, slot: int, fd: _FrameData, T_WS_pred: Transformation
     ) -> int:
@@ -587,7 +701,11 @@ class VioEngine:
         if lm_valid.sum() == 0:
             return 0
         n_tracked = 0
-        gate_px = 30.0
+        # uncertainty-scaled gating (the reference's velocity-scaled UOplus,
+        # VioKeyframeWindowMatchingAlgorithm::doSetup): widen the projection
+        # gate progressively after tracking losses — a drifting IMU-only
+        # prediction pushes true matches outside a fixed gate
+        gate_px = 30.0 * (2.0 ** min(self._track_miss_streak, 2))
         candidates = []  # (cam, kp_idx, lm_slot, uv, bearing_C)
         for ci in range(self.rig.num_cameras):
             T_WC = compose(T_WS_pred, self._T_SC(ci))
@@ -614,6 +732,7 @@ class VioEngine:
                 candidates.append((ci, int(k), l, np.asarray(fd.kp_uv[ci][k]), rays[k]))
 
         if len(candidates) < 6:
+            self._track_miss_streak += 1
             return 0
 
         # RANSAC the camera-0 candidates for a pose model, then gate every
@@ -680,6 +799,7 @@ class VioEngine:
                 jnp.stack(refresh_d)
             )
         self._add_observations(rows)
+        self._track_miss_streak = 0 if n_tracked >= 6 else self._track_miss_streak + 1
         return n_tracked
 
     def _decay_extrinsics_prior(self, dt: float) -> None:
@@ -830,6 +950,11 @@ class VioEngine:
         n_new = 0
         if is_kf:
             n_new = self._stereo_initialize_landmarks(slot, fd, T_pred)
+            # temporal 2D-2D bootstrap: the only landmark source for mono
+            # rigs; for stereo it adds long-baseline landmarks when the
+            # stereo pass left keypoints unassociated
+            if self.rig.num_cameras < 2 or n_new == 0:
+                n_new += self._temporal_initialize_landmarks(slot, fd, T_pred)
             self.window = self.window._replace(
                 is_keyframe=self.window.is_keyframe.at[slot].set(True)
             )
