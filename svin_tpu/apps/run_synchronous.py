@@ -70,7 +70,7 @@ def main(argv=None) -> int:
         if len(closer.keyframes) > idx:
             kf_key[idx] = export["kf_index"]
         T = Transformation(
-            r=jnp.asarray(export["T_WC_r"]), q=jnp.asarray(export["T_WC_q"])
+            r=np.asarray(export["T_WC_r"]), q=np.asarray(export["T_WC_q"])
         )
         gmap.add_observations(
             export["kf_index"], T, export["landmark_ids"],

@@ -75,6 +75,15 @@ def _gn_pose_fit(
     return T_fit
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        # min_inliers is deliberately TRACED: callers derive it from the
+        # candidate count (max(8, n//3)) — static would recompile per value
+        "focal_px", "threshold_px", "num_hypotheses",
+        "sample_size", "refine_iters",
+    ),
+)
 def absolute_pose_ransac(
     key,
     p_W: jnp.ndarray,  # (N,3) landmark positions
@@ -140,6 +149,12 @@ def _kabsch_quat(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return quat.from_rotation_matrix(U @ S @ Vt)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "threshold_px", "focal_px", "num_hypotheses", "min_inliers"
+    ),
+)
 def rotation_only_ransac(
     key,
     bearings_a: jnp.ndarray,  # (N,3) unit bearings, frame A

@@ -1,4 +1,4 @@
-from . import quaternion
+from . import npq, quaternion
 from .transformation import (
     Transformation,
     compose,

@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..kinematics import Transformation, quaternion as quat
+from ..kinematics import Transformation, npq, quaternion as quat
 
 
 @dataclass
@@ -48,7 +48,7 @@ class GlobalMap:
         qualities: np.ndarray,
         colors: Optional[np.ndarray] = None,
     ) -> None:
-        C_CW = np.asarray(quat.to_rotation_matrix(quat.conjugate(T_WC.q)))
+        C_CW = npq.to_rotation_matrix(npq.conjugate(np.asarray(T_WC.q)))
         r = np.asarray(T_WC.r)
         for k, lid in enumerate(np.asarray(point_ids)):
             q = float(qualities[k])
@@ -80,7 +80,7 @@ class GlobalMap:
                 T = kf_poses.get(obs.kf_index)
                 if T is None:
                     continue
-                C = np.asarray(quat.to_rotation_matrix(T.q))
+                C = npq.to_rotation_matrix(np.asarray(T.q))
                 p_W = C @ obs.local_pos + np.asarray(T.r)
                 acc += obs.quality * p_W
                 wsum += obs.quality

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..cameras import PinholeCamera, back_project
 from ..frontend import absolute_pose_ransac
-from ..kinematics import Transformation, quaternion as quat
+from ..kinematics import Transformation, npq, quaternion as quat
 from ..ops import descriptor as desc_ops, detection, hamming
 from ..pipeline.config import VioConfig
 from .posegraph import (
@@ -29,10 +29,13 @@ from .posegraph import (
     PoseGraphEdges,
     PoseGraphNodes,
     matrix_to_ypr,
+    matrix_to_ypr_np,
     normalize_angle,
+    normalize_angle_np,
     optimize_4dof,
     optimize_6dof,
     ypr_to_matrix,
+    ypr_to_matrix_np,
 )
 from .retrieval import KeyframeDatabase
 from .switching import HealthStatus, SwitchingEstimator, check_health
@@ -89,23 +92,27 @@ class LoopCloser:
         self.keyframes: List[LoopKeyframe] = []
         self.capacity = capacity
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        npdt = np.float64 if jax.config.jax_enable_x64 else np.float32
+        # pose-graph tables are HOST numpy (per-keyframe writes must not be
+        # device scatters); the jitted optimizers take them as-is
         self.nodes = PoseGraphNodes(
-            p=jnp.zeros((capacity, 3), dtype),
-            yaw=jnp.zeros(capacity, dtype),
-            pitch=jnp.zeros(capacity, dtype),
-            roll=jnp.zeros(capacity, dtype),
-            valid=jnp.zeros(capacity, bool),
+            p=np.zeros((capacity, 3), npdt),
+            yaw=np.zeros(capacity, npdt),
+            pitch=np.zeros(capacity, npdt),
+            roll=np.zeros(capacity, npdt),
+            valid=np.zeros(capacity, bool),
         )
         E = capacity * 4
         self.edges = PoseGraphEdges(
-            i=jnp.zeros(E, jnp.int32),
-            j=jnp.zeros(E, jnp.int32),
-            t_ij=jnp.zeros((E, 3), dtype),
-            yaw_ij=jnp.zeros(E, dtype),
-            weight=jnp.ones(E, dtype),
-            is_loop=jnp.zeros(E, bool),
-            valid=jnp.zeros(E, bool),
+            i=np.zeros(E, np.int32),
+            j=np.zeros(E, np.int32),
+            t_ij=np.zeros((E, 3), npdt),
+            yaw_ij=np.zeros(E, npdt),
+            weight=np.ones(E, npdt),
+            is_loop=np.zeros(E, bool),
+            valid=np.zeros(E, bool),
         )
+        self._backproject = jax.jit(lambda uv: back_project(camera, uv))
         self.n_edges = 0
         # full SE(3) relative per edge (same order as `edges` slots); only
         # consumed by the 6-DoF pose-graph mode
@@ -138,7 +145,8 @@ class LoopCloser:
             return None  # capacity reached (host could grow arrays)
         image = jnp.asarray(kf_export["image"], jnp.float32)
         T_WC = Transformation(
-            r=jnp.asarray(kf_export["T_WC_r"]), q=jnp.asarray(kf_export["T_WC_q"])
+            r=np.asarray(kf_export["T_WC_r"], float),
+            q=np.asarray(kf_export["T_WC_q"], float),
         )
         # health gate + robust pose (LoopClosure.cpp:57-188: unhealthy
         # keyframes feed the switching estimator but are not processed)
@@ -168,13 +176,18 @@ class LoopCloser:
         uv_pad = np.zeros((WINDOW_CAP, 2), np.float32)
         uv_pad[:M] = uv_raw[:M]
         uv_w = jnp.asarray(uv_pad)
-        valid_w = jnp.arange(WINDOW_CAP) < M
-        desc_w = desc_ops.describe(
+        valid_w = np.arange(WINDOW_CAP) < M
+        desc_w_d = desc_ops.describe(
             image, uv_w, jnp.zeros(WINDOW_CAP, jnp.float32), valid_w
         )
         # fresh corners (computeBRIEFPoint: FAST-20 + BRIEF)
         kp_e = detection.detect(image, max_keypoints=N_EXTRA_CORNERS)
-        desc_e = desc_ops.describe(image, kp_e.uv, kp_e.angle, kp_e.valid)
+        desc_e_d = desc_ops.describe(image, kp_e.uv, kp_e.angle, kp_e.valid)
+        # ONE batched device→host transfer (per-leaf fetches are RPCs on
+        # remote backends — see pipeline.vio._to_np)
+        desc_w, desc_e, kp_e_uv, kp_e_valid = jax.device_get(
+            (desc_w_d, desc_e_d, kp_e.uv, kp_e.valid)
+        )
 
         kf = LoopKeyframe(
             index=idx,
@@ -184,23 +197,20 @@ class LoopCloser:
             point_uv=np.asarray(kf_export["keypoints_uv"], float),
             window_desc=desc_w,
             window_valid=valid_w,
-            extra_uv=kp_e.uv,
+            extra_uv=kp_e_uv,
             extra_desc=desc_e,
-            extra_valid=kp_e.valid,
+            extra_valid=kp_e_valid,
         )
         self.keyframes.append(kf)
 
         # pose-graph node from the drift-corrected VIO pose
         T_cor = self.apply_drift(T_WC)
-        R = quat.to_rotation_matrix(T_cor.q)
-        yaw, pitch, roll = matrix_to_ypr(R)
-        self.nodes = self.nodes._replace(
-            p=self.nodes.p.at[idx].set(T_cor.r.astype(self._dtype)),
-            yaw=self.nodes.yaw.at[idx].set(yaw.astype(self._dtype)),
-            pitch=self.nodes.pitch.at[idx].set(pitch.astype(self._dtype)),
-            roll=self.nodes.roll.at[idx].set(roll.astype(self._dtype)),
-            valid=self.nodes.valid.at[idx].set(True),
-        )
+        yaw, pitch, roll = matrix_to_ypr_np(npq.to_rotation_matrix(np.asarray(T_cor.q)))
+        self.nodes.p[idx] = np.asarray(T_cor.r)
+        self.nodes.yaw[idx] = yaw
+        self.nodes.pitch[idx] = pitch
+        self.nodes.roll[idx] = roll
+        self.nodes.valid[idx] = True
         # sequential edges to the 1-2 previous keyframes (PoseGraph.cpp:252-335)
         for back in (1, 2):
             if idx - back >= 0:
@@ -208,8 +218,8 @@ class LoopCloser:
 
         # loop detection (db query BEFORE adding, excluding recent)
         loop = self._detect_and_verify(kf)
-        all_desc = jnp.concatenate([desc_w, desc_e])
-        all_valid = jnp.concatenate([valid_w, kp_e.valid])
+        all_desc = np.concatenate([desc_w, desc_e])
+        all_valid = np.concatenate([valid_w, kp_e_valid])
         self.db.add(all_desc, all_valid)
 
         if loop is not None:
@@ -231,20 +241,20 @@ class LoopCloser:
         """Relative (t_ij in i-frame-yaw-aligned, yaw_ij) from VIO poses."""
         Ti = self.keyframes[i].T_WC_vio
         Tj = self.keyframes[j].T_WC_vio
-        Ri = quat.to_rotation_matrix(Ti.q)
-        yaw_i, pitch_i, roll_i = matrix_to_ypr(Ri)
-        R_i_full = ypr_to_matrix(yaw_i, pitch_i, roll_i)
-        t_ij = np.asarray(R_i_full.T @ (Tj.r - Ti.r))
-        yaw_j = matrix_to_ypr(quat.to_rotation_matrix(Tj.q))[0]
-        return t_ij, float(normalize_angle(yaw_j - yaw_i))
+        Ri = npq.to_rotation_matrix(np.asarray(Ti.q))
+        yaw_i, pitch_i, roll_i = matrix_to_ypr_np(Ri)
+        R_i_full = ypr_to_matrix_np(yaw_i, pitch_i, roll_i)
+        t_ij = R_i_full.T @ (np.asarray(Tj.r) - np.asarray(Ti.r))
+        yaw_j = matrix_to_ypr_np(npq.to_rotation_matrix(np.asarray(Tj.q)))[0]
+        return t_ij, float(normalize_angle_np(yaw_j - yaw_i))
 
     def _vio_rel_full(self, i: int, j: int) -> Tuple[np.ndarray, np.ndarray]:
         """Full SE(3) relative i → j in i's camera frame (for 6-DoF edges)."""
         Ti = self.keyframes[i].T_WC_vio
         Tj = self.keyframes[j].T_WC_vio
-        Ri = np.asarray(quat.to_rotation_matrix(Ti.q))
+        Ri = npq.to_rotation_matrix(np.asarray(Ti.q))
         t = Ri.T @ (np.asarray(Tj.r) - np.asarray(Ti.r))
-        q = np.asarray(quat.multiply(quat.conjugate(Ti.q), Tj.q))
+        q = npq.multiply(npq.conjugate(np.asarray(Ti.q)), np.asarray(Tj.q))
         return t, q
 
     def _add_sequential_edge(self, i: int, j: int):
@@ -253,15 +263,14 @@ class LoopCloser:
         if k >= self.edges.i.shape[0]:
             return
         self._edges_full.append(self._vio_rel_full(i, j))
-        self.edges = self.edges._replace(
-            i=self.edges.i.at[k].set(i),
-            j=self.edges.j.at[k].set(j),
-            t_ij=self.edges.t_ij.at[k].set(jnp.asarray(t_ij, self._dtype)),
-            yaw_ij=self.edges.yaw_ij.at[k].set(yaw_ij),
-            weight=self.edges.weight.at[k].set(1.0),
-            is_loop=self.edges.is_loop.at[k].set(False),
-            valid=self.edges.valid.at[k].set(True),
-        )
+        e = self.edges
+        e.i[k] = i
+        e.j[k] = j
+        e.t_ij[k] = t_ij
+        e.yaw_ij[k] = yaw_ij
+        e.weight[k] = 1.0
+        e.is_loop[k] = False
+        e.valid[k] = True
         self.n_edges += 1
 
     def _add_loop_edge(self, loop: LoopInfo):
@@ -271,22 +280,21 @@ class LoopCloser:
         if loop.rel_t_full is not None:
             self._edges_full.append((loop.rel_t_full, loop.rel_q_full))
         else:
-            Rz = np.asarray(ypr_to_matrix(jnp.asarray(loop.rel_yaw), 0.0, 0.0))
+            Rz = ypr_to_matrix_np(loop.rel_yaw, 0.0, 0.0)
             self._edges_full.append(
-                (loop.rel_t, np.asarray(quat.from_rotation_matrix(Rz)))
+                (loop.rel_t, np.asarray(quat.from_rotation_matrix(jnp.asarray(Rz))))
             )
-        self.edges = self.edges._replace(
-            i=self.edges.i.at[k].set(loop.match_index),
-            j=self.edges.j.at[k].set(loop.query_index),
-            t_ij=self.edges.t_ij.at[k].set(jnp.asarray(loop.rel_t, self._dtype)),
-            yaw_ij=self.edges.yaw_ij.at[k].set(loop.rel_yaw),
-            # loop edges carry the same weight as odometry edges (the
-            # reference's FourDOFWeightError; robustness comes from Huber,
-            # not over-weighting — a PnP relative is noisier than VIO)
-            weight=self.edges.weight.at[k].set(1.0),
-            is_loop=self.edges.is_loop.at[k].set(True),
-            valid=self.edges.valid.at[k].set(True),
-        )
+        e = self.edges
+        e.i[k] = loop.match_index
+        e.j[k] = loop.query_index
+        e.t_ij[k] = loop.rel_t
+        e.yaw_ij[k] = loop.rel_yaw
+        # loop edges carry the same weight as odometry edges (the
+        # reference's FourDOFWeightError; robustness comes from Huber,
+        # not over-weighting — a PnP relative is noisier than VIO)
+        e.weight[k] = 1.0
+        e.is_loop[k] = True
+        e.valid[k] = True
         self.n_edges += 1
 
     def _detect_and_verify(self, kf: LoopKeyframe) -> Optional[LoopInfo]:
@@ -298,8 +306,8 @@ class LoopCloser:
             return None
         if int(kf.window_valid.sum()) < 5:
             return None
-        all_desc = jnp.concatenate([kf.window_desc, kf.extra_desc])
-        all_valid = jnp.concatenate([kf.window_valid, kf.extra_valid])
+        all_desc = np.concatenate([kf.window_desc, kf.extra_desc])
+        all_valid = np.concatenate([kf.window_valid, kf.extra_valid])
         idxs, scores = self.db.query(
             all_desc, all_valid, top_k=4, exclude_after=exclude_after
         )
@@ -308,13 +316,13 @@ class LoopCloser:
         # what the immediately preceding (covisible) keyframe scores
         neighbor_floor = 0.0
         if self.db.count >= 1:
-            from .retrieval import bow_vector, l1_scores
-
-            v = bow_vector(all_desc, all_valid, self.db.vocab, self.db.vocab.shape[0])
+            v = self.db._bow_np(all_desc, all_valid)
             lo = max(0, self.db.count - 3)
-            s_nb = l1_scores(v, self.db.vectors[lo : self.db.count])
+            s_nb = 1.0 - 0.5 * np.sum(
+                np.abs(self.db.vectors[lo : self.db.count] - v[None, :]), axis=-1
+            )
             # the WEAKEST covisible link sets the bar (reference semantics)
-            neighbor_floor = 0.6 * float(jnp.min(s_nb))
+            neighbor_floor = 0.6 * float(np.min(s_nb))
         for cand, score in zip(idxs, scores):
             if score < max(MIN_LOOP_SCORE, neighbor_floor):
                 continue
@@ -327,23 +335,23 @@ class LoopCloser:
         """Descriptor match cur-window(3D) → old-corners(2D), then PnP RANSAC
         (Keyframe::findConnection → PnPRANSAC, gates at :495-543)."""
         lc = self.cfg.loop_closure
-        res = hamming.match_descriptors(
+        res = hamming.match_descriptors_jit(
             cur.window_desc, old.extra_desc, cur.window_valid, old.extra_valid,
             max_distance=DESC_DIST_LOOP, mutual=True,
         )
-        m = np.asarray(res.valid)
+        m, idx_b = jax.device_get((res.valid, res.idx_b))
         if m.sum() < lc.min_correspondences:
             return None
         sel = np.nonzero(m)[0]
-        old_idx = np.asarray(res.idx_b)[sel]
+        old_idx = idx_b[sel]
         # fixed-size RANSAC problem (pad with invalid rows → one compilation)
         n = min(len(sel), WINDOW_CAP)
         p_W_pad = np.zeros((WINDOW_CAP, 3))
         p_W_pad[:n] = cur.points_W[sel[:n]]
         uv_pad = np.zeros((WINDOW_CAP, 2), np.float32)
         uv_pad[:n] = np.asarray(old.extra_uv)[old_idx[:n]]
-        ransac_valid = jnp.arange(WINDOW_CAP) < n
-        rays = back_project(self.camera, jnp.asarray(uv_pad))
+        ransac_valid = np.arange(WINDOW_CAP) < n
+        rays = self._backproject(jnp.asarray(uv_pad))
         # solve for the OLD camera's pose against the CURRENT 3D points,
         # seeded with the old VIO pose (drift makes them differ)
         rr = absolute_pose_ransac(
@@ -351,36 +359,44 @@ class LoopCloser:
             jnp.asarray(p_W_pad, self._dtype),
             rays.astype(self._dtype),
             ransac_valid,
-            old.T_WC_vio,
+            Transformation(
+                r=jnp.asarray(np.asarray(old.T_WC_vio.r), self._dtype),
+                q=jnp.asarray(np.asarray(old.T_WC_vio.q), self._dtype),
+            ),
             focal_px=float(self.camera.fu),
             threshold_px=lc.pnp_reprojection_threshold,
             num_hypotheses=lc.pnp_ransac_iterations,
             min_inliers=lc.min_correspondences,
         )
+        rr = jax.device_get(rr)
         if not bool(rr.success) or int(rr.num_inliers) < lc.min_correspondences:
             return None
-        T_old_fit = rr.T  # old camera pose in the CURRENT VIO frame
+        T_old_fit = Transformation(
+            r=rr.T.r, q=rr.T.q
+        )  # old camera pose in the CURRENT VIO frame
         # relative transform old → cur in old's yaw frame
-        yaw_o, pitch_o, roll_o = matrix_to_ypr(quat.to_rotation_matrix(T_old_fit.q))
-        R_o = ypr_to_matrix(yaw_o, pitch_o, roll_o)
-        rel_t = np.asarray(R_o.T @ (cur.T_WC_vio.r - T_old_fit.r))
-        yaw_c = matrix_to_ypr(quat.to_rotation_matrix(cur.T_WC_vio.q))[0]
-        rel_yaw = float(normalize_angle(yaw_c - yaw_o))
+        yaw_o, pitch_o, roll_o = matrix_to_ypr_np(
+            npq.to_rotation_matrix(T_old_fit.q)
+        )
+        R_o = ypr_to_matrix_np(yaw_o, pitch_o, roll_o)
+        rel_t = R_o.T @ (np.asarray(cur.T_WC_vio.r) - T_old_fit.r)
+        yaw_c = matrix_to_ypr_np(npq.to_rotation_matrix(np.asarray(cur.T_WC_vio.q)))[0]
+        rel_yaw = float(normalize_angle_np(yaw_c - yaw_o))
         # sanity gates (reference: |yaw|<30°, ‖t‖< max_position_diff)
         if abs(np.degrees(rel_yaw)) > lc.max_yaw_diff:
             return None
         if np.linalg.norm(rel_t) > lc.max_position_diff:
             return None
-        R_of = np.asarray(quat.to_rotation_matrix(T_old_fit.q))
+        R_of = npq.to_rotation_matrix(T_old_fit.q)
         return LoopInfo(
             query_index=cur.index,
             match_index=old.index,
             num_inliers=int(rr.num_inliers),
             rel_t=rel_t,
             rel_yaw=rel_yaw,
-            rel_t_full=R_of.T @ (np.asarray(cur.T_WC_vio.r) - np.asarray(T_old_fit.r)),
-            rel_q_full=np.asarray(
-                quat.multiply(quat.conjugate(T_old_fit.q), cur.T_WC_vio.q)
+            rel_t_full=R_of.T @ (np.asarray(cur.T_WC_vio.r) - T_old_fit.r),
+            rel_q_full=npq.multiply(
+                npq.conjugate(T_old_fit.q), np.asarray(cur.T_WC_vio.q)
             ),
         )
 
@@ -397,20 +413,18 @@ class LoopCloser:
         ):
             return
         old = loop.match_index
-        p_old = np.asarray(self.nodes.p[old])
-        R_old = np.asarray(
-            ypr_to_matrix(
-                self.nodes.yaw[old], self.nodes.pitch[old], self.nodes.roll[old]
-            )
+        p_old = self.nodes.p[old]
+        R_old = ypr_to_matrix_np(
+            self.nodes.yaw[old], self.nodes.pitch[old], self.nodes.roll[old]
         )
         w_P_cur = R_old @ loop.rel_t + p_old
         yaw_w_cur = float(self.nodes.yaw[old]) + loop.rel_yaw
         kf = self.keyframes[loop.query_index]
-        yaw_vio = float(matrix_to_ypr(quat.to_rotation_matrix(kf.T_WC_vio.q))[0])
-        self.yaw_drift = float(normalize_angle(yaw_w_cur - yaw_vio))
-        Rz = np.asarray(
-            ypr_to_matrix(jnp.asarray(self.yaw_drift, self._dtype), 0.0, 0.0)
+        yaw_vio = float(
+            matrix_to_ypr_np(npq.to_rotation_matrix(np.asarray(kf.T_WC_vio.q)))[0]
         )
+        self.yaw_drift = float(normalize_angle_np(yaw_w_cur - yaw_vio))
+        Rz = ypr_to_matrix_np(self.yaw_drift, 0.0, 0.0)
         self.R_drift = Rz
         self.t_drift = w_P_cur - Rz @ np.asarray(kf.T_WC_vio.r)
 
@@ -422,31 +436,32 @@ class LoopCloser:
         if self.cfg.loop_closure.pgo_mode == "6dof":
             self._optimize_6dof(fix_before)
         else:
-            self.nodes = optimize_4dof(self.nodes, self.edges, fix_before, iters=10)
+            self.nodes = jax.tree_util.tree_map(
+                np.array,
+                jax.device_get(
+                    optimize_4dof(self.nodes, self.edges, fix_before, iters=10)
+                ),
+            )
         # drift: newest node's optimized pose vs its raw VIO pose
         last = len(self.keyframes) - 1
         kf = self.keyframes[last]
         if self.cfg.loop_closure.pgo_mode == "6dof":
             # full-rotation drift (the reference 6-DoF path's r_drift)
-            R_opt = np.asarray(
-                ypr_to_matrix(
-                    self.nodes.yaw[last], self.nodes.pitch[last], self.nodes.roll[last]
-                )
+            R_opt = ypr_to_matrix_np(
+                self.nodes.yaw[last], self.nodes.pitch[last], self.nodes.roll[last]
             )
-            R_vio = np.asarray(quat.to_rotation_matrix(kf.T_WC_vio.q))
+            R_vio = npq.to_rotation_matrix(np.asarray(kf.T_WC_vio.q))
             self.R_drift = R_opt @ R_vio.T
-            self.yaw_drift = float(matrix_to_ypr(jnp.asarray(self.R_drift))[0])
+            self.yaw_drift = float(matrix_to_ypr_np(self.R_drift)[0])
         else:
             yaw_vio = float(
-                matrix_to_ypr(quat.to_rotation_matrix(kf.T_WC_vio.q))[0]
+                matrix_to_ypr_np(npq.to_rotation_matrix(np.asarray(kf.T_WC_vio.q)))[0]
             )
             yaw_opt = float(self.nodes.yaw[last])
-            self.yaw_drift = float(normalize_angle(yaw_opt - yaw_vio))
-            self.R_drift = np.asarray(
-                ypr_to_matrix(jnp.asarray(self.yaw_drift), 0.0, 0.0)
-            )
+            self.yaw_drift = float(normalize_angle_np(yaw_opt - yaw_vio))
+            self.R_drift = ypr_to_matrix_np(self.yaw_drift, 0.0, 0.0)
         self.t_drift = (
-            np.asarray(self.nodes.p[last]) - self.R_drift @ np.asarray(kf.T_WC_vio.r)
+            self.nodes.p[last] - self.R_drift @ np.asarray(kf.T_WC_vio.r)
         )
 
     def _optimize_6dof(self, fix_before: jnp.ndarray) -> None:
@@ -456,11 +471,14 @@ class LoopCloser:
         yaw/pitch/roll table."""
         N = self.capacity
         Rm = jax.vmap(ypr_to_matrix)(
-            self.nodes.yaw, self.nodes.pitch, self.nodes.roll
+            jnp.asarray(self.nodes.yaw, self._dtype),
+            jnp.asarray(self.nodes.pitch, self._dtype),
+            jnp.asarray(self.nodes.roll, self._dtype),
         )
         q = jax.vmap(quat.from_rotation_matrix)(Rm)
         nodes6 = PoseGraph6Nodes(
-            r=self.nodes.p, q=q.astype(self._dtype), valid=self.nodes.valid
+            r=jnp.asarray(self.nodes.p, self._dtype), q=q.astype(self._dtype),
+            valid=jnp.asarray(self.nodes.valid),
         )
         E = self.edges.i.shape[0]
         t_full = np.zeros((E, 3))
@@ -481,14 +499,15 @@ class LoopCloser:
             valid=self.edges.valid,
         )
         out = optimize_6dof(nodes6, edges6, fix_before, iters=5)
-        ypr = jax.vmap(lambda qq: jnp.stack(matrix_to_ypr(quat.to_rotation_matrix(qq))))(
-            out.q
-        )
+        ypr_d = jax.vmap(
+            lambda qq: jnp.stack(matrix_to_ypr(quat.to_rotation_matrix(qq)))
+        )(out.q)
+        out_r, ypr = jax.device_get((out.r, ypr_d))
         self.nodes = self.nodes._replace(
-            p=out.r,
-            yaw=ypr[:, 0].astype(self._dtype),
-            pitch=ypr[:, 1].astype(self._dtype),
-            roll=ypr[:, 2].astype(self._dtype),
+            p=np.array(out_r, self.nodes.p.dtype),
+            yaw=np.array(ypr[:, 0], self.nodes.yaw.dtype),
+            pitch=np.array(ypr[:, 1], self.nodes.pitch.dtype),
+            roll=np.array(ypr[:, 2], self.nodes.roll.dtype),
         )
 
     def add_primitive_pose(self, t: float, T: Transformation) -> None:
@@ -506,16 +525,16 @@ class LoopCloser:
     def apply_drift(self, T_WC: Transformation) -> Transformation:
         """Drift-corrected pose for a raw VIO pose (yaw-only rotation drift
         in 4-DoF mode, full rotation drift in 6-DoF mode)."""
-        Rd = jnp.asarray(self.R_drift, self._dtype)
-        dq = quat.from_rotation_matrix(Rd)
+        Rd = np.asarray(self.R_drift)
+        dq = npq.from_rotation_matrix(Rd)
         return Transformation(
-            r=Rd @ jnp.asarray(T_WC.r, self._dtype) + jnp.asarray(self.t_drift, self._dtype),
-            q=quat.normalize(quat.multiply(dq, jnp.asarray(T_WC.q, self._dtype))),
+            r=Rd @ np.asarray(T_WC.r) + self.t_drift,
+            q=npq.normalize(npq.multiply(dq, np.asarray(T_WC.q))),
         )
 
     def optimized_path(self) -> np.ndarray:
         n = len(self.keyframes)
-        return np.asarray(self.nodes.p[:n])
+        return self.nodes.p[:n].copy()
 
     def corrected_keyframe_poses(self) -> Dict[int, Transformation]:
         """Loop-corrected pose per keyframe index — feeds
@@ -523,11 +542,11 @@ class LoopCloser:
         re-projects the map through these after optimization)."""
         out: Dict[int, Transformation] = {}
         for k in range(len(self.keyframes)):
-            R = ypr_to_matrix(
+            R = ypr_to_matrix_np(
                 self.nodes.yaw[k], self.nodes.pitch[k], self.nodes.roll[k]
             )
             out[k] = Transformation(
-                r=self.nodes.p[k], q=quat.from_rotation_matrix(R)
+                r=self.nodes.p[k], q=npq.from_rotation_matrix(R)
             )
         return out
 
@@ -537,11 +556,11 @@ class LoopCloser:
         n = len(self.keyframes)
         with open(path, "w") as f:
             for k in range(n):
-                p = np.asarray(self.nodes.p[k])
-                R = ypr_to_matrix(
+                p = self.nodes.p[k]
+                R = ypr_to_matrix_np(
                     self.nodes.yaw[k], self.nodes.pitch[k], self.nodes.roll[k]
                 )
-                q = np.asarray(quat.from_rotation_matrix(R))
+                q = npq.from_rotation_matrix(R)
                 t = self.keyframes[k].timestamp
                 f.write(
                     f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "

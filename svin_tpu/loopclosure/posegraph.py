@@ -20,6 +20,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..kinematics import quaternion as quat
 
@@ -67,6 +68,35 @@ def matrix_to_ypr(R: jnp.ndarray):
 
 def normalize_angle(a):
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
+
+
+# numpy twins for the HOST bookkeeping path (per-keyframe logic must not
+# emit device ops — see svin_tpu.kinematics.npq)
+def ypr_to_matrix_np(yaw, pitch, roll):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    return np.array(
+        [
+            [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+            [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+            [-sp, cp * sr, cp * cr],
+        ]
+    )
+
+
+def matrix_to_ypr_np(R):
+    R = np.asarray(R)
+    yaw = np.arctan2(R[..., 1, 0], R[..., 0, 0])
+    pitch = np.arctan2(
+        -R[..., 2, 0], np.sqrt(R[..., 2, 1] ** 2 + R[..., 2, 2] ** 2)
+    )
+    roll = np.arctan2(R[..., 2, 1], R[..., 2, 2])
+    return yaw, pitch, roll
+
+
+def normalize_angle_np(a):
+    return np.arctan2(np.sin(a), np.cos(a))
 
 
 def _edge_residual(nodes: PoseGraphNodes, e_i, e_j, t_ij, yaw_ij, delta):

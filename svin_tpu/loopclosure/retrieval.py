@@ -120,30 +120,38 @@ def load_vocabulary(path: str) -> jnp.ndarray:
 
 
 class KeyframeDatabase:
-    """Host-managed growable database of BoW vectors (device-resident matrix).
+    """Growable database of BoW vectors.
 
-    Replaces ``DBoW2::TemplatedDatabase`` inverted files with a dense score —
-    at ≤ tens of thousands of keyframes a (N, V) matrix-vector product on
-    TPU beats inverted-index pointer chasing by orders of magnitude.
+    Replaces ``DBoW2::TemplatedDatabase`` inverted files with a dense score.
+    BoW quantization (the Hamming distance matrix against the codebook) runs
+    as one fixed-shape device program; the (N, V) score itself is host numpy
+    — per-keyframe growth would otherwise force a device recompile per
+    database size, and at ≤ tens of thousands of keyframes the dense L1 is
+    microseconds either way. A packed device matrix remains the layout for
+    the distributed/pod-scale path.
     """
 
     def __init__(self, capacity: int = 4096, vocab: Optional[jnp.ndarray] = None):
         self.vocab = vocab if vocab is not None else make_vocabulary()
         V = self.vocab.shape[0]
         self.capacity = capacity
-        self.vectors = jnp.zeros((capacity, V), jnp.float32)
+        self.vectors = np.zeros((capacity, V), np.float32)
         self.count = 0
+
+    def _bow_np(self, desc, valid) -> np.ndarray:
+        return jax.device_get(
+            bow_vector(desc, valid, self.vocab, self.vocab.shape[0])
+        )
 
     def add(self, desc: jnp.ndarray, valid: jnp.ndarray) -> int:
         """Add a keyframe; returns its database index."""
         if self.count >= self.capacity:  # grow
-            self.vectors = jnp.concatenate(
-                [self.vectors, jnp.zeros_like(self.vectors)], axis=0
+            self.vectors = np.concatenate(
+                [self.vectors, np.zeros_like(self.vectors)], axis=0
             )
             self.capacity *= 2
-        v = bow_vector(desc, valid, self.vocab, self.vocab.shape[0])
         idx = self.count
-        self.vectors = self.vectors.at[idx].set(v)
+        self.vectors[idx] = self._bow_np(desc, valid)
         self.count += 1
         return idx
 
@@ -158,12 +166,11 @@ class KeyframeDatabase:
         (the reference queries excluding the most recent 50 keyframes)."""
         if self.count == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        v = bow_vector(desc, valid, self.vocab, self.vocab.shape[0])
-        s = l1_scores(v, self.vectors[: self.count])
+        v = self._bow_np(desc, valid)
         n = self.count if exclude_after is None else max(0, min(exclude_after, self.count))
         if n == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        s = np.asarray(s[:n])
+        s = 1.0 - 0.5 * np.sum(np.abs(self.vectors[:n] - v[None, :]), axis=-1)
         k = min(top_k, n)
         idx = np.argpartition(-s, k - 1)[:k]
         idx = idx[np.argsort(-s[idx])]

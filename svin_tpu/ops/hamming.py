@@ -159,3 +159,11 @@ def match_descriptors(
     if mask is not None:
         m = m & mask
     return match(d, m, max_distance=max_distance, ratio=ratio, mutual=mutual)
+
+
+# one-program variant for host-sequenced pipelines: distance matrix +
+# selection fused into a single compiled call (the un-jitted version above
+# is fine inside larger jitted programs, where it inlines anyway)
+match_descriptors_jit = partial(
+    jax.jit, static_argnames=("max_distance", "ratio", "mutual")
+)(match_descriptors)

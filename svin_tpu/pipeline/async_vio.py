@@ -93,18 +93,20 @@ class AsyncVioEngine:
         dt = t - self._prop_t
         if dt <= 0 or dt > 1.0:
             return None
-        # simple Euler step (publishing-rate prediction, not estimation)
-        from ..kinematics import quaternion as qt
-        import jax.numpy as jnp
+        # simple Euler step (publishing-rate prediction, not estimation) —
+        # host numpy: this runs per IMU sample (100 Hz), a device dispatch
+        # per sample would throttle the whole live pipeline
+        from ..kinematics import npq
 
         w = gyro - self._prop_bias[:3]
         a = acc - self._prop_bias[3:6]
-        q = np.asarray(
-            qt.normalize(
-                qt.multiply(jnp.asarray(self._prop_q), qt.exp(jnp.asarray(w * dt)))
-            )
-        )
-        C = np.asarray(qt.to_rotation_matrix(jnp.asarray(self._prop_q)))
+        phi = np.asarray(w * dt, float)
+        ang = np.linalg.norm(phi)
+        half = 0.5 * ang
+        fac = 0.5 if ang < 1e-12 else np.sin(half) / ang
+        dq = np.concatenate([phi * fac, [np.cos(half)]])
+        q = npq.normalize(npq.multiply(self._prop_q, dq))
+        C = npq.to_rotation_matrix(self._prop_q)
         g = np.array([0.0, 0.0, self.engine.cfg.imu.g])
         v = self._prop_v + (C @ a - g) * dt
         r = self._prop_r + self._prop_v * dt + 0.5 * (C @ a - g) * dt * dt

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..estimator.window import Factors, WindowState
-from .vio import VioEngine
+from .vio import VioEngine, _to_np
 
 
 def _flatten(tree, prefix: str, out: dict) -> None:
@@ -72,9 +72,9 @@ def load_engine(engine: VioEngine, path: str) -> VioEngine:
     (only needed transiently for matching; tracking re-warms in one frame).
     """
     data = np.load(path, allow_pickle=False)
-    engine.window = _unflatten(engine.window, "window", data)
-    engine.factors = _unflatten(engine.factors, "factors", data)
-    engine._lm_desc = jnp.asarray(data["lm_desc"])
+    engine.window = _to_np(_unflatten(engine.window, "window", data))
+    engine.factors = _to_np(_unflatten(engine.factors, "factors", data))
+    engine._lm_desc = np.array(data["lm_desc"])
     meta = json.loads(str(data["meta"]))
     engine.n_states = meta["n_states"]
     engine.frame_count = meta["frame_count"]
@@ -129,8 +129,8 @@ def load_loop_closer(closer, path: str):
     from ..loopclosure.loop_closure import LoopKeyframe
 
     data = np.load(path, allow_pickle=False)
-    closer.nodes = _unflatten(closer.nodes, "nodes", data)
-    closer.edges = _unflatten(closer.edges, "edges", data)
+    closer.nodes = _to_np(_unflatten(closer.nodes, "nodes", data))
+    closer.edges = _to_np(_unflatten(closer.edges, "edges", data))
     meta = json.loads(str(data["meta"]))
     closer.n_edges = meta["n_edges"]
     closer.earliest_loop_index = meta["earliest_loop_index"]
@@ -144,7 +144,7 @@ def load_loop_closer(closer, path: str):
             for t, q in zip(data["edges_full_t"], data["edges_full_q"])
         ]
     n = int(data["db_vectors"].shape[0])
-    closer.db.vectors = closer.db.vectors.at[:n].set(jnp.asarray(data["db_vectors"]))
+    closer.db.vectors[:n] = data["db_vectors"]
     closer.db.count = n
     closer.keyframes = []
     if "kf_t" in data:

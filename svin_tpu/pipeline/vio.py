@@ -52,6 +52,7 @@ from ..kinematics import (
     Transformation,
     compose,
     inverse,
+    npq,
     transform_point,
     quaternion as quat,
 )
@@ -99,6 +100,51 @@ def _frontend_batch(
         return kp.uv, d, kp.valid, kp.score, kp.octave
 
     return jax.vmap(one)(imgs, g_C)
+
+
+def _to_np(tree):
+    """Device pytree → mutable host-numpy pytree (the engine's bookkeeping
+    state lives on the host; only the fixed-shape jitted programs touch the
+    device). MUST go through ``jax.device_get`` — it fetches the whole tree
+    in one batched transfer, while per-leaf ``np.array(leaf)`` issues one
+    RPC per leaf (catastrophic on remote/tunneled backends: ~6 s/leaf
+    observed on axon vs 44 ms for the whole tree)."""
+    host = jax.device_get(tree)
+    return jax.tree_util.tree_map(np.array, host)  # mutable copies
+
+
+_match_desc_jit = hamming.match_descriptors_jit
+
+
+def _make_project_points(cam):
+    @jax.jit
+    def fn(T_WC_r, T_WC_q, p_W):
+        p_C = transform_point(
+            inverse(Transformation(r=T_WC_r, q=T_WC_q)), p_W
+        )
+        return project(cam, p_C)
+
+    return fn
+
+
+def _make_triangulate_world(cam_a, cam_b):
+    """Jitted two-view world-frame triangulation for one camera pair:
+    back-project both pixel sets, rotate rays to world, midpoint
+    triangulation (triangulateFast analog) — one device program."""
+
+    @jax.jit
+    def fn(uv_a, uv_b, TWA_r, TWA_q, TWB_r, TWB_q, sigma):
+        rays_a = back_project(cam_a, uv_a)
+        rays_b = back_project(cam_b, uv_b)
+        eA = quat.rotate(TWA_q, rays_a)
+        eB = quat.rotate(TWB_q, rays_b)
+        pA = jnp.broadcast_to(TWA_r, eA.shape)
+        pB = jnp.broadcast_to(TWB_r, eB.shape)
+        tri = triangulate_fast(pA, eA, pB, eB, sigma)
+        pts = point_from_homogeneous(tri.hp)
+        return pts, tri.valid, tri.parallel, eA, eB
+
+    return fn
 
 
 @dataclass
@@ -183,6 +229,91 @@ class VioEngine:
                     valid=jnp.ones(self.rig.num_cameras, bool),
                 )
             )
+        # ---- bookkeeping state lives on the HOST as numpy; only the
+        # fixed-shape jitted programs below touch the device ----
+        self.window = _to_np(self.window)
+        self.factors = _to_np(self.factors)
+        self._lm_desc = np.zeros((self.wcfg.num_landmarks, 8), np.uint32)
+
+        # ---- the engine's device program set (compiled once each; stages
+        # that run back-to-back with no host decision between them are FUSED
+        # so each frame pays the fewest possible host↔device round trips) ----
+        rig_p, imu_p, wcfg = self.rig_p, self.cfg.imu, self.wcfg
+
+        def _reproj_px_err(w, f):
+            from ..estimator import eval_reprojection
+
+            ev = eval_reprojection(w, f, rig_p, wcfg)
+            wt = jnp.sqrt(jnp.maximum(ev.weight, 1e-9))
+            err = jnp.linalg.norm(ev.res, axis=-1) / (
+                jnp.maximum(f.reproj.sqrt_info, 1e-9) * wt
+            )
+            return ev.valid, err
+
+        def _opt_prune(w, f):
+            res = optimize(w, f, rig_p, imu_p, wcfg)
+            pv, pe = _reproj_px_err(res.window, f)
+            return res.window, res.cost, pv, pe
+
+        self._optimize_fn = jax.jit(_opt_prune)
+        self._reproj_err_fn = jax.jit(_reproj_px_err)
+        self._marginalize_fn = jax.jit(
+            lambda w, f, s: marginalize_slot(w, f, s, rig_p, imu_p, wcfg)
+        )
+
+        def _preint_prop(ts, gy, ac, mask, t0, t1, r, q, sb):
+            pre = preintegrate(ts, gy, ac, mask, t0, t1, sb[3:9], imu_p)
+            T_pred, sb_pred = propagate(
+                Transformation(r=r, q=q), sb, pre, imu_p
+            )
+            return pre, T_pred, sb_pred, sqrt_information(pre)
+
+        self._preint_prop_fn = jax.jit(_preint_prop)
+        self._preintegrate_fn = jax.jit(
+            lambda ts, gy, ac, mask, t0, t1, bias: preintegrate(
+                ts, gy, ac, mask, t0, t1, bias, imu_p
+            )
+        )
+
+        C = self.rig.num_cameras
+
+        def _gate_match_all(
+            uv, desc, kp_valid,  # (C,K,...) stacked over cameras
+            hp_W, lm_valid, lm_desc,
+            T_WS_r, T_WS_q, ext_r, ext_q,
+            gate_px: float = 30.0,
+        ):
+            def one(ci, uv_c, desc_c, val_c, er, eq):
+                T_WC = compose(
+                    Transformation(r=T_WS_r, q=T_WS_q),
+                    Transformation(r=er, q=eq),
+                )
+                p_C = transform_point(inverse(T_WC), hp_W[:, :3])
+                cam = rig_p.camera(ci)
+                uv_pred, proj_ok = project(cam, p_C)
+                proj_ok = proj_ok & lm_valid
+                d2 = jnp.sum(
+                    (uv_c[:, None, :] - uv_pred[None, :, :]) ** 2, axis=-1
+                )
+                mask = (d2 < gate_px * gate_px) & proj_ok[None, :]
+                res = hamming.match_descriptors(
+                    desc_c, lm_desc, val_c, lm_valid, mask=mask,
+                    max_distance=60, mutual=True,
+                )
+                return res.valid, res.idx_b, back_project(cam, uv_c)
+
+            return jax.vmap(one)(
+                jnp.arange(C), uv, desc, kp_valid, ext_r, ext_q
+            )
+
+        self._gate_match_all = jax.jit(
+            _gate_match_all, static_argnames=("gate_px",)
+        )
+        self._project_fns = [
+            _make_project_points(cam) for cam in self.rig.cameras
+        ]
+        self._tri_fns = {}  # (cam_a, cam_b) -> jitted world triangulation
+
         self.imu_t: List[float] = []
         self.imu_gyro: List[np.ndarray] = []
         self.imu_acc: List[np.ndarray] = []
@@ -193,6 +324,7 @@ class VioEngine:
         self.frames: Dict[int, _FrameData] = {}  # slot -> frame data
         self.last_kf_slot: Optional[int] = None
         self._track_miss_streak = 0  # widens the projection gate on losses
+        self._cost_last = 0.0
         self.frame_count = 0
         self.kf_count = 0
         self.next_state_id = 0
@@ -226,27 +358,42 @@ class VioEngine:
     def add_sonar_measurement(self, t: float, range_m: float, heading: float) -> None:
         self.sonar_buffer.append((float(t), float(range_m), float(heading)))
 
+    # IMU slice capacity: slices are padded (mask False) to the next
+    # multiple of this so the preintegration scan compiles for a handful of
+    # lengths instead of once per distinct sample count
+    _IMU_SLICE_QUANTUM = 64
+
     def _imu_slice(self, t0: float, t1: float):
         t = np.asarray(self.imu_t)
         m = (t >= t0 - TEMPORAL_IMU_OVERLAP) & (t <= t1 + TEMPORAL_IMU_OVERLAP)
         idx = np.nonzero(m)[0]
         if len(idx) < 2:
             return None
-        return (
-            jnp.asarray(t[idx], self.dtype),
-            jnp.asarray(np.stack([self.imu_gyro[i] for i in idx]), self.dtype),
-            jnp.asarray(np.stack([self.imu_acc[i] for i in idx]), self.dtype),
-        )
+        n = len(idx)
+        cap = -(-n // self._IMU_SLICE_QUANTUM) * self._IMU_SLICE_QUANTUM
+        ts = np.full(cap, t[idx[-1]])
+        gy = np.zeros((cap, 3))
+        ac = np.zeros((cap, 3))
+        mask = np.zeros(cap, bool)
+        ts[:n] = t[idx]
+        gy[:n] = np.stack([self.imu_gyro[i] for i in idx])
+        ac[:n] = np.stack([self.imu_acc[i] for i in idx])
+        mask[:n] = True
+        return ts, gy, ac, mask
 
     def _preintegrate(self, t0: float, t1: float, bias):
+        """Returns a host-numpy Preintegral (or None without IMU data)."""
         sl = self._imu_slice(t0, t1)
         if sl is None:
             return None
-        ts, gy, ac = sl
-        return preintegrate(
-            ts, gy, ac, jnp.ones(ts.shape, bool),
-            jnp.asarray(t0, self.dtype), jnp.asarray(t1, self.dtype),
-            jnp.asarray(bias, self.dtype), self.cfg.imu,
+        ts, gy, ac, mask = sl
+        return _to_np(
+            self._preintegrate_fn(
+                jnp.asarray(ts, self.dtype), jnp.asarray(gy, self.dtype),
+                jnp.asarray(ac, self.dtype), mask,
+                jnp.asarray(t0, self.dtype), jnp.asarray(t1, self.dtype),
+                jnp.asarray(bias, self.dtype),
+            )
         )
 
     def _T_SC(self, ci: int) -> Transformation:
@@ -256,6 +403,20 @@ class VioEngine:
             r=self.window.ext_r[ci], q=self.window.ext_q[ci]
         )
 
+    def _T_WC_np(self, T_WS: Transformation, ci: int):
+        """(r, q) of T_WS ∘ T_SC as host numpy."""
+        return npq.compose_rq(
+            np.asarray(T_WS.r), np.asarray(T_WS.q),
+            self.window.ext_r[ci], self.window.ext_q[ci],
+        )
+
+    def _tri_fn(self, ca: int, cb: int):
+        if (ca, cb) not in self._tri_fns:
+            self._tri_fns[(ca, cb)] = _make_triangulate_world(
+                self.rig.cameras[ca], self.rig.cameras[cb]
+            )
+        return self._tri_fns[(ca, cb)]
+
     # ------------------------------------------------------------- frontend
     def _detect_describe(self, images: List[np.ndarray], T_WS_pred: Transformation):
         """Stage 1: preprocess + detect + describe each camera image.
@@ -263,25 +424,27 @@ class VioEngine:
         All same-shape cameras run as ONE batched device program (vmap over
         the camera axis) — the reference's per-camera frameConsumer threads
         (ThreadedKFVio.cpp:421-633) collapse into a single dispatch whose
-        convolutions/matmuls batch onto the MXU."""
-        # gravity-aligned extraction direction (Frontend.cpp:91-113)
+        convolutions/matmuls batch onto the MXU. Outputs are HOST numpy."""
+        # gravity-aligned extraction direction (Frontend.cpp:91-113) — host
+        r_WS = np.asarray(T_WS_pred.r)
+        q_WS = np.asarray(T_WS_pred.q)
         g_Cs = []
         for ci in range(len(images)):
-            T_WC = compose(T_WS_pred, self._T_SC(ci))
-            g_Cs.append(
-                quat.rotate(
-                    quat.conjugate(T_WC.q), jnp.array([0.0, 0.0, -1.0], self.dtype)
-                )
+            _, q_WC = npq.compose_rq(
+                r_WS, q_WS, self.window.ext_r[ci], self.window.ext_q[ci]
             )
+            g_Cs.append(npq.rotate(npq.conjugate(q_WC), np.array([0.0, 0.0, -1.0])))
         shapes = {np.asarray(img).shape for img in images}
         if len(images) > 1 and len(shapes) == 1:
-            uv, d, valid, score, octv = _frontend_batch(
-                jnp.asarray(np.stack([np.asarray(i) for i in images])),
-                jnp.stack(g_Cs).astype(jnp.float32),
-                max_keypoints=self.cfg.max_keypoints,
-                octaves=self.cfg.detection_octaves,
-                histogram_method=self.cfg.histogram_method,
-                clahe_clip_limit=self.cfg.clahe_clip_limit,
+            uv, d, valid, score, octv = _to_np(
+                _frontend_batch(
+                    jnp.asarray(np.stack([np.asarray(i) for i in images])),
+                    jnp.asarray(np.stack(g_Cs), jnp.float32),
+                    max_keypoints=self.cfg.max_keypoints,
+                    octaves=self.cfg.detection_octaves,
+                    histogram_method=self.cfg.histogram_method,
+                    clahe_clip_limit=self.cfg.clahe_clip_limit,
+                )
             )
             n = len(images)
             return (
@@ -291,26 +454,21 @@ class VioEngine:
             )
         uvs, descs, valids, scores, octs = [], [], [], [], []
         for ci, img in enumerate(images):
-            im = image_ops.preprocess(
-                jnp.asarray(img),
-                resize_factor=1.0,  # dataset images are pre-sized by reader
-                histogram_method=self.cfg.histogram_method,
-                clahe_clip_limit=self.cfg.clahe_clip_limit,
+            uv, d, valid, score, octv = _to_np(
+                _frontend_batch(
+                    jnp.asarray(np.asarray(img))[None],
+                    jnp.asarray(g_Cs[ci], jnp.float32)[None],
+                    max_keypoints=self.cfg.max_keypoints,
+                    octaves=self.cfg.detection_octaves,
+                    histogram_method=self.cfg.histogram_method,
+                    clahe_clip_limit=self.cfg.clahe_clip_limit,
+                )
             )
-            kp = detection.detect(
-                im, max_keypoints=self.cfg.max_keypoints,
-                octaves=self.cfg.detection_octaves,
-            )
-            ang = desc_ops.gravity_angles(kp.uv, g_Cs[ci].astype(im.dtype))
-            d = desc_ops.describe(
-                im, kp.uv, ang, kp.valid, octave=kp.octave,
-                max_octave=self.cfg.detection_octaves,
-            )
-            uvs.append(kp.uv)
-            descs.append(d)
-            valids.append(kp.valid)
-            scores.append(kp.score)
-            octs.append(kp.octave)
+            uvs.append(uv[0])
+            descs.append(d[0])
+            valids.append(valid[0])
+            scores.append(score[0])
+            octs.append(octv[0])
         return uvs, descs, valids, scores, octs
 
     def _landmark_descriptors(self):
@@ -333,42 +491,31 @@ class VioEngine:
         n = min(len(rows), len(free))
         if n < len(rows):
             rows = rows[:n]
-        idx = jnp.asarray(free[:n], jnp.int32)
+        idx = free[:n]
         f = self.factors.reproj
-        f = f._replace(
-            uv=f.uv.at[idx].set(jnp.asarray(np.stack([r[0] for r in rows]), self.dtype)),
-            state_idx=f.state_idx.at[idx].set(
-                jnp.asarray([r[1] for r in rows], jnp.int32)
-            ),
-            lm_idx=f.lm_idx.at[idx].set(jnp.asarray([r[2] for r in rows], jnp.int32)),
-            cam_idx=f.cam_idx.at[idx].set(jnp.asarray([r[3] for r in rows], jnp.int32)),
-            sqrt_info=f.sqrt_info.at[idx].set(
-                jnp.asarray([r[4] for r in rows], self.dtype)
-            ),
-            valid=f.valid.at[idx].set(True),
-        )
-        self.factors = self.factors._replace(reproj=f)
+        f.uv[idx] = np.stack([r[0] for r in rows])
+        f.state_idx[idx] = [r[1] for r in rows]
+        f.lm_idx[idx] = [r[2] for r in rows]
+        f.cam_idx[idx] = [r[3] for r in rows]
+        f.sqrt_info[idx] = [r[4] for r in rows]
+        f.valid[idx] = True
 
     def _allocate_landmarks(self, points_W: np.ndarray, descs) -> np.ndarray:
         """Allocate landmark slots; returns slot indices (-1 on overflow)."""
-        lm_valid = np.asarray(self.window.lm_valid)
-        free = np.nonzero(~lm_valid)[0]
+        free = np.nonzero(~self.window.lm_valid)[0]
         n = min(len(points_W), len(free))
         slots = np.full(len(points_W), -1, np.int32)
         if n == 0:
             return slots
         slots[:n] = free[:n]
-        sl = jnp.asarray(free[:n], jnp.int32)
-        self.window = self.window._replace(
-            hp_W=self.window.hp_W.at[sl, :3].set(
-                jnp.asarray(points_W[:n], self.dtype)
-            ).at[sl, 3].set(1.0),
-            lm_valid=self.window.lm_valid.at[sl].set(True),
-            lm_id=self.window.lm_id.at[sl].set(
-                jnp.arange(self.next_lm_id, self.next_lm_id + n, dtype=jnp.int32)
-            ),
+        sl = free[:n]
+        self.window.hp_W[sl, :3] = points_W[:n]
+        self.window.hp_W[sl, 3] = 1.0
+        self.window.lm_valid[sl] = True
+        self.window.lm_id[sl] = np.arange(
+            self.next_lm_id, self.next_lm_id + n, dtype=np.int32
         )
-        self._lm_desc = self._lm_desc.at[sl].set(descs[:n])
+        self._lm_desc[sl] = np.asarray(descs[:n])
         self.next_lm_id += n
         return slots
 
@@ -392,47 +539,40 @@ class VioEngine:
     def _initialize(self, t: float, images: List[np.ndarray]) -> Optional[FrameResult]:
         if len(self.imu_t) < 3:
             return None  # wait for IMU (ImuFrameSynchronizer analog)
-        self._lm_desc = jnp.zeros((self.wcfg.num_landmarks, 8), jnp.uint32)
+        self._lm_desc = np.zeros((self.wcfg.num_landmarks, 8), np.uint32)
         acc_mean = jnp.asarray(np.mean(self.imu_acc[-20:], axis=0), self.dtype)
-        T0 = init_pose_from_imu(acc_mean)
+        T0_h = jax.device_get(init_pose_from_imu(acc_mean))
+        T0 = Transformation(r=np.array(T0_h.r), q=np.array(T0_h.q))
         slot = 0
-        self.window = self.window._replace(
-            r=self.window.r.at[slot].set(T0.r),
-            q=self.window.q.at[slot].set(T0.q),
-            speed_bias=self.window.speed_bias.at[slot].set(jnp.zeros(9, self.dtype)),
-            state_valid=self.window.state_valid.at[slot].set(True),
-            is_keyframe=self.window.is_keyframe.at[slot].set(True),
-            timestamp=self.window.timestamp.at[slot].set(t),
-            state_id=self.window.state_id.at[slot].set(self.next_state_id),
-        )
+        w = self.window
+        w.r[slot] = T0.r
+        w.q[slot] = T0.q
+        w.speed_bias[slot] = 0.0
+        w.state_valid[slot] = True
+        w.is_keyframe[slot] = True
+        w.timestamp[slot] = t
+        w.state_id[slot] = self.next_state_id
         self.next_state_id += 1
         # gauge priors (reference: first-pose information 1e8, sb prior)
         pr = self.factors.priors
-        sbi = jnp.diag(
-            jnp.asarray(
-                np.concatenate([
-                    np.full(3, 10.0),
-                    np.full(3, 1.0 / self.cfg.imu.sigma_bg),
-                    np.full(3, 1.0 / self.cfg.imu.sigma_ba),
-                ]), self.dtype,
-            )
+        sbi = np.diag(
+            np.concatenate([
+                np.full(3, 10.0),
+                np.full(3, 1.0 / self.cfg.imu.sigma_bg),
+                np.full(3, 1.0 / self.cfg.imu.sigma_ba),
+            ])
         )
         # gauge prior: strong on position + yaw (the unobservable directions),
         # weak on roll/pitch (gravity-observable — a hard prior would pin any
         # initialization error from non-static starts)
-        pose_si = jnp.diag(
-            jnp.asarray([1e4, 1e4, 1e4, 5.0, 5.0, 1e4], self.dtype)
-        )
-        pr = pr._replace(
-            pose_mean_r=pr.pose_mean_r.at[slot].set(T0.r),
-            pose_mean_q=pr.pose_mean_q.at[slot].set(T0.q),
-            pose_sqrt_info=pr.pose_sqrt_info.at[slot].set(pose_si),
-            pose_valid=pr.pose_valid.at[slot].set(True),
-            sb_mean=pr.sb_mean.at[slot].set(jnp.zeros(9, self.dtype)),
-            sb_sqrt_info=pr.sb_sqrt_info.at[slot].set(sbi),
-            sb_valid=pr.sb_valid.at[slot].set(True),
-        )
-        self.factors = self.factors._replace(priors=pr)
+        pose_si = np.diag([1e4, 1e4, 1e4, 5.0, 5.0, 1e4])
+        pr.pose_mean_r[slot] = T0.r
+        pr.pose_mean_q[slot] = T0.q
+        pr.pose_sqrt_info[slot] = pose_si
+        pr.pose_valid[slot] = True
+        pr.sb_mean[slot] = 0.0
+        pr.sb_sqrt_info[slot] = sbi
+        pr.sb_valid[slot] = True
         self._attach_depth_factor(slot, t)
 
         uvs, descs, valids, scores, octs = self._detect_describe(images, T0)
@@ -466,12 +606,9 @@ class VioEngine:
         if not near:
             return
         dep = self.factors.depth
-        dep = dep._replace(
-            depth=dep.depth.at[slot].set(float(np.mean(near))),
-            first_depth=jnp.asarray(self.first_depth or 0.0, self.dtype),
-            valid=dep.valid.at[slot].set(True),
-        )
-        self.factors = self.factors._replace(depth=dep)
+        dep.depth[slot] = float(np.mean(near))
+        dep.first_depth[...] = self.first_depth or 0.0
+        dep.valid[slot] = True
 
     def _attach_sonar_factor(self, slot: int, t: float, T_WS: Transformation):
         if not self.cfg.is_sonar_used or not self.sonar_buffer:
@@ -480,29 +617,21 @@ class VioEngine:
         if not near:
             return
         _, rng, heading = near[-1]
-        # beam point in world: T_WS * T_SSo * (r cosθ, r sinθ, 0)
-        from ..kinematics import from_matrix
-
-        T_SSo = from_matrix(jnp.asarray(self.cfg.T_SSo, self.dtype))
-        p_So = jnp.asarray(
-            [rng * np.cos(heading), rng * np.sin(heading), 0.0], self.dtype
-        )
-        beam_W = np.asarray(transform_point(compose(T_WS, T_SSo), p_So))
+        # beam point in world: T_WS * T_SSo * (r cosθ, r sinθ, 0) — host math
+        M = np.asarray(self.cfg.T_SSo, float)
+        p_So = np.asarray([rng * np.cos(heading), rng * np.sin(heading), 0.0])
+        p_S = M[:3, :3] @ p_So + M[:3, 3]
+        beam_W = npq.rotate(np.asarray(T_WS.q), p_S) + np.asarray(T_WS.r)
         # landmark subset within ±0.1 m box of the beam point
-        lms = np.asarray(self.window.hp_W[:, :3])
-        ok = np.asarray(self.window.lm_valid) & (
-            np.all(np.abs(lms - beam_W) < 0.1, axis=1)
-        )
+        lms = self.window.hp_W[:, :3]
+        ok = self.window.lm_valid & (np.all(np.abs(lms - beam_W) < 0.1, axis=1))
         if ok.sum() == 0:
             return
         target = lms[ok].mean(axis=0)
         so = self.factors.sonar
-        so = so._replace(
-            range=so.range.at[slot].set(float(rng)),
-            target_W=so.target_W.at[slot].set(jnp.asarray(target, self.dtype)),
-            valid=so.valid.at[slot].set(True),
-        )
-        self.factors = self.factors._replace(sonar=so)
+        so.range[slot] = float(rng)
+        so.target_W[slot] = target
+        so.valid[slot] = True
 
     def _stereo_initialize_landmarks(
         self, slot: int, fd: _FrameData, T_WS: Transformation
@@ -512,41 +641,40 @@ class VioEngine:
         to a landmark participate."""
         if self.rig.num_cameras < 2:
             return 0
-        un_a = jnp.asarray(fd.kp_landmark[0] < 0)
-        un_b = jnp.asarray(fd.kp_landmark[1] < 0)
-        res = hamming.match_descriptors(
+        un_a = fd.kp_landmark[0] < 0
+        un_b = fd.kp_landmark[1] < 0
+        res = _match_desc_jit(
             fd.kp_desc[0], fd.kp_desc[1],
             fd.kp_valid[0] & un_a, fd.kp_valid[1] & un_b,
             max_distance=60, mutual=True,
         )
-        m = np.asarray(res.valid)
+        m, idx_b = jax.device_get((res.valid, res.idx_b))
         if m.sum() == 0:
             return 0
         # fixed-size triangulation batch (pad → one compilation per run)
         CAP = self.cfg.max_keypoints
         ia_raw = np.nonzero(m)[0][:CAP]
-        ib_raw = np.asarray(res.idx_b)[ia_raw]
+        ib_raw = idx_b[ia_raw]
         npair = len(ia_raw)
         ia = np.zeros(CAP, np.int64)
         ib = np.zeros(CAP, np.int64)
         ia[:npair] = ia_raw
         ib[:npair] = ib_raw
         pair_ok = np.arange(CAP) < npair
-        # triangulate in world frame
-        rays_a = back_project(self.rig.cameras[0], fd.kp_uv[0][jnp.asarray(ia)])
-        rays_b = back_project(self.rig.cameras[1], fd.kp_uv[1][jnp.asarray(ib)])
-        T_WA = compose(T_WS, self._T_SC(0))
-        T_WB = compose(T_WS, self._T_SC(1))
-        eA = quat.rotate(T_WA.q, rays_a)
-        eB = quat.rotate(T_WB.q, rays_b)
-        pA = jnp.broadcast_to(T_WA.r, eA.shape)
-        pB = jnp.broadcast_to(T_WB.r, eB.shape)
-        sigma = jnp.full(eA.shape[0], 2.0 / float(self.rig.cameras[0].fu))
-        tri = triangulate_fast(pA, eA, pB, eB, sigma)
-        pts = np.asarray(point_from_homogeneous(tri.hp))
-        good = np.asarray(tri.valid) & ~np.asarray(tri.parallel) & pair_ok
+        # triangulate in world frame (one jitted program)
+        rA, qA = self._T_WC_np(T_WS, 0)
+        rB, qB = self._T_WC_np(T_WS, 1)
+        sigma = np.full(CAP, 2.0 / float(self.rig.cameras[0].fu))
+        pts_d, tri_valid, tri_par, _, _ = self._tri_fn(0, 1)(
+            fd.kp_uv[0][ia], fd.kp_uv[1][ib],
+            jnp.asarray(rA, self.dtype), jnp.asarray(qA, self.dtype),
+            jnp.asarray(rB, self.dtype), jnp.asarray(qB, self.dtype),
+            jnp.asarray(sigma, self.dtype),
+        )
+        pts, tri_valid, tri_par = jax.device_get((pts_d, tri_valid, tri_par))
+        good = tri_valid & ~tri_par & pair_ok
         # depth sanity
-        depth = np.linalg.norm(pts - np.asarray(T_WA.r), axis=1)
+        depth = np.linalg.norm(pts - rA, axis=1)
         good &= (depth > 0.1) & (depth < 60.0)
         ia, ib, pts, depth = ia[good], ib[good], pts[good], depth[good]
         if len(ia) == 0:
@@ -554,25 +682,25 @@ class VioEngine:
         # dedup: never create a landmark on top of an existing one (a missed
         # map match must not spawn a duplicate that then splits future
         # matches under mutual-consistency)
-        lm_valid = np.asarray(self.window.lm_valid)
+        lm_valid = self.window.lm_valid
         if lm_valid.sum() > 0:
-            existing = np.asarray(self.window.hp_W[:, :3])[lm_valid]
+            existing = self.window.hp_W[:, :3][lm_valid]
             d = np.linalg.norm(pts[:, None, :] - existing[None, :, :], axis=-1)
             min_d = d.min(axis=1)
             keep = min_d > np.maximum(0.1, 0.04 * depth)
             ia, ib, pts = ia[keep], ib[keep], pts[keep]
             if len(ia) == 0:
                 return 0
-        slots = self._allocate_landmarks(pts, fd.kp_desc[0][jnp.asarray(ia)])
+        slots = self._allocate_landmarks(pts, fd.kp_desc[0][ia])
         rows = []
         for k, (a, b_) in enumerate(zip(ia, ib)):
             if slots[k] < 0:
                 continue
             fd.kp_landmark[0][a] = slots[k]
             fd.kp_landmark[1][b_] = slots[k]
-            rows.append((np.asarray(fd.kp_uv[0][a]), slot, slots[k], 0,
+            rows.append((fd.kp_uv[0][a], slot, slots[k], 0,
                          self._kp_info(fd, 0, a)))
-            rows.append((np.asarray(fd.kp_uv[1][b_]), slot, slots[k], 1,
+            rows.append((fd.kp_uv[1][b_], slot, slots[k], 1,
                          self._kp_info(fd, 1, b_)))
         self._add_observations(rows)
         return int((slots >= 0).sum())
@@ -605,86 +733,85 @@ class VioEngine:
             np.hypot(self.rig.cameras[0].width, self.rig.cameras[0].height)
         )
         for ci in range(min(self.rig.num_cameras, len(fd_prev.kp_uv))):
-            un_cur = jnp.asarray(fd.kp_landmark[ci] < 0)
-            un_prev = jnp.asarray(fd_prev.kp_landmark[ci] < 0)
+            un_cur = fd.kp_landmark[ci] < 0
+            un_prev = fd_prev.kp_landmark[ci] < 0
             # optical-flow gate: keyframe-to-keyframe image motion is
             # bounded; distant uv pairs are almost surely wrong matches
-            d2_uv = jnp.sum(
+            d2_uv = np.sum(
                 (fd.kp_uv[ci][:, None, :] - fd_prev.kp_uv[ci][None, :, :]) ** 2,
                 axis=-1,
             )
             flow_mask = d2_uv < (0.25 * diag) ** 2
-            res = hamming.match_descriptors(
+            res = _match_desc_jit(
                 fd.kp_desc[ci], fd_prev.kp_desc[ci],
                 fd.kp_valid[ci] & un_cur, fd_prev.kp_valid[ci] & un_prev,
                 mask=flow_mask, max_distance=60, mutual=True,
             )
-            m = np.asarray(res.valid)
+            m, idx_b = jax.device_get((res.valid, res.idx_b))
             if m.sum() == 0:
                 continue
             ia_raw = np.nonzero(m)[0][:CAP]
-            ib_raw = np.asarray(res.idx_b)[ia_raw]
+            ib_raw = idx_b[ia_raw]
             npair = len(ia_raw)
             ia = np.zeros(CAP, np.int64)
             ib = np.zeros(CAP, np.int64)
             ia[:npair] = ia_raw
             ib[:npair] = ib_raw
             pair_ok = np.arange(CAP) < npair
-            rays_a = back_project(self.rig.cameras[ci], fd.kp_uv[ci][jnp.asarray(ia)])
-            rays_b = back_project(
-                self.rig.cameras[ci], fd_prev.kp_uv[ci][jnp.asarray(ib)]
+            rA, qA = self._T_WC_np(T_WS, ci)
+            rB, qB = self._T_WC_np(T_prev, ci)
+            sigma = np.full(CAP, 2.0 / float(self.rig.cameras[ci].fu))
+            pts_d, tri_valid, tri_par, eA_d, eB_d = self._tri_fn(ci, ci)(
+                fd.kp_uv[ci][ia], fd_prev.kp_uv[ci][ib],
+                jnp.asarray(rA, self.dtype), jnp.asarray(qA, self.dtype),
+                jnp.asarray(rB, self.dtype), jnp.asarray(qB, self.dtype),
+                jnp.asarray(sigma, self.dtype),
             )
-            T_WA = compose(T_WS, self._T_SC(ci))
-            T_WB = compose(T_prev, self._T_SC(ci))
-            eA = quat.rotate(T_WA.q, rays_a)
-            eB = quat.rotate(T_WB.q, rays_b)
-            pA = jnp.broadcast_to(T_WA.r, eA.shape)
-            pB = jnp.broadcast_to(T_WB.r, eB.shape)
-            sigma = jnp.full(eA.shape[0], 2.0 / float(self.rig.cameras[ci].fu))
-            tri = triangulate_fast(pA, eA, pB, eB, sigma)
-            pts = np.asarray(point_from_homogeneous(tri.hp))
-            good = np.asarray(tri.valid) & ~np.asarray(tri.parallel) & pair_ok
-            depth = np.linalg.norm(pts - np.asarray(T_WA.r), axis=1)
+            pts, eA, eB, tri_valid, tri_par = jax.device_get(
+                (pts_d, eA_d, eB_d, tri_valid, tri_par)
+            )
+            good = tri_valid & ~tri_par & pair_ok
+            depth = np.linalg.norm(pts - rA, axis=1)
             good &= (depth > 0.1) & (depth < 60.0)
             # epipolar-consistency gate: a correct match is coplanar with the
             # baseline (|eA · (t̂ × eB)| ≈ 0) at ANY depth; wrong matches are
             # not. This is what actually rejects mismatches — a bare parallax
             # gate would keep only mismatches when the baseline is small.
-            t_ab = np.asarray(T_WB.r) - np.asarray(T_WA.r)
+            t_ab = rB - rA
             t_hat = t_ab / max(np.linalg.norm(t_ab), 1e-12)
-            n_ep = np.cross(np.broadcast_to(t_hat, np.asarray(eB).shape), np.asarray(eB))
+            n_ep = np.cross(np.broadcast_to(t_hat, eB.shape), eB)
             nn = np.linalg.norm(n_ep, axis=1)
             ok_n = nn > 1e-6  # eB parallel to baseline → epipolar undefined
             n_ep = n_ep / np.maximum(nn, 1e-12)[:, None]
             good &= ok_n & (
-                np.abs(np.sum(np.asarray(eA) * n_ep, axis=1)) < np.sin(np.radians(0.7))
+                np.abs(np.sum(eA * n_ep, axis=1)) < np.sin(np.radians(0.7))
             )
             # parallax gate: require a minimum triangulation angle (≈1°) or
             # the depth is ill-conditioned (the stereo path needs no such
             # gate — its baseline is fixed by the rig)
-            cos_ang = np.asarray(jnp.sum(eA * eB, axis=-1))
+            cos_ang = np.sum(eA * eB, axis=-1)
             good &= cos_ang < np.cos(np.radians(1.0))
             ia, ib, pts, depth = ia[good], ib[good], pts[good], depth[good]
             if len(ia) == 0:
                 continue
             # dedup against existing landmarks (same rule as stereo init)
-            lm_valid = np.asarray(self.window.lm_valid)
+            lm_valid = self.window.lm_valid
             if lm_valid.sum() > 0:
-                existing = np.asarray(self.window.hp_W[:, :3])[lm_valid]
+                existing = self.window.hp_W[:, :3][lm_valid]
                 d = np.linalg.norm(pts[:, None, :] - existing[None, :, :], axis=-1)
                 keep = d.min(axis=1) > np.maximum(0.1, 0.04 * depth)
                 ia, ib, pts = ia[keep], ib[keep], pts[keep]
                 if len(ia) == 0:
                     continue
-            slots = self._allocate_landmarks(pts, fd.kp_desc[ci][jnp.asarray(ia)])
+            slots = self._allocate_landmarks(pts, fd.kp_desc[ci][ia])
             for k, (a, b_) in enumerate(zip(ia, ib)):
                 if slots[k] < 0:
                     continue
                 fd.kp_landmark[ci][a] = slots[k]
                 fd_prev.kp_landmark[ci][b_] = slots[k]
-                rows.append((np.asarray(fd.kp_uv[ci][a]), slot, slots[k], ci,
+                rows.append((fd.kp_uv[ci][a], slot, slots[k], ci,
                              self._kp_info(fd, ci, a)))
-                rows.append((np.asarray(fd_prev.kp_uv[ci][b_]), prev_slot,
+                rows.append((fd_prev.kp_uv[ci][b_], prev_slot,
                              slots[k], ci, self._kp_info(fd_prev, ci, b_)))
                 total += 1
         self._add_observations(rows)
@@ -697,7 +824,7 @@ class VioEngine:
         (VioKeyframeWindowMatchingAlgorithm::doSetup + 3D2D matching), then
         reject association outliers with 3D-2D RANSAC
         (Frontend::runRansac3d2d, 50 hypotheses, 3 px)."""
-        lm_valid = np.asarray(self.window.lm_valid)
+        lm_valid = self.window.lm_valid
         if lm_valid.sum() == 0:
             return 0
         n_tracked = 0
@@ -707,29 +834,23 @@ class VioEngine:
         # prediction pushes true matches outside a fixed gate
         gate_px = 30.0 * (2.0 ** min(self._track_miss_streak, 2))
         candidates = []  # (cam, kp_idx, lm_slot, uv, bearing_C)
+        mv_d, midx_d, rays_d = self._gate_match_all(
+            np.stack(fd.kp_uv), np.stack(fd.kp_desc), np.stack(fd.kp_valid),
+            self.window.hp_W, self.window.lm_valid, self._lm_desc,
+            jnp.asarray(np.asarray(T_WS_pred.r), self.dtype),
+            jnp.asarray(np.asarray(T_WS_pred.q), self.dtype),
+            jnp.asarray(self.window.ext_r, self.dtype),
+            jnp.asarray(self.window.ext_q, self.dtype),
+            gate_px=gate_px,
+        )
+        mv_all, midx_all, rays_all = jax.device_get((mv_d, midx_d, rays_d))
         for ci in range(self.rig.num_cameras):
-            T_WC = compose(T_WS_pred, self._T_SC(ci))
-            p_C = transform_point(inverse(T_WC), self.window.hp_W[:, :3])
-            uv_pred, proj_ok = project(self.rig.cameras[ci], p_C)
-            proj_ok = proj_ok & self.window.lm_valid
-            # gating mask: keypoint within gate_px of predicted projection
-            d2 = jnp.sum(
-                (fd.kp_uv[ci][:, None, :] - uv_pred[None, :, :]) ** 2, axis=-1
-            )
-            mask = (d2 < gate_px * gate_px) & proj_ok[None, :]
-            res = hamming.match_descriptors(
-                fd.kp_desc[ci], self._lm_desc,
-                fd.kp_valid[ci], self.window.lm_valid,
-                mask=mask, max_distance=60, mutual=True,
-            )
-            mv = np.asarray(res.valid)
-            midx = np.asarray(res.idx_b)
-            rays = np.asarray(back_project(self.rig.cameras[ci], fd.kp_uv[ci]))
+            mv, midx, rays = mv_all[ci], midx_all[ci], rays_all[ci]
             for k in np.nonzero(mv)[0]:
                 l = int(midx[k])
                 if fd.kp_landmark[ci][k] >= 0:
                     continue
-                candidates.append((ci, int(k), l, np.asarray(fd.kp_uv[ci][k]), rays[k]))
+                candidates.append((ci, int(k), l, fd.kp_uv[ci][k], rays[k]))
 
         if len(candidates) < 6:
             self._track_miss_streak += 1
@@ -737,8 +858,8 @@ class VioEngine:
 
         # RANSAC the camera-0 candidates for a pose model, then gate every
         # candidate (all cameras) by reprojection through the fitted pose.
-        lm_pts = np.asarray(self.window.hp_W[:, :3])
-        T_WC0 = compose(T_WS_pred, self._T_SC(0))
+        lm_pts = self.window.hp_W[:, :3]
+        r_WC0, q_WC0 = self._T_WC_np(T_WS_pred, 0)
         c0 = [c for c in candidates if c[0] == 0]
         T_WS_fit = T_WS_pred
         self._last_ransac_T_WS = None
@@ -757,34 +878,46 @@ class VioEngine:
                 jnp.asarray(pW_pad, self.dtype),
                 jnp.asarray(br_pad, self.dtype),
                 jnp.arange(CAP) < n0,
-                T_WC0,
+                Transformation(
+                    r=jnp.asarray(r_WC0, self.dtype),
+                    q=jnp.asarray(q_WC0, self.dtype),
+                ),
                 focal_px=float(self.rig.cameras[0].fu),
                 threshold_px=4.0,
                 num_hypotheses=50,
                 min_inliers=max(8, n0 // 3),
             )
+            rr = jax.device_get(rr)
             if bool(rr.success):
-                T_WS_fit = compose(
-                    Transformation(r=rr.T.r, q=rr.T.q),
-                    inverse(self._T_SC(0)),
+                r_fit, q_fit = rr.T.r, rr.T.q
+                ri, qi = npq.inverse_rq(
+                    self.window.ext_r[0], self.window.ext_q[0]
                 )
+                r_ws, q_ws = npq.compose_rq(r_fit, q_fit, ri, qi)
+                T_WS_fit = Transformation(r=r_ws, q=q_ws)
                 self._last_ransac_T_WS = T_WS_fit
                 accept_px = 4.0
         rows = []
         refresh_l, refresh_d = [], []
+        ACC_CAP = 512
         for ci in range(self.rig.num_cameras):
             sel = [c for c in candidates if c[0] == ci]
             if not sel:
                 continue
-            T_CW = inverse(compose(T_WS_fit, self._T_SC(ci)))
-            p_C = transform_point(
-                T_CW, jnp.asarray(np.stack([lm_pts[c[2]] for c in sel]), self.dtype)
+            ns = min(len(sel), ACC_CAP)
+            sel = sel[:ns]
+            pW_pad = np.zeros((ACC_CAP, 3))
+            pW_pad[:ns] = np.stack([lm_pts[c[2]] for c in sel])
+            r_WC, q_WC = self._T_WC_np(T_WS_fit, ci)
+            uv_hat_d, ok_proj_d = self._project_fns[ci](
+                jnp.asarray(r_WC, self.dtype), jnp.asarray(q_WC, self.dtype),
+                jnp.asarray(pW_pad, self.dtype),
             )
-            uv_hat, ok_proj = project(self.rig.cameras[ci], p_C)
+            uv_hat, ok_proj = jax.device_get((uv_hat_d, ok_proj_d))
             err = np.linalg.norm(
-                np.asarray(uv_hat) - np.stack([c[3] for c in sel]), axis=1
+                uv_hat[:ns] - np.stack([c[3] for c in sel]), axis=1
             )
-            ok = np.asarray(ok_proj) & (err < accept_px)
+            ok = ok_proj[:ns] & (err < accept_px)
             for (c, good) in zip(sel, ok):
                 if not good:
                     continue
@@ -795,9 +928,7 @@ class VioEngine:
                 refresh_d.append(fd.kp_desc[ci][k])
                 n_tracked += 1
         if refresh_l:
-            self._lm_desc = self._lm_desc.at[jnp.asarray(refresh_l, jnp.int32)].set(
-                jnp.stack(refresh_d)
-            )
+            self._lm_desc[refresh_l] = np.stack(refresh_d)
         self._add_observations(rows)
         self._track_miss_streak = 0 if n_tracked >= 6 else self._track_miss_streak + 1
         return n_tracked
@@ -814,20 +945,14 @@ class VioEngine:
         dt = max(float(dt), 1e-6)
         Q = np.diag([st * st * dt] * 3 + [so * so * dt] * 3)
         ep = self.factors.ext_prior
-        S = np.asarray(ep.sqrt_info)  # (C,6,6)
-        S_new = np.empty_like(S)
+        S = ep.sqrt_info  # (C,6,6)
         for c in range(S.shape[0]):
             info = S[c].T @ S[c]
             P = np.linalg.inv(info + 1e-12 * np.eye(6)) + Q
             info_new = np.linalg.inv(P)
-            S_new[c] = np.linalg.cholesky(info_new).T
-        self.factors = self.factors._replace(
-            ext_prior=ep._replace(
-                mean_r=self.window.ext_r,
-                mean_q=self.window.ext_q,
-                sqrt_info=jnp.asarray(S_new, self.dtype),
-            )
-        )
+            S[c] = np.linalg.cholesky(info_new).T
+        ep.mean_r[:] = self.window.ext_r
+        ep.mean_q[:] = self.window.ext_q
 
     def _accumulate_scale_state(self, t: float) -> None:
         """One-shot scale refinement over the first keyframes
@@ -839,8 +964,8 @@ class VioEngine:
         if sr.refined or self._last_ransac_T_WS is None:
             return
         T = self._last_ransac_T_WS
-        C_WS = np.asarray(quat.to_rotation_matrix(T.q))
-        p_C = np.asarray(compose(T, self._T_SC(0)).r)
+        C_WS = npq.to_rotation_matrix(np.asarray(T.q))
+        p_C = self._T_WC_np(T, 0)[0]
         if not sr.C_WS:  # first accumulated state
             sr.add_state(C_WS, p_C)
             self._scale_last_t = t
@@ -889,10 +1014,23 @@ class VioEngine:
         prev_slot = self.n_states - 1
         t_prev = float(self.window.timestamp[prev_slot])
         sb_prev = self.window.speed_bias[prev_slot]
-        pre = self._preintegrate(t_prev, t, sb_prev[3:9])
         T_prev = self.window.pose(prev_slot)
-        if pre is not None:
-            T_pred, sb_pred = propagate(T_prev, sb_prev, pre, self.cfg.imu)
+        sl = self._imu_slice(t_prev, t)
+        pre = None
+        W_imu = None
+        if sl is not None:
+            ts, gy, ac, mask = sl
+            pre_d, T_d, sb_d, W_d = self._preint_prop_fn(
+                jnp.asarray(ts, self.dtype), jnp.asarray(gy, self.dtype),
+                jnp.asarray(ac, self.dtype), mask,
+                jnp.asarray(t_prev, self.dtype), jnp.asarray(t, self.dtype),
+                jnp.asarray(T_prev.r, self.dtype),
+                jnp.asarray(T_prev.q, self.dtype),
+                jnp.asarray(sb_prev, self.dtype),
+            )
+            pre, T_h, sb_pred, W_imu = jax.device_get((pre_d, T_d, sb_d, W_d))
+            T_pred = Transformation(r=np.array(T_h.r), q=np.array(T_h.q))
+            sb_pred = np.array(sb_pred)
         else:
             T_pred, sb_pred = T_prev, sb_prev
 
@@ -912,32 +1050,29 @@ class VioEngine:
         slot = self.n_states
 
         # ---- state creation ----
-        self.window = self.window._replace(
-            r=self.window.r.at[slot].set(T_pred.r),
-            q=self.window.q.at[slot].set(T_pred.q),
-            speed_bias=self.window.speed_bias.at[slot].set(sb_pred),
-            state_valid=self.window.state_valid.at[slot].set(True),
-            timestamp=self.window.timestamp.at[slot].set(t),
-            state_id=self.window.state_id.at[slot].set(self.next_state_id),
-            is_keyframe=self.window.is_keyframe.at[slot].set(False),
-        )
+        w = self.window
+        w.r[slot] = np.asarray(T_pred.r)
+        w.q[slot] = np.asarray(T_pred.q)
+        w.speed_bias[slot] = sb_pred
+        w.state_valid[slot] = True
+        w.timestamp[slot] = t
+        w.state_id[slot] = self.next_state_id
+        w.is_keyframe[slot] = False
         self.next_state_id += 1
         self.frames[slot] = fd
         self.n_states += 1
 
         # IMU factor prev_slot -> slot
         if pre is not None:
-            W = sqrt_information(pre)
             imf = self.factors.imu
             k = slot - 1
-            imf = imf._replace(
-                pre=jax.tree_util.tree_map(
-                    lambda full, new: full.at[k].set(new), imf.pre, pre
-                ),
-                sqrt_info=imf.sqrt_info.at[k].set(W),
-                valid=imf.valid.at[k].set(True),
-            )
-            self.factors = self.factors._replace(imu=imf)
+            for full, new in zip(
+                jax.tree_util.tree_leaves(imf.pre),
+                jax.tree_util.tree_leaves(pre),
+            ):
+                full[k] = new
+            imf.sqrt_info[k] = W_imu
+            imf.valid[k] = True
 
         self._attach_depth_factor(slot, t)
         self._attach_sonar_factor(slot, t, T_pred)
@@ -955,33 +1090,34 @@ class VioEngine:
             # stereo pass left keypoints unassociated
             if self.rig.num_cameras < 2 or n_new == 0:
                 n_new += self._temporal_initialize_landmarks(slot, fd, T_pred)
-            self.window = self.window._replace(
-                is_keyframe=self.window.is_keyframe.at[slot].set(True)
-            )
+            self.window.is_keyframe[slot] = True
             self.last_kf_slot = slot
             self.kf_count += 1
             self._accumulate_scale_state(t)
 
         # ---- 6. optimize ----
         with Timer("3.1 optimization"):
-            res = optimize(
-                self.window, self.factors, self.rig_p, self.cfg.imu, self.wcfg
+            win_h, cost_h, pr_valid, pr_err = jax.device_get(
+                self._optimize_fn(self.window, self.factors)
             )
-        self.window = res.window
-        self._prune_outlier_observations()
+        self.window = jax.tree_util.tree_map(np.array, win_h)
+        self._cost_last = float(cost_h)
+        bad = pr_valid & (pr_err > self._PRUNE_PX)
+        if bad.any():
+            self.factors.reproj.valid[bad] = False
 
         self.frame_count += 1
         T_WS = self.window.pose(slot)
         result = FrameResult(
             timestamp=t,
             T_WS=Transformation(
-                r=np.asarray(T_WS.r), q=np.asarray(T_WS.q)
+                r=T_WS.r.copy(), q=T_WS.q.copy()
             ),
-            speed_bias=np.asarray(self.window.speed_bias[slot]),
+            speed_bias=self.window.speed_bias[slot].copy(),
             is_keyframe=is_kf,
             num_tracked=n_tracked,
             num_new_landmarks=n_new,
-            cost=float(res.cost),
+            cost=self._cost_last,
             keyframe_export=self._export_keyframe(slot, images) if is_kf else None,
         )
         self.trajectory.append((t, result.T_WS.r, result.T_WS.q))
@@ -996,22 +1132,13 @@ class VioEngine:
     def _prune_outlier_observations(self):
         """Post-optimization chi² gate (the reference's verifyMatch chi²<4
         reprojection gate applied continuously): invalidate observations
-        whose residual exceeds the pixel threshold."""
-        from ..estimator import eval_reprojection
-
-        ev = eval_reprojection(self.window, self.factors, self.rig_p, self.wcfg)
-        # residuals are weighted by sqrt_info (=1/px) and robust weight; undo
-        # the robust weight to get pixel error
-        w = jnp.sqrt(jnp.maximum(ev.weight, 1e-9))
-        err = jnp.linalg.norm(ev.res, axis=-1) / (
-            jnp.maximum(self.factors.reproj.sqrt_info, 1e-9) * w
-        )
-        bad = ev.valid & (err > self._PRUNE_PX)
-        if bool(jnp.any(bad)):
-            f = self.factors.reproj
-            self.factors = self.factors._replace(
-                reproj=f._replace(valid=f.valid & ~bad)
-            )
+        whose residual exceeds the pixel threshold. One jitted program
+        (residuals weighted by sqrt_info and robust weight — both undone to
+        get pixel error)."""
+        valid_d, err_d = self._reproj_err_fn(self.window, self.factors)
+        bad = np.asarray(valid_d) & (np.asarray(err_d) > self._PRUNE_PX)
+        if bad.any():
+            self.factors.reproj.valid[bad] = False
 
     # --------------------------------------------------- marginalization
     def _apply_marginalization_policy(self):
@@ -1020,7 +1147,7 @@ class VioEngine:
         keyframe, drop it; otherwise drop the oldest keyframe slot."""
         S = self.wcfg.num_states
         n_imu = self.cfg.num_imu_frames
-        is_kf = np.asarray(self.window.is_keyframe)
+        is_kf = self.window.is_keyframe
         # oldest of the recent (non-keyframe) frames — but NEVER the newest
         # slot: the incoming frame's IMU factor and pose prediction chain
         # from it (the reference marginalizes after state creation, so the
@@ -1036,10 +1163,11 @@ class VioEngine:
         self._marginalize(victim)
 
     def _marginalize(self, slot: int):
-        self.window, self.factors = marginalize_slot(
-            self.window, self.factors, jnp.int32(slot), self.rig_p,
-            self.cfg.imu, self.wcfg,
+        w_d, f_d = self._marginalize_fn(
+            self.window, self.factors, jnp.int32(slot)
         )
+        self.window = _to_np(w_d)
+        self.factors = _to_np(f_d)
         # host bookkeeping shift
         new_frames = {}
         for s, fdta in self.frames.items():
@@ -1063,22 +1191,20 @@ class VioEngine:
         keyframe indices, and health fields."""
         fd = self.frames[slot]
         T_WS = self.window.pose(slot)
-        T_WC = compose(
-            Transformation(r=T_WS.r, q=T_WS.q), self._T_SC(0)
-        )
+        r_WC, q_WC = self._T_WC_np(T_WS, 0)
+        T_WC = Transformation(r=r_WC, q=q_WC)
         kp_lm = fd.kp_landmark[0]
         sel = np.nonzero(kp_lm >= 0)[0]
         lm_slots = kp_lm[sel]
-        pts = np.asarray(self.window.hp_W[jnp.asarray(lm_slots), :3])
-        qual = np.asarray(self.window.lm_quality[jnp.asarray(lm_slots)])
-        lm_ids = np.asarray(self.window.lm_id[jnp.asarray(lm_slots)])
-        q = detection.quadrant_counts(
-            detection.Keypoints(
-                uv=fd.kp_uv[0], score=fd.kp_score[0],
-                angle=jnp.zeros_like(fd.kp_score[0]), valid=fd.kp_valid[0],
-            ),
-            self.rig.cameras[0].width, self.rig.cameras[0].height,
-        )
+        pts = self.window.hp_W[lm_slots, :3]
+        qual = self.window.lm_quality[lm_slots]
+        lm_ids = self.window.lm_id[lm_slots]
+        # per-quadrant counts — host numpy (SvinHealth analog)
+        W_, H_ = self.rig.cameras[0].width, self.rig.cameras[0].height
+        v = fd.kp_valid[0]
+        qx = (fd.kp_uv[0][:, 0] >= W_ / 2).astype(int)
+        qy = (fd.kp_uv[0][:, 1] >= H_ / 2).astype(int)
+        q = np.bincount((qy * 2 + qx)[v], minlength=4)[:4]
         # covisibility counts vs other window frames: shared landmark slots
         # (the export's per-point covisibility list, ThreadedKFVio.cpp:1147+)
         my_lms = set(int(l) for l in lm_slots)
@@ -1090,7 +1216,7 @@ class VioEngine:
                 1 for l in fd2.kp_landmark[0] if l >= 0 and int(l) in my_lms
             )
             if shared > 0:
-                covis[int(np.asarray(self.window.state_id[s2]))] = shared
+                covis[int(self.window.state_id[s2])] = shared
         return {
             "kf_index": self.kf_count,
             "timestamp": fd.timestamp,
@@ -1099,7 +1225,7 @@ class VioEngine:
             "T_WC_q": np.asarray(T_WC.q),
             "points_W": pts,
             "landmark_ids": lm_ids,
-            "keypoints_uv": np.asarray(fd.kp_uv[0][jnp.asarray(sel)]),
+            "keypoints_uv": fd.kp_uv[0][sel],
             "quality": qual,
             "num_tracked": int(len(sel)),
             # fresh (untracked) keypoints on the exported camera — the
@@ -1108,7 +1234,7 @@ class VioEngine:
                 (np.asarray(fd.kp_valid[0]) & (fd.kp_landmark[0] < 0)).sum()
             ),
             "quadrant_counts": np.asarray(q),
-            "response_strengths": np.asarray(fd.kp_score[0][jnp.asarray(sel)]),
+            "response_strengths": fd.kp_score[0][sel],
             "covisibilities": covis,  # state_id -> shared landmark count
         }
 

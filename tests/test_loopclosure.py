@@ -345,11 +345,9 @@ def test_fast_relocalization_drift_update():
     # old keyframe node at its corrected ("world") pose
     p_old = np.array([1.0, 2.0, 0.5])
     yaw_old = 0.3
-    closer.nodes = closer.nodes._replace(
-        p=closer.nodes.p.at[0].set(jnp.asarray(p_old, dtype)),
-        yaw=closer.nodes.yaw.at[0].set(yaw_old),
-        valid=closer.nodes.valid.at[0].set(True),
-    )
+    closer.nodes.p[0] = p_old
+    closer.nodes.yaw[0] = yaw_old
+    closer.nodes.valid[0] = True
     z8 = jnp.zeros((8, 8), jnp.uint32)
 
     def mk_kf(idx, r, yaw):
@@ -531,14 +529,12 @@ def test_loopcloser_6dof_mode_corrects_pitch_drift():
     y0, pi0, ro0 = matrix_to_ypr(jnp.asarray(R0))
     R1v = np.asarray(quat.to_rotation_matrix(jnp.asarray(q1_vio)))
     y1, pi1, ro1 = matrix_to_ypr(jnp.asarray(R1v))
-    closer.nodes = closer.nodes._replace(
-        p=closer.nodes.p.at[0].set(jnp.asarray(p0, dtype)).at[1].set(
-            jnp.asarray(p1_vio, dtype)),
-        yaw=closer.nodes.yaw.at[0].set(y0).at[1].set(y1),
-        pitch=closer.nodes.pitch.at[0].set(pi0).at[1].set(pi1),
-        roll=closer.nodes.roll.at[0].set(ro0).at[1].set(ro1),
-        valid=closer.nodes.valid.at[0].set(True).at[1].set(True),
-    )
+    closer.nodes.p[0] = p0
+    closer.nodes.p[1] = p1_vio
+    closer.nodes.yaw[0], closer.nodes.yaw[1] = float(y0), float(y1)
+    closer.nodes.pitch[0], closer.nodes.pitch[1] = float(pi0), float(pi1)
+    closer.nodes.roll[0], closer.nodes.roll[1] = float(ro0), float(ro1)
+    closer.nodes.valid[0] = closer.nodes.valid[1] = True
     # verified loop with the TRUE full relative (old frame 0 → cur 1)
     rel_t_full = R0.T @ (p1 - p0)
     rel_q_full = np.asarray(
