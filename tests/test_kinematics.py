@@ -140,3 +140,52 @@ def test_vmap_batch():
     batched = transform_point(Ts, ps)
     single = jax.vmap(transform_point)(Ts, ps)
     np.testing.assert_allclose(batched, single, atol=1e-9)
+
+
+def test_npq_matches_device_quaternion():
+    """The host-numpy quaternion helpers (kinematics.npq) must agree with
+    the jnp implementations bit-for-bit in convention (xyzw, Hamilton,
+    body->world rotation)."""
+    import numpy as np
+    from svin_tpu.kinematics import npq, quaternion as quat
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    for _ in range(10):
+        q1 = rng.randn(4); q1 /= np.linalg.norm(q1)
+        q2 = rng.randn(4); q2 /= np.linalg.norm(q2)
+        v = rng.randn(3)
+        np.testing.assert_allclose(
+            npq.multiply(q1, q2), np.asarray(quat.multiply(jnp.asarray(q1), jnp.asarray(q2))),
+            atol=1e-12)
+        np.testing.assert_allclose(
+            npq.to_rotation_matrix(q1),
+            np.asarray(quat.to_rotation_matrix(jnp.asarray(q1))), atol=1e-12)
+        np.testing.assert_allclose(
+            npq.rotate(q1, v), np.asarray(quat.rotate(jnp.asarray(q1), jnp.asarray(v))),
+            atol=1e-12)
+        np.testing.assert_allclose(npq.conjugate(q1), np.asarray(quat.conjugate(jnp.asarray(q1))), atol=1e-15)
+        # from_rotation_matrix round trip (sign-free comparison)
+        R = npq.to_rotation_matrix(q1)
+        qb = npq.from_rotation_matrix(R)
+        np.testing.assert_allclose(npq.to_rotation_matrix(qb), R, atol=1e-9)
+
+
+def test_npq_compose_inverse_transform():
+    import numpy as np
+    from svin_tpu.kinematics import npq
+
+    rng = np.random.RandomState(5)
+    r1, r2, p = rng.randn(3), rng.randn(3), rng.randn(3)
+    q1 = rng.randn(4); q1 /= np.linalg.norm(q1)
+    q2 = rng.randn(4); q2 /= np.linalg.norm(q2)
+    rc, qc = npq.compose_rq(r1, q1, r2, q2)
+    # (T1∘T2)(p) == T1(T2(p))
+    np.testing.assert_allclose(
+        npq.transform_point_rq(rc, qc, p),
+        npq.transform_point_rq(r1, q1, npq.transform_point_rq(r2, q2, p)),
+        atol=1e-12)
+    ri, qi = npq.inverse_rq(rc, qc)
+    np.testing.assert_allclose(
+        npq.transform_point_rq(ri, qi, npq.transform_point_rq(rc, qc, p)),
+        p, atol=1e-12)
