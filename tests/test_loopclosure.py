@@ -579,3 +579,89 @@ def test_vocabulary_save_load_roundtrip(tmp_path):
     db.add(vocab[:50], jnp.ones(50, bool))
     idx, scores = db.query(vocab[:50], jnp.ones(50, bool), top_k=1, exclude_after=1)
     assert idx[0] == 0 and scores[0] > 0.9
+
+
+def test_loop_closure_reduces_trajectory_error_e2e():
+    """Full chain on rendered imagery: retrieval → Hamming match → PnP
+    verification → 4-DoF pose graph → drift update. VIO poses carry
+    synthetic accumulated translation drift; the revisit's loop edges carry
+    the (GT-consistent) PnP relative, so the optimized keyframe path must be
+    substantially closer to ground truth than the drifted VIO path."""
+    cam, rig, renderer = _render_setup()
+    cfg = VioConfig()
+    cfg.loop_closure.min_correspondences = 12
+    closer = LoopCloser(cam, cfg)
+    import svin_tpu.loopclosure.loop_closure as lc_mod
+
+    old_excl = lc_mod.RECENCY_EXCLUSION
+    lc_mod.RECENCY_EXCLUSION = 5
+    try:
+        from svin_tpu.cameras import project
+        from svin_tpu.kinematics import inverse, transform_point
+
+        # 8 traverse keyframes + 3 revisits of the first three
+        times = [0.25 * k for k in range(8)] + [0.0, 0.25, 0.5]
+        lms = np.asarray(renderer.points_W, float)
+        gt_p, vio_p = [], []
+        drift_step = np.array([0.03, -0.02, 0.01])
+        found = []
+        for k, t in enumerate(times):
+            T_gt = sim.pose(renderer.traj, jnp.float64(t))
+            if k >= 8:  # revisit slightly offset
+                T_gt = Transformation(
+                    r=T_gt.r + jnp.array([0.04, -0.02, 0.01]), q=T_gt.q
+                )
+            d_k = k * drift_step
+            T_vio = Transformation(r=T_gt.r + d_k, q=T_gt.q)
+            img = np.asarray(renderer._render_jit(T_gt, 0))
+            kp, dsc = _describe_frame(jnp.asarray(img))
+            p_C = transform_point(inverse(T_gt), jnp.asarray(lms))
+            uv, ok = project(cam, p_C)
+            okn, uvn, kuv = np.asarray(ok), np.asarray(uv), np.asarray(kp.uv)
+            ids, pts3, uv2 = [], [], []
+            for q in np.nonzero(np.asarray(kp.valid))[0]:
+                d2 = np.sum((uvn - kuv[q]) ** 2, axis=1)
+                d2[~okn] = 1e9
+                j = int(np.argmin(d2))
+                if d2[j] < 4.0:
+                    ids.append(j)
+                    pts3.append(lms[j] + d_k)  # VIO's drifted map
+                    uv2.append(kuv[q])
+            export = {
+                "kf_index": k,
+                "timestamp": t + (10.0 if k >= 8 else 0.0),
+                "image": img,
+                "T_WC_r": np.asarray(T_vio.r),
+                "T_WC_q": np.asarray(T_vio.q),
+                "points_W": np.stack(pts3),
+                "landmark_ids": np.asarray(ids),
+                "keypoints_uv": np.stack(uv2),
+                "quality": np.full(len(ids), 0.5),
+                "num_tracked": len(ids),
+                "quadrant_counts": np.array([5, 5, 5, 5]),
+                "response_strengths": np.ones(len(ids)),
+            }
+            loop = closer.add_keyframe(export)
+            if loop is not None:
+                found.append(loop)
+            gt_p.append(np.asarray(T_gt.r))
+            vio_p.append(np.asarray(T_vio.r))
+        assert found, "revisit did not close a loop"
+        gt_p = np.stack(gt_p)
+        vio_p = np.stack(vio_p)
+        opt_p = closer.optimized_path()
+        rmse_vio = np.sqrt(np.mean(np.sum((vio_p - gt_p) ** 2, axis=1)))
+        rmse_opt = np.sqrt(np.mean(np.sum((opt_p - gt_p) ** 2, axis=1)))
+        assert rmse_opt < 0.6 * rmse_vio, (rmse_vio, rmse_opt)
+        # the drift correction must also pull NEW poses toward truth
+        T_new = closer.apply_drift(
+            Transformation(
+                r=jnp.asarray(gt_p[-1] + len(times) * drift_step),
+                q=sim.pose(renderer.traj, jnp.float64(0.5)).q,
+            )
+        )
+        err_corr = np.linalg.norm(np.asarray(T_new.r) - gt_p[-1])
+        err_raw = np.linalg.norm(len(times) * drift_step)
+        assert err_corr < err_raw
+    finally:
+        lc_mod.RECENCY_EXCLUSION = old_excl
