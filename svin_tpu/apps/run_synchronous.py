@@ -130,6 +130,7 @@ def main(argv=None) -> int:
 
     results = run_events(engine, events)
 
+    closer.flush()  # run any fast-relocalization-deferred optimization
     engine.save_trajectory_tum(os.path.join(out_dir, "svin_vio.txt"))
     closer.save_trajectory_tum(os.path.join(out_dir, "svin_loop.txt"))
     gmap.save_ply(os.path.join(out_dir, "global_map.ply"))

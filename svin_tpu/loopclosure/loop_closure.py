@@ -143,7 +143,13 @@ class LoopCloser:
         idx = len(self.keyframes)
         if idx >= self.capacity:
             return None  # capacity reached (host could grow arrays)
-        image = jnp.asarray(kf_export["image"], jnp.float32)
+        # deferred pose-graph optimization from a fast-relocalized loop on
+        # the previous keyframe (reference: updateKeyFrameLoop applies the
+        # immediate drift while the optimization thread lags; here the
+        # "lag" is exactly one keyframe)
+        if self._pending_optimize:
+            self._pending_optimize = False
+            self._optimize_and_update_drift()
         T_WC = Transformation(
             r=np.asarray(kf_export["T_WC_r"], float),
             q=np.asarray(kf_export["T_WC_q"], float),
@@ -168,6 +174,7 @@ class LoopCloser:
             )
         if self.cfg.health.enable and not health.healthy:
             return None
+        image = jnp.asarray(kf_export["image"], jnp.float32)
         # window-keypoint descriptors (recomputed on the keyframe image like
         # the reference's computeWindowBRIEFPoint) — padded to WINDOW_CAP so
         # every downstream device call has one static shape
@@ -230,21 +237,33 @@ class LoopCloser:
             self.earliest_loop_index = min(self.earliest_loop_index, loop.match_index)
             self._add_loop_edge(loop)
             if self.cfg.fast_relocalization:
+                # immediate single-constraint re-anchor NOW; the full
+                # pose-graph solve runs at the next keyframe (the
+                # reference's decoupled optimization thread)
                 self._fast_relocalize(loop)
-            self._optimize_and_update_drift()
+                self._pending_optimize = True
+            else:
+                self._optimize_and_update_drift()
             if self.loop_callback:
                 self.loop_callback(loop)
         return loop
 
+    def flush(self) -> None:
+        """Run any deferred pose-graph optimization (end-of-sequence)."""
+        if self._pending_optimize:
+            self._pending_optimize = False
+            self._optimize_and_update_drift()
+
     # ---------------------------------------------------------- internals
     def _vio_rel(self, i: int, j: int) -> Tuple[np.ndarray, float]:
-        """Relative (t_ij in i-frame-yaw-aligned, yaw_ij) from VIO poses."""
+        """Relative (t_ij in i's full camera frame — matching the 4-DoF
+        edge residual, which rotates by node i's full ypr rotation — and
+        relative yaw) from VIO poses."""
         Ti = self.keyframes[i].T_WC_vio
         Tj = self.keyframes[j].T_WC_vio
         Ri = npq.to_rotation_matrix(np.asarray(Ti.q))
-        yaw_i, pitch_i, roll_i = matrix_to_ypr_np(Ri)
-        R_i_full = ypr_to_matrix_np(yaw_i, pitch_i, roll_i)
-        t_ij = R_i_full.T @ (np.asarray(Tj.r) - np.asarray(Ti.r))
+        t_ij = Ri.T @ (np.asarray(Tj.r) - np.asarray(Ti.r))
+        yaw_i = matrix_to_ypr_np(Ri)[0]
         yaw_j = matrix_to_ypr_np(npq.to_rotation_matrix(np.asarray(Tj.q)))[0]
         return t_ij, float(normalize_angle_np(yaw_j - yaw_i))
 
@@ -281,9 +300,7 @@ class LoopCloser:
             self._edges_full.append((loop.rel_t_full, loop.rel_q_full))
         else:
             Rz = ypr_to_matrix_np(loop.rel_yaw, 0.0, 0.0)
-            self._edges_full.append(
-                (loop.rel_t, np.asarray(quat.from_rotation_matrix(jnp.asarray(Rz))))
-            )
+            self._edges_full.append((loop.rel_t, npq.from_rotation_matrix(Rz)))
         e = self.edges
         e.i[k] = loop.match_index
         e.j[k] = loop.query_index
@@ -308,15 +325,17 @@ class LoopCloser:
             return None
         all_desc = np.concatenate([kf.window_desc, kf.extra_desc])
         all_valid = np.concatenate([kf.window_valid, kf.extra_valid])
-        idxs, scores = self.db.query(
-            all_desc, all_valid, top_k=4, exclude_after=exclude_after
+        # ONE BoW quantization serves both the top-K query and the
+        # covisible-neighbor floor (it is a device program + fetch)
+        v = self.db._bow_np(all_desc, all_valid)
+        idxs, scores = self.db.query_vector(
+            v, top_k=4, exclude_after=exclude_after
         )
         # covisible-neighbor relative gate (PoseGraph::detectLoop min-score
         # vs neighbour scores × 0.6): a candidate must score at least 0.6 of
         # what the immediately preceding (covisible) keyframe scores
         neighbor_floor = 0.0
         if self.db.count >= 1:
-            v = self.db._bow_np(all_desc, all_valid)
             lo = max(0, self.db.count - 3)
             s_nb = 1.0 - 0.5 * np.sum(
                 np.abs(self.db.vectors[lo : self.db.count] - v[None, :]), axis=-1
@@ -374,12 +393,11 @@ class LoopCloser:
         T_old_fit = Transformation(
             r=rr.T.r, q=rr.T.q
         )  # old camera pose in the CURRENT VIO frame
-        # relative transform old → cur in old's yaw frame
-        yaw_o, pitch_o, roll_o = matrix_to_ypr_np(
-            npq.to_rotation_matrix(T_old_fit.q)
-        )
-        R_o = ypr_to_matrix_np(yaw_o, pitch_o, roll_o)
-        rel_t = R_o.T @ (np.asarray(cur.T_WC_vio.r) - T_old_fit.r)
+        # relative transform old → cur in old's full camera frame (the
+        # frame convention of the 4-DoF edge residual)
+        R_of = npq.to_rotation_matrix(T_old_fit.q)
+        rel_t = R_of.T @ (np.asarray(cur.T_WC_vio.r) - T_old_fit.r)
+        yaw_o = matrix_to_ypr_np(R_of)[0]
         yaw_c = matrix_to_ypr_np(npq.to_rotation_matrix(np.asarray(cur.T_WC_vio.q)))[0]
         rel_yaw = float(normalize_angle_np(yaw_c - yaw_o))
         # sanity gates (reference: |yaw|<30°, ‖t‖< max_position_diff)
@@ -387,14 +405,13 @@ class LoopCloser:
             return None
         if np.linalg.norm(rel_t) > lc.max_position_diff:
             return None
-        R_of = npq.to_rotation_matrix(T_old_fit.q)
         return LoopInfo(
             query_index=cur.index,
             match_index=old.index,
             num_inliers=int(rr.num_inliers),
             rel_t=rel_t,
             rel_yaw=rel_yaw,
-            rel_t_full=R_of.T @ (np.asarray(cur.T_WC_vio.r) - T_old_fit.r),
+            rel_t_full=rel_t,
             rel_q_full=npq.multiply(
                 npq.conjugate(T_old_fit.q), np.asarray(cur.T_WC_vio.q)
             ),

@@ -166,7 +166,15 @@ class KeyframeDatabase:
         (the reference queries excluding the most recent 50 keyframes)."""
         if self.count == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        v = self._bow_np(desc, valid)
+        return self.query_vector(
+            self._bow_np(desc, valid), top_k=top_k, exclude_after=exclude_after
+        )
+
+    def query_vector(
+        self, v: np.ndarray, top_k: int = 4, exclude_after: int = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-K for a precomputed BoW vector (lets callers reuse one
+        quantization for query + neighbor-floor scoring)."""
         n = self.count if exclude_after is None else max(0, min(exclude_after, self.count))
         if n == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)

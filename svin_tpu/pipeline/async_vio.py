@@ -225,3 +225,4 @@ class AsyncLoopCloser:
         AsyncVioEngine.finish: shut the intake, join unbounded)."""
         self._queue.shutdown()
         self._worker.join()
+        self.closer.flush()  # fast-relocalization-deferred optimization

@@ -256,7 +256,6 @@ class VioEngine:
             return res.window, res.cost, pv, pe
 
         self._optimize_fn = jax.jit(_opt_prune)
-        self._reproj_err_fn = jax.jit(_reproj_px_err)
         self._marginalize_fn = jax.jit(
             lambda w, f, s: marginalize_slot(w, f, s, rig_p, imu_p, wcfg)
         )
@@ -1128,17 +1127,6 @@ class VioEngine:
         return result
 
     _PRUNE_PX = 3.0
-
-    def _prune_outlier_observations(self):
-        """Post-optimization chi² gate (the reference's verifyMatch chi²<4
-        reprojection gate applied continuously): invalidate observations
-        whose residual exceeds the pixel threshold. One jitted program
-        (residuals weighted by sqrt_info and robust weight — both undone to
-        get pixel error)."""
-        valid_d, err_d = self._reproj_err_fn(self.window, self.factors)
-        bad = np.asarray(valid_d) & (np.asarray(err_d) > self._PRUNE_PX)
-        if bad.any():
-            self.factors.reproj.valid[bad] = False
 
     # --------------------------------------------------- marginalization
     def _apply_marginalization_policy(self):
