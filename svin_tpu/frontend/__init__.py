@@ -1,6 +1,7 @@
 from .ransac import (
     RansacResult,
     absolute_pose_ransac,
+    relative_pose_ransac,
     rotation_only_ransac,
 )
 from .scale_refinement import ScaleEstimate, ScaleRefiner, solve_scale
@@ -16,6 +17,7 @@ __all__ = [
     "ScaleRefiner",
     "TriangulationResult",
     "absolute_pose_ransac",
+    "relative_pose_ransac",
     "point_from_homogeneous",
     "rotation_only_ransac",
     "solve_scale",

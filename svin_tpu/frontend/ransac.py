@@ -194,3 +194,132 @@ def rotation_only_ransac(
     n = jnp.sum(inl)
     T = Transformation(r=jnp.zeros(3, dtype), q=q_ref)
     return RansacResult(T=T, inliers=inl, num_inliers=n, success=n >= min_inliers)
+
+
+# ------------------------------------------------- relative pose (5-pt class)
+def _tangent_basis(t: jnp.ndarray) -> jnp.ndarray:
+    """(2,3) orthonormal basis of the plane ⊥ t (branchless helper pick)."""
+    helper = jnp.where(
+        jnp.abs(t[0]) < 0.9,
+        jnp.array([1.0, 0.0, 0.0], t.dtype),
+        jnp.array([0.0, 1.0, 0.0], t.dtype),
+    )
+    e1 = jnp.cross(t, helper)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+    e2 = jnp.cross(t, e1)
+    return jnp.stack([e1, e2])
+
+
+def _epipolar_residual(q_ab, t_hat, bA, bB):
+    """Per-pair epipolar coplanarity residual bAᵀ (t̂ × R bB)  (N,)."""
+    Rb = quat.rotate(q_ab, bB)
+    n = jnp.cross(jnp.broadcast_to(t_hat, Rb.shape), Rb)
+    return jnp.sum(bA * n, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _gn_rel_fit(
+    q0: jnp.ndarray, t0: jnp.ndarray,
+    bA: jnp.ndarray, bB: jnp.ndarray, weights: jnp.ndarray,
+    iters: int = 10, damping: float = 1e-8,
+):
+    """Damped GN on (rotation, unit-translation direction) minimizing the
+    weighted epipolar residuals — the prior-seeded analog of the Stewenius
+    5-pt minimal solver (5 DoF: 3 rotation + 2 direction-on-sphere)."""
+
+    def step(carry, _):
+        q, t = carry
+
+        def res_of(d):
+            qq = quat.normalize(quat.multiply(quat.exp(d[:3]), q))
+            B = _tangent_basis(t)
+            tt = t + d[3] * B[0] + d[4] * B[1]
+            tt = tt / jnp.maximum(jnp.linalg.norm(tt), 1e-12)
+            return _epipolar_residual(qq, tt, bA, bB) * weights
+
+        r0 = res_of(jnp.zeros(5, bA.dtype))
+        J = jax.jacfwd(res_of)(jnp.zeros(5, bA.dtype))
+        H = J.T @ J + damping * jnp.eye(5, dtype=bA.dtype)
+        d = -jnp.linalg.solve(H, J.T @ r0)
+        q_new = quat.normalize(quat.multiply(quat.exp(d[:3]), q))
+        B = _tangent_basis(t)
+        t_new = t + d[3] * B[0] + d[4] * B[1]
+        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-12)
+        return (q_new, t_new), None
+
+    (q_f, t_f), _ = jax.lax.scan(step, (q0, t0), None, length=iters)
+    return q_f, t_f
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "threshold_px", "focal_px", "num_hypotheses", "sample_size",
+        "refine_iters",
+    ),
+)
+def relative_pose_ransac(
+    key,
+    bearings_a: jnp.ndarray,  # (N,3) unit bearings, frame A
+    bearings_b: jnp.ndarray,  # (N,3) unit bearings, frame B
+    valid: jnp.ndarray,
+    T_AB_prior: Transformation,  # IMU-predicted relative pose A→B (seed)
+    threshold_px: float = 3.0,
+    focal_px: float = 450.0,
+    num_hypotheses: int = 32,
+    min_inliers: int = 10,
+    sample_size: int = 5,
+    refine_iters: int = 10,
+) -> RansacResult:
+    """2D-2D relative-pose RANSAC (replaces FrameRelativePoseSacProblem /
+    Stewenius 5-pt, ``Frontend.cpp:832-980``): prior-seeded GN hypotheses on
+    the epipolar objective over minimal 5-point samples, vmapped into one
+    program. The returned T has a UNIT-NORM translation direction (epipolar
+    geometry is scale-blind — the reference likewise rescales externally).
+    Degenerate (pure-rotation) motion leaves t unobservable; callers should
+    also run rotation_only_ransac and prefer it when its inlier count is
+    comparable (the reference's runRansac2d2d does exactly this)."""
+    N = bearings_a.shape[0]
+    dtype = bearings_a.dtype
+    thr = threshold_px / focal_px
+    # prior: bearing convention bA ≈ R_AB bB scaled + t direction in A
+    q_prior = T_AB_prior.q
+    t_prior = T_AB_prior.r
+    tn = jnp.linalg.norm(t_prior)
+    t_prior = jnp.where(
+        tn > 1e-9, t_prior / jnp.maximum(tn, 1e-12),
+        jnp.array([1.0, 0.0, 0.0], dtype),
+    )
+    probs = jnp.where(valid, 1.0, 1e-9)
+    keys = jax.random.split(key, num_hypotheses)
+
+    def one(k):
+        idx = jax.random.choice(
+            k, N, shape=(sample_size,), replace=False, p=probs / jnp.sum(probs)
+        )
+        w = valid[idx].astype(dtype)
+        q_f, t_f = _gn_rel_fit(
+            q_prior, t_prior, bearings_a[idx], bearings_b[idx], w, iters=7
+        )
+        r = _epipolar_residual(q_f, t_f, bearings_a, bearings_b)
+        inl = valid & (jnp.abs(r) < thr)
+        return q_f, t_f, inl, jnp.sum(inl)
+
+    qs, ts, inls, counts = jax.vmap(one)(keys)
+    best = jnp.argmax(counts)
+    q_b, t_b, inl_b = qs[best], ts[best], inls[best]
+    # refinement on all inliers
+    q_r, t_r = _gn_rel_fit(
+        q_b, t_b, bearings_a, bearings_b, inl_b.astype(dtype),
+        iters=refine_iters,
+    )
+    r = _epipolar_residual(q_r, t_r, bearings_a, bearings_b)
+    inl = valid & (jnp.abs(r) < thr)
+    n = jnp.sum(inl)
+    ok = n >= min_inliers
+    q_out = jnp.where(ok, q_r, q_prior)
+    t_out = jnp.where(ok, t_r, t_prior)
+    return RansacResult(
+        T=Transformation(r=t_out, q=q_out), inliers=inl, num_inliers=n,
+        success=ok,
+    )

@@ -207,3 +207,57 @@ def test_keyframe_overlap_ratio_reference_semantics():
     # fewer than 3 matches -> camera skipped -> zeros
     overlap0, ratio0 = keyframe_overlap_ratio([pts_all], [pts_all[:2]])
     assert overlap0 == 0.0 and ratio0 == 0.0
+
+
+def test_relative_pose_ransac_recovers_epipolar_geometry():
+    """Prior-seeded relative-pose RANSAC (the Stewenius-5pt analog,
+    Frontend.cpp:832-980): recover rotation + unit translation direction
+    from bearing pairs with 30% outliers, seeded from a perturbed prior."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from svin_tpu.frontend import relative_pose_ransac
+    from svin_tpu.kinematics import Transformation, quaternion as quat
+
+    rng = np.random.RandomState(0)
+    N = 120
+    # scene points in frame A, depth 2-8
+    p_A = np.concatenate(
+        [rng.uniform(-2, 2, (N, 2)), rng.uniform(2, 8, (N, 1))], axis=1
+    )
+    # true relative pose A→B: p_B = R_BA (p_A - t_AB_inA)?  use convention
+    # p_A = R_AB p_B + t_AB  (T_AB maps B-frame coords into A)
+    q_true = np.asarray(quat.exp(jnp.asarray([0.06, -0.11, 0.18])))
+    t_true = np.array([0.4, 0.15, -0.1])
+    R_AB = np.asarray(quat.to_rotation_matrix(jnp.asarray(q_true)))
+    p_B = (p_A - t_true) @ R_AB  # R_ABᵀ (p_A - t)
+    bA = p_A / np.linalg.norm(p_A, axis=1, keepdims=True)
+    bB = p_B / np.linalg.norm(p_B, axis=1, keepdims=True)
+    # 30% outliers: scramble bB
+    n_out = N * 3 // 10
+    out_idx = rng.choice(N, n_out, replace=False)
+    bB[out_idx] = rng.randn(n_out, 3)
+    bB[out_idx] /= np.linalg.norm(bB[out_idx], axis=1, keepdims=True)
+    # perturbed prior
+    q_prior = np.asarray(
+        quat.normalize(
+            quat.multiply(quat.exp(jnp.asarray([0.03, 0.02, -0.04])), jnp.asarray(q_true))
+        )
+    )
+    rr = relative_pose_ransac(
+        jax.random.PRNGKey(1),
+        jnp.asarray(bA), jnp.asarray(bB), jnp.ones(N, bool),
+        Transformation(r=jnp.asarray(t_true + [0.1, -0.05, 0.1]), q=jnp.asarray(q_prior)),
+        threshold_px=2.0, focal_px=450.0, num_hypotheses=32,
+        min_inliers=30,
+    )
+    assert bool(rr.success)
+    assert int(rr.num_inliers) >= N - n_out - 10
+    # rotation error < 0.5 degree
+    dq = np.asarray(quat.multiply(quat.conjugate(rr.T.q), jnp.asarray(q_true)))
+    ang = 2 * np.arccos(min(1.0, abs(dq[3])))
+    assert np.degrees(ang) < 0.5, np.degrees(ang)
+    # translation direction error < 1.5 degree
+    t_dir = np.asarray(rr.T.r)
+    cosang = abs(t_dir @ (t_true / np.linalg.norm(t_true)))
+    assert np.degrees(np.arccos(min(1.0, cosang))) < 1.5
