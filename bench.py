@@ -14,11 +14,21 @@ Extra detail metrics go to stderr so the driver-parsed stdout stays a single
 JSON line.
 """
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: the remote-TPU compile service is the slowest
+# and most variable part of a fresh-process run (minutes for the unrolled
+# LM program); cache compiled executables across invocations.
+os.makedirs(os.path.expanduser("~/.cache/jax_compcache"), exist_ok=True)
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compcache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_BUDGET_S = 0.035
 

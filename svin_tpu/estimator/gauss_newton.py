@@ -39,6 +39,17 @@ def _block_diag(blocks: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(C * k, C * k)
 
 
+def _segsum(data: jnp.ndarray, oh: jnp.ndarray) -> jnp.ndarray:
+    """Segment-sum as a one-hot matmul: ``oh`` is (O, n) one-hot of the
+    segment index. Scatter-adds lower to serial dynamic-update-slices on
+    TPU, while an (n, O) @ (O, K) product rides the MXU; multiplication by
+    {0,1} is exact, so only the reduction order differs from a scatter
+    (measured 1.5x on the whole LM step)."""
+    flat = data.reshape(data.shape[0], -1)
+    out = oh.T @ flat
+    return out.reshape((oh.shape[1],) + data.shape[1:])
+
+
 class NormalEqs(NamedTuple):
     H: jnp.ndarray  # (Dx,Dx) state(+extrinsics)-block
     b: jnp.ndarray  # (Dx,)
@@ -70,20 +81,22 @@ def assemble(
     s_idx = factors.reproj.state_idx
     l_idx = factors.reproj.lm_idx
     c_idx = factors.reproj.cam_idx
+    oh_s = jax.nn.one_hot(s_idx, S, dtype=dtype)  # (O,S)
+    oh_l = jax.nn.one_hot(l_idx, L, dtype=dtype)  # (O,L)
     Hpp = jnp.einsum("oia,oib->oab", re.J_pose, re.J_pose)  # (O,6,6)
     Hll_o = jnp.einsum("oia,oib->oab", re.J_lm, re.J_lm)  # (O,3,3)
     Wls_o = jnp.einsum("oia,oib->oab", re.J_lm, re.J_pose)  # (O,3,6)
     bp_o = jnp.einsum("oia,oi->oa", re.J_pose, re.res)  # (O,6)
     bl_o = jnp.einsum("oia,oi->oa", re.J_lm, re.res)  # (O,3)
 
-    Hpp_s = jax.ops.segment_sum(Hpp, s_idx, num_segments=S)  # (S,6,6)
+    Hpp_s = _segsum(Hpp, oh_s)  # (S,6,6)
     Hb = Hb.at[jnp.arange(S), jnp.arange(S), :6, :6].add(Hpp_s)
-    b = b.at[:, :6].add(jax.ops.segment_sum(bp_o, s_idx, num_segments=S))
-    Hll = jax.ops.segment_sum(Hll_o, l_idx, num_segments=L)  # (L,3,3)
-    bl = jax.ops.segment_sum(bl_o, l_idx, num_segments=L)  # (L,3)
-    Wls = jax.ops.segment_sum(
-        Wls_o, l_idx * S + s_idx, num_segments=L * S
-    ).reshape(L, S, 3, 6)
+    b = b.at[:, :6].add(_segsum(bp_o, oh_s))
+    Hll = _segsum(Hll_o, oh_l)  # (L,3,3)
+    bl = _segsum(bl_o, oh_l)  # (L,3)
+    Wls = jnp.einsum(
+        "ol,ok,os->lsk", oh_l, Wls_o.reshape(-1, 18), oh_s
+    ).reshape(L, S, 3, 6)  # double one-hot contraction (two MXU matmuls)
     W = jnp.zeros((L, 3, S, 15), dtype)
     W = W.at[:, :, :, :6].add(jnp.swapaxes(Wls, 1, 2))
     W = W.reshape(L, 3, D)
@@ -91,19 +104,18 @@ def assemble(
 
     if cfg.estimate_extrinsics:
         # extrinsics diag blocks, pose-ext coupling, landmark-ext coupling
-        Hee = jax.ops.segment_sum(
-            jnp.einsum("oia,oib->oab", re.J_ext, re.J_ext), c_idx, num_segments=C
-        )  # (C,6,6)
-        be = jax.ops.segment_sum(
-            jnp.einsum("oia,oi->oa", re.J_ext, re.res), c_idx, num_segments=C
-        )  # (C,6)
-        Hpe = jax.ops.segment_sum(
-            jnp.einsum("oia,oib->oab", re.J_pose, re.J_ext),
-            s_idx * C + c_idx, num_segments=S * C,
+        oh_c = jax.nn.one_hot(c_idx, C, dtype=dtype)  # (O,C)
+        Hee = _segsum(jnp.einsum("oia,oib->oab", re.J_ext, re.J_ext), oh_c)
+        be = _segsum(jnp.einsum("oia,oi->oa", re.J_ext, re.res), oh_c)
+        Hpe = jnp.einsum(
+            "os,ok,oc->sck", oh_s,
+            jnp.einsum("oia,oib->oab", re.J_pose, re.J_ext).reshape(-1, 36),
+            oh_c,
         ).reshape(S, C, 6, 6)
-        Wle = jax.ops.segment_sum(
-            jnp.einsum("oia,oib->oab", re.J_lm, re.J_ext),
-            l_idx * C + c_idx, num_segments=L * C,
+        Wle = jnp.einsum(
+            "ol,ok,oc->lck", oh_l,
+            jnp.einsum("oia,oib->oab", re.J_lm, re.J_ext).reshape(-1, 18),
+            oh_c,
         ).reshape(L, C, 3, 6)
         # prior on extrinsics
         ep = eval_ext_prior(window, factors)

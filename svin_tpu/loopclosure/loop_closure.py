@@ -88,7 +88,16 @@ class LoopCloser:
     ):
         self.cfg = config if config is not None else VioConfig()
         self.camera = camera
-        self.db = KeyframeDatabase()
+        vocab_file = getattr(self.cfg.loop_closure, "vocabulary_file", "")
+        if vocab_file:
+            # trained codebook + idf weights, the brief_k10L6.bin analog
+            # (reference LoopClosure.cpp:18-55 loads it at setup)
+            from .retrieval import load_vocabulary
+
+            vocab, weights = load_vocabulary(vocab_file)
+            self.db = KeyframeDatabase(vocab=vocab, weights=weights)
+        else:
+            self.db = KeyframeDatabase()
         self.keyframes: List[LoopKeyframe] = []
         self.capacity = capacity
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

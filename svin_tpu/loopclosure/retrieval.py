@@ -48,14 +48,22 @@ def bow_vector(
     valid: jnp.ndarray,  # (K,)
     vocab: jnp.ndarray,  # (V,8)
     vocab_size: int = VOCAB_SIZE,
+    weights: Optional[jnp.ndarray] = None,  # (V,) idf word weights
 ) -> jnp.ndarray:
-    """L1-normalized BoW histogram (V,) float32."""
+    """L1-normalized (tf·idf) BoW vector (V,) float32.
+
+    With ``weights=None`` every word weighs 1 (pure tf) — correct for an
+    untrained codebook; a trained vocabulary supplies idf weights, matching
+    DBoW2's default TF_IDF weighting (``TemplatedVocabulary.h`` setWeight /
+    ``BowVector::addWeight``)."""
     d = hamming.hamming_matrix_ref(desc, vocab)  # (K,V)
     word = jnp.argmin(d, axis=1)
     hist = jax.ops.segment_sum(
         valid.astype(jnp.float32), word, num_segments=vocab_size
     )
-    return hist / jnp.maximum(jnp.sum(hist), 1.0)
+    if weights is not None:
+        hist = hist * weights
+    return hist / jnp.maximum(jnp.sum(hist), 1e-12)
 
 
 def l1_scores(query: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
@@ -103,20 +111,57 @@ def train_vocabulary(
     return centroids
 
 
-def save_vocabulary(path: str, vocab: jnp.ndarray) -> None:
-    """Persist a (trained) codebook — the analog of the reference's binary
-    vocabulary file (``pose_graph/ThirdParty/DBoW/VocabularyBinary.cpp``,
-    the ``brief_k10L6.bin`` artifact loaded in ``LoopClosure.cpp:18-55``)."""
+def compute_idf(
+    doc_descs: list,  # list of ((K,8) uint32 desc, (K,) valid) per document
+    vocab: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-word idf weights from a training corpus of keyframe "documents":
+    idf_i = ln(N_docs / n_i) with n_i = #documents containing word i —
+    exactly DBoW2's TF_IDF weight computation
+    (``TemplatedVocabulary.h`` createWords/setNodeWeights)."""
+    V = vocab.shape[0]
+    present = np.zeros(V, np.float64)
+    for desc, valid in doc_descs:
+        d = np.asarray(hamming.hamming_matrix_ref(desc, vocab))
+        word = np.asarray(d.argmin(axis=1))
+        w = np.unique(word[np.asarray(valid, bool)])
+        present[w] += 1.0
+    n_docs = max(len(doc_descs), 1)
+    idf = np.log(n_docs / np.maximum(present, 1.0))
+    # words never seen keep a neutral (max) weight, like unseen leaves
+    idf[present == 0] = np.log(float(n_docs))
+    return jnp.asarray(np.maximum(idf, 1e-3), jnp.float32)
+
+
+def save_vocabulary(
+    path: str, vocab: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+) -> None:
+    """Persist a (trained) codebook + optional idf weights — the analog of
+    the reference's binary vocabulary file
+    (``pose_graph/ThirdParty/DBoW/VocabularyBinary.cpp``, the
+    ``brief_k10L6.bin`` artifact loaded in ``LoopClosure.cpp:18-55``)."""
     arr = np.asarray(vocab)
     assert arr.dtype == np.uint32 and arr.ndim == 2 and arr.shape[1] == DESC_WORDS
-    np.save(path, arr, allow_pickle=False)
+    if weights is None:
+        np.save(path, arr, allow_pickle=False)
+    else:
+        w = np.asarray(weights, np.float32)
+        assert w.shape == (arr.shape[0],)
+        np.savez(path, vocab=arr, weights=w)
 
 
-def load_vocabulary(path: str) -> jnp.ndarray:
+def load_vocabulary(path: str) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Returns (vocab, idf_weights-or-None); reads both the plain-.npy and
+    the weighted-.npz formats."""
     arr = np.load(path, allow_pickle=False)
+    if hasattr(arr, "files"):  # npz archive with weights
+        vocab, weights = arr["vocab"], arr["weights"]
+        if vocab.dtype != np.uint32 or vocab.ndim != 2 or vocab.shape[1] != DESC_WORDS:
+            raise ValueError(f"not a svin_tpu vocabulary: {path}")
+        return jnp.asarray(vocab), jnp.asarray(weights, jnp.float32)
     if arr.dtype != np.uint32 or arr.ndim != 2 or arr.shape[1] != DESC_WORDS:
         raise ValueError(f"not a svin_tpu vocabulary: {path}")
-    return jnp.asarray(arr)
+    return jnp.asarray(arr), None
 
 
 class KeyframeDatabase:
@@ -131,8 +176,14 @@ class KeyframeDatabase:
     the distributed/pod-scale path.
     """
 
-    def __init__(self, capacity: int = 4096, vocab: Optional[jnp.ndarray] = None):
+    def __init__(
+        self,
+        capacity: int = 4096,
+        vocab: Optional[jnp.ndarray] = None,
+        weights: Optional[jnp.ndarray] = None,
+    ):
         self.vocab = vocab if vocab is not None else make_vocabulary()
+        self.weights = weights  # idf word weights (None = uniform tf)
         V = self.vocab.shape[0]
         self.capacity = capacity
         self.vectors = np.zeros((capacity, V), np.float32)
@@ -140,7 +191,9 @@ class KeyframeDatabase:
 
     def _bow_np(self, desc, valid) -> np.ndarray:
         return jax.device_get(
-            bow_vector(desc, valid, self.vocab, self.vocab.shape[0])
+            bow_vector(
+                desc, valid, self.vocab, self.vocab.shape[0], self.weights
+            )
         )
 
     def add(self, desc: jnp.ndarray, valid: jnp.ndarray) -> int:

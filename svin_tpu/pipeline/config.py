@@ -46,6 +46,10 @@ class LoopClosureConfig:
     # "4dof" (yaw+XYZ, the reference's default optimize4DoFPoseGraph) or
     # "6dof" (full SE(3), optimize6DoFPoseGraph, PoseGraph.cpp:387-543)
     pgo_mode: str = "4dof"
+    # path to a trained vocabulary (save_vocabulary format) — the analog of
+    # the reference's <share>/Vocabulary/brief_k10L6.bin (Parameters.cpp:40-45);
+    # empty = built-in deterministic codebook
+    vocabulary_file: str = ""
 
 
 @dataclass
@@ -220,6 +224,7 @@ def load_config(path: str) -> VioConfig:
         max_yaw_diff=float(lc.get("max_yaw_diff", 30.0)),
         max_position_diff=float(lc.get("max_position_diff", 6.0)),
         pgo_mode=str(lc.get("pgo_mode", "4dof")).strip('"'),
+        vocabulary_file=str(lc.get("vocabulary_file", "")).strip('"'),
     )
     h = d.get("health", {}) or {}
     cfg.health = HealthConfig(

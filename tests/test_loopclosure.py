@@ -573,12 +573,43 @@ def test_vocabulary_save_load_roundtrip(tmp_path):
     vocab = make_vocabulary(seed=3, size=256)
     path = str(tmp_path / "vocab.npy")
     save_vocabulary(path, vocab)
-    back = load_vocabulary(path)
+    back, w = load_vocabulary(path)
+    assert w is None
     np.testing.assert_array_equal(np.asarray(vocab), np.asarray(back))
     db = KeyframeDatabase(vocab=back)
     db.add(vocab[:50], jnp.ones(50, bool))
     idx, scores = db.query(vocab[:50], jnp.ones(50, bool), top_k=1, exclude_after=1)
     assert idx[0] == 0 and scores[0] > 0.9
+
+
+def test_vocabulary_idf_weights_roundtrip_and_scoring(tmp_path):
+    """TF_IDF analog (DBoW2 default weighting): idf weights persist through
+    save/load and change scoring so that a query dominated by a common word
+    scores higher against a frame sharing its RARE word."""
+    from svin_tpu.loopclosure import load_vocabulary, make_vocabulary, save_vocabulary
+    from svin_tpu.loopclosure.retrieval import compute_idf
+
+    vocab = make_vocabulary(seed=5, size=64)
+    # corpus: word 0 appears in every document (common), word 1 in one (rare)
+    docs = [
+        (vocab[jnp.asarray([0, i + 2])], jnp.ones(2, bool)) for i in range(10)
+    ] + [(vocab[jnp.asarray([0, 1])], jnp.ones(2, bool))]
+    idf = compute_idf(docs, vocab)
+    assert float(idf[1]) > float(idf[0])  # rare word weighs more
+
+    path = str(tmp_path / "vocab_idf.npz")
+    save_vocabulary(path, vocab, weights=idf)
+    v2, w2 = load_vocabulary(path)
+    np.testing.assert_array_equal(np.asarray(vocab), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(idf), np.asarray(w2))
+
+    db = KeyframeDatabase(vocab=v2, weights=w2)
+    db.add(vocab[jnp.asarray([0, 1])], jnp.ones(2, bool))  # shares rare word 1
+    db.add(vocab[jnp.asarray([0, 2])], jnp.ones(2, bool))
+    idx, scores = db.query(
+        vocab[jnp.asarray([1, 3])], jnp.ones(2, bool), top_k=2, exclude_after=2
+    )
+    assert idx[0] == 0  # the rare-word match outranks the common-word one
 
 
 def test_loop_closure_reduces_trajectory_error_e2e():
@@ -665,3 +696,38 @@ def test_loop_closure_reduces_trajectory_error_e2e():
         assert err_corr < err_raw
     finally:
         lc_mod.RECENCY_EXCLUSION = old_excl
+
+
+def test_train_vocabulary_cli(tmp_path):
+    """apps.train_vocabulary end-to-end: EuRoC tree in → trained .npz
+    vocabulary with idf weights out, loadable by LoopCloser via config."""
+    root = tmp_path / "seq" / "mav0"
+    (root / "imu0").mkdir(parents=True)
+    (root / "cam0" / "data").mkdir(parents=True)
+    with open(root / "imu0" / "data.csv", "w") as f:
+        f.write("#timestamp,wx,wy,wz,ax,ay,az\n")
+        f.write(f"{int(1e9)},0.0,0.0,0.0,0.0,0.0,9.81\n")
+    rng = np.random.RandomState(1)
+    for k in range(4):
+        img = (rng.rand(96, 128) * 255).astype(np.uint8)
+        np.save(root / "cam0" / "data" / f"{int(1e9 * (1 + 0.1 * k))}.npy", img)
+
+    from svin_tpu.apps.train_vocabulary import main
+
+    out = str(tmp_path / "vocab.npz")
+    rc = main([str(tmp_path / "seq"), out, "--size", "64", "--stride", "1",
+               "--iters", "2", "--max-keypoints", "64"])
+    assert rc == 0
+
+    from svin_tpu.loopclosure import load_vocabulary
+
+    vocab, weights = load_vocabulary(out)
+    assert vocab.shape == (64, 8) and weights.shape == (64,)
+
+    from svin_tpu.pipeline.config import VioConfig
+
+    cfg = VioConfig()
+    cfg.loop_closure.vocabulary_file = out
+    cam, _, _ = _render_setup()
+    closer = LoopCloser(cam, cfg)
+    assert closer.db.weights is not None
