@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..imu import ImuParameters
 from ..kinematics import quaternion as quat
 from ..ops.linalg3 import eigvalsh3x3, inv3x3
+from ..ops.solve import solve_spd
 from .factors import (
     eval_depth,
     eval_ext_prior,
@@ -244,10 +245,10 @@ def _solve_step(
     Hib = jnp.einsum("lab,lb->la", Hll_inv, eqs.bl).reshape(L * 3)
     Hred = H - Wm.T @ HiW
     bred = eqs.b - Wm.T @ Hib
-    # dense solve (D×D)
+    # dense solve (D×D): one fused Pallas Gauss–Jordan launch on TPU
+    # (XLA's blocked Cholesky costs dozens of launches at this size)
     Hred = Hred + 1e-10 * jnp.eye(D, dtype=dtype)
-    cho, lower = jax.scipy.linalg.cho_factor(Hred)
-    dx = -jax.scipy.linalg.cho_solve((cho, lower), bred)
+    dx = -solve_spd(Hred, bred)
     dl = -jnp.einsum("lab,lb->la", Hll_inv, eqs.bl + jnp.einsum("lad,d->la", eqs.W, dx))
     return dx, dl
 

@@ -1,3 +1,3 @@
-from . import descriptor, detection, hamming, image, linalg3
+from . import descriptor, detection, hamming, image, linalg3, solve
 
-__all__ = ["descriptor", "detection", "hamming", "image"]
+__all__ = ["descriptor", "detection", "hamming", "image", "linalg3", "solve"]

@@ -58,6 +58,7 @@ class AsyncVioEngine:
         self._publisher.start()
         self.dropped_frames = 0
         self._last_image_t = -np.inf
+        self.position_measurements: List[tuple] = []
 
     # ------------------------------------------------------------- inputs
     def set_blocking(self, blocking: bool) -> None:
@@ -112,6 +113,15 @@ class AsyncVioEngine:
         r = self._prop_r + self._prop_v * dt + 0.5 * (C @ a - g) * dt * dt
         self._prop_r, self._prop_q, self._prop_v, self._prop_t = r, q, v, t
         return t, r, q, v
+
+    def add_position_measurement(self, t: float, position) -> None:
+        """VioInterface::addPositionMeasurement parity: buffered for
+        consumers/loggers; the estimator attaches no factor to it (matching
+        the reference, whose positionConsumerLoop only deques them —
+        ThreadedKFVio.cpp position consumer; no PositionError exists)."""
+        self.position_measurements.append((t, np.asarray(position, float)))
+        if len(self.position_measurements) > 10000:
+            del self.position_measurements[:5000]
 
     def add_depth_measurement(self, t: float, depth: float) -> None:
         with self._imu_lock:

@@ -129,3 +129,16 @@ def test_sonar_intensity_extraction():
     # gate: too weak
     weak = np.zeros(600); weak[100] = 5.0
     assert sonar_range_from_intensity(weak, 6.0, 0.0) is None
+
+
+def test_position_measurement_buffering():
+    """VioInterface::addPositionMeasurement parity: accepted + buffered,
+    no estimator involvement (the reference attaches no factor either)."""
+    fake = FakeEngine()
+    eng = AsyncVioEngine(fake, blocking=True)
+    for k in range(5):
+        eng.add_position_measurement(0.1 * k, np.array([1.0, 2.0, 3.0 + k]))
+    assert len(eng.position_measurements) == 5
+    t, p = eng.position_measurements[-1]
+    assert t == pytest.approx(0.4) and p[2] == pytest.approx(7.0)
+    eng.finish()

@@ -276,3 +276,21 @@ def test_eigvalsh3x3_rank_deficient_quality_ratio():
     lam = np.asarray(eigvalsh3x3(jnp.asarray(B)))[0]
     assert abs(lam[0]) < 1e-5 and abs(lam[1]) < 1e-5
     assert abs(lam[2] - v @ v) < 1e-4
+
+
+def test_solve_spd_pallas_matches_numpy():
+    """Fused Gauss-Jordan SPD solve (the LM reduced-system solver on TPU):
+    interpret-mode kernel vs numpy, across sizes incl. non-multiple-of-128."""
+    from svin_tpu.ops.solve import solve_spd, solve_spd_pallas
+
+    rng = np.random.RandomState(7)
+    for D in (5, 120, 132):
+        A = rng.randn(D, D)
+        H = A @ A.T + D * np.eye(D)
+        b = rng.randn(D)
+        want = np.linalg.solve(H, b)
+        got = np.asarray(solve_spd_pallas(jnp.asarray(H), jnp.asarray(b), interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+        # dispatch wrapper (Cholesky on CPU) is full precision
+        got2 = np.asarray(solve_spd(jnp.asarray(H), jnp.asarray(b)))
+        np.testing.assert_allclose(got2, want, rtol=1e-8, atol=1e-8)
