@@ -141,3 +141,26 @@ def test_extrinsics_random_walk_decay():
         np.asarray(engine.factors.ext_prior.mean_r),
         np.asarray(engine.window.ext_r),
     )
+
+
+def test_shipped_example_configs_load():
+    """configs/ examples parse through the reference-format reader with the
+    expected toggles (the reference ships its rig YAMLs the same way)."""
+    import os
+    from svin_tpu.pipeline.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    syn = load_config(os.path.join(root, "synthetic_stereo.yaml"))
+    assert syn.build_rig().num_cameras == 2 and syn.num_keyframes == 4
+    assert not syn.is_sonar_used and syn.loop_closure.enable
+
+    eu = load_config(os.path.join(root, "euroc_stereo.yaml"))
+    cam0 = eu.build_rig().cameras[0]
+    assert eu.max_keypoints == 400
+    assert abs(float(cam0.fu) - 458.654) < 1e-3
+
+    uw = load_config(os.path.join(root, "underwater_sonar_depth.yaml"))
+    assert uw.is_sonar_used and uw.is_depth_used
+    assert uw.histogram_method == "CLAHE" and uw.health.enable
+    assert abs(float(uw.T_SSo[0, 3]) - 0.05) < 1e-9
+    assert uw.detection_octaves == 2
