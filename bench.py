@@ -98,6 +98,18 @@ def main():
     )[1]
     t_front2 = time_fn(fb, imgs2, g2)
 
+    # global bundle adjustment: GN iterations/s on one chip (the BASELINE
+    # "BA iters/s" headline) — 64 poses, 4096 landmarks, 16384 obs slots
+    from svin_tpu.parallel import dist_ba
+    from svin_tpu.problems import build_global_ba_problem
+
+    BA_ITERS = 10
+    prob, ba_rig = build_global_ba_problem(
+        jax.random.PRNGKey(3), K=64, L=4096, O=16384, dtype=jnp.float32
+    )
+    ba_fn = jax.jit(lambda p: dist_ba.ba_solve_local(p, ba_rig, iters=BA_ITERS)[1])
+    t_ba = time_fn(ba_fn, prob, iters=20) / BA_ITERS
+
     t_frame = t_opt + t_match
     # stereo per-frame estimate: batched 2-cam frontend + match + optimize
     t_e2e = t_front2 + t_match + t_opt
@@ -106,7 +118,9 @@ def main():
         f"detect {t_det*1e3:.3f} ms, describe {t_desc*1e3:.3f} ms, "
         f"stereo-batched frontend {t_front2*1e3:.3f} ms, "
         f"stereo-frame e2e {t_e2e*1e3:.3f} ms ({1.0/t_e2e:.0f} fps; reference "
-        f"sustains 20 Hz stereo), device {jax.devices()[0].platform}",
+        f"sustains 20 Hz stereo), "
+        f"global BA (64 kf, 4096 lm) {1.0/t_ba:.0f} GN iters/s, "
+        f"device {jax.devices()[0].platform}",
         file=sys.stderr,
     )
     print(

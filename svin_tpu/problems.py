@@ -165,3 +165,53 @@ def build_window_problem(
     factors = factors._replace(reproj=f, imu=imu, priors=pr)
     truth = {"r": r0, "q": q0, "sb": sb0, "lms": lms[:n_lm], "times": times, "rig": rig}
     return window, factors, rig_p, truth
+
+
+def build_global_ba_problem(key, K: int = 64, L: int = 4096, O: int = 16384,
+                            dtype=jnp.float32):
+    """Synthetic global bundle-adjustment problem (fixed shapes, vectorized):
+    K poses on a loop trajectory, L landmarks in a box, O observation slots
+    (obs o → pose o % K, camera (o // K) % C, random landmark; invalid where
+    the projection misses). Feeds the distributed-BA benchmarks and the
+    "BA iters/s" headline of BASELINE.json."""
+    from .parallel import GlobalMapProblem
+
+    rig = euroc_like_rig()
+    rig_p = rig_params(rig, dtype)
+    C = rig.num_cameras
+    traj = sim.default_trajectory()
+    times = jnp.arange(K) * (4.0 / K) + 0.1
+
+    def pose_at(t):
+        T = sim.pose(traj, t)
+        return T.r.astype(dtype), T.q.astype(dtype)
+
+    pose_r, pose_q = jax.vmap(pose_at)(times)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+    lms = sim.landmark_grid(
+        k1, L, jnp.array([0.5, 0.5, 5.0]), jnp.array([10.0, 10.0, 4.0])
+    ).astype(dtype)
+
+    o = jnp.arange(O)
+    obs_pose = (o % K).astype(jnp.int32)
+    obs_cam = ((o // K) % C).astype(jnp.int32)
+    obs_lm = jax.random.randint(k2, (O,), 0, L, dtype=jnp.int32)
+
+    def project_one(pi, li, ci):
+        T_WS = from_rq(pose_r[pi], pose_q[pi])
+        T_WC = compose(T_WS, from_rq(rig_p.T_SC_r[ci], rig_p.T_SC_q[ci]))
+        p_C = transform_point(inverse(T_WC), lms[li])
+        uv, ok = project(rig.cameras[0], p_C)  # same intrinsics both cams
+        return uv.astype(dtype), ok & (p_C[2] > 0.5)
+
+    obs_uv, obs_valid = jax.vmap(project_one)(obs_pose, obs_lm, obs_cam)
+    # observed-at-least-twice landmarks only (others stay but are damped)
+    prob = GlobalMapProblem(
+        pose_r=pose_r, pose_q=pose_q,
+        pose_fixed=jnp.arange(K) < 2,
+        lm=lms, lm_valid=jnp.ones(L, bool),
+        obs_uv=jnp.where(obs_valid[:, None], obs_uv, 0.0),
+        obs_pose=obs_pose, obs_lm=obs_lm, obs_cam=obs_cam,
+        obs_valid=obs_valid,
+    )
+    return prob, rig_p

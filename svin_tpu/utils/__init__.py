@@ -1,4 +1,4 @@
 from . import timebase
-from .timing import Timer, Timing
+from .timing import Timer, Timing, device_trace
 
-__all__ = ["timebase", "Timer", "Timing"]
+__all__ = ["timebase", "Timer", "Timing", "device_trace"]

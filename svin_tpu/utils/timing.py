@@ -120,3 +120,47 @@ class Timer:
 
     def __exit__(self, *exc) -> None:
         self.stop()
+
+
+class device_trace:
+    """Context manager wrapping ``jax.profiler`` for device-side kernel
+    timing (the per-kernel complement of the host-side ``Timer`` taxonomy):
+
+        with device_trace("/tmp/svin_trace"):
+            engine.add_frame(...)
+
+    Writes a TensorBoard-loadable trace of every XLA/Pallas kernel. No-op
+    (with a warning once) when the backend's profiler is unavailable, e.g.
+    through a remote-tunnel device."""
+
+    _warned = False
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self):
+        try:
+            import jax
+
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception as e:  # pragma: no cover - backend-specific
+            if not device_trace._warned:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "device profiler unavailable (%s); trace is a no-op", e
+                )
+                device_trace._warned = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+
+            try:
+                jax.profiler.stop_trace()
+            except Exception:  # pragma: no cover
+                pass
+        return False
