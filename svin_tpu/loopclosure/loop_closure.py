@@ -151,7 +151,8 @@ class LoopCloser:
         deterministic sequence)."""
         idx = len(self.keyframes)
         if idx >= self.capacity:
-            return None  # capacity reached (host could grow arrays)
+            self._grow_capacity()  # unbounded keyframe list, like the
+            # reference's PoseGraph keyframelist
         # deferred pose-graph optimization from a fast-relocalized loop on
         # the previous keyframe (reference: updateKeyFrameLoop applies the
         # immediate drift while the optimization thread lags; here the
@@ -285,11 +286,54 @@ class LoopCloser:
         q = npq.multiply(npq.conjugate(np.asarray(Ti.q)), np.asarray(Tj.q))
         return t, q
 
+    def _grow_capacity(self) -> None:
+        """Double the pose-graph node arrays (host numpy, so growth is one
+        copy; the jitted optimizers recompile once per doubling — log2
+        recompiles over a session). The reference's keyframe list is
+        unbounded (``PoseGraph`` keyframelist)."""
+        old = self.capacity
+        new = old * 2
+
+        def pad(a, n):
+            out = np.zeros((n,) + a.shape[1:], a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        self.nodes = PoseGraphNodes(
+            p=pad(self.nodes.p, new),
+            yaw=pad(self.nodes.yaw, new),
+            pitch=pad(self.nodes.pitch, new),
+            roll=pad(self.nodes.roll, new),
+            valid=pad(self.nodes.valid, new),
+        )
+        self._grow_edges(new * 4)
+        if self.earliest_loop_index == old:  # "no loop yet" sentinel
+            self.earliest_loop_index = new
+        self.capacity = new
+
+    def _grow_edges(self, e_new: int = 0) -> None:
+        e_old = self.edges.i.shape[0]
+        e_new = e_new or e_old * 2
+        if e_new <= e_old:
+            return
+
+        def pad(a, n):
+            out = np.zeros((n,) + a.shape[1:], a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        e = self.edges
+        self.edges = PoseGraphEdges(
+            i=pad(e.i, e_new), j=pad(e.j, e_new), t_ij=pad(e.t_ij, e_new),
+            yaw_ij=pad(e.yaw_ij, e_new), weight=pad(e.weight, e_new),
+            is_loop=pad(e.is_loop, e_new), valid=pad(e.valid, e_new),
+        )
+
     def _add_sequential_edge(self, i: int, j: int):
         t_ij, yaw_ij = self._vio_rel(i, j)
         k = self.n_edges
         if k >= self.edges.i.shape[0]:
-            return
+            self._grow_edges()
         self._edges_full.append(self._vio_rel_full(i, j))
         e = self.edges
         e.i[k] = i
@@ -304,7 +348,7 @@ class LoopCloser:
     def _add_loop_edge(self, loop: LoopInfo):
         k = self.n_edges
         if k >= self.edges.i.shape[0]:
-            return
+            self._grow_edges()
         if loop.rel_t_full is not None:
             self._edges_full.append((loop.rel_t_full, loop.rel_q_full))
         else:

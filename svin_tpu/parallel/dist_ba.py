@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..cameras.pinhole import project, project_jacobian
 from ..estimator.rig import RigParams
 from ..ops.linalg3 import inv3x3
+from ..ops.solve import solve_spd
 from ..kinematics import Transformation, quaternion as quat
 
 
@@ -114,30 +115,36 @@ def _gn_iteration(prob: GlobalMapProblem, rig: RigParams, lm_base, K, Lloc,
     )[:, None]
     Hll_d = Hll + jax.vmap(jnp.diag)(damp_l)
     Hll_inv = inv3x3(Hll_d)  # closed-form batched 3x3 (VPU-fusable)
-    # reduced camera system: H_red[ka,kb] -= Σ_l W[l,ka]ᵀ Hll⁻¹ W[l,kb]
-    Hred_blocks = -jnp.einsum("lkab,lac,lmcd->kmbd", W, Hll_inv, W)
-    Hred_blocks = Hred_blocks.at[jnp.arange(K), jnp.arange(K)].add(Hpp)
-    bred = bp - jnp.einsum("lkab,lac,lc->kb", W, Hll_inv, bl)
+    # reduced camera system H -= Wᵀ Hll⁻¹ W as ONE (K·6, L·3)x(L·3, K·6)
+    # MXU matmul (flat layout row=(l,a), col=(k,b)) — the blockwise einsum
+    # form does not tile onto the systolic array
+    D = K * 6
+    Wf = W.transpose(0, 2, 1, 3).reshape(Lloc * 3, D)
+    HiW = jnp.matmul(
+        Hll_inv, W.transpose(0, 2, 1, 3).reshape(Lloc, 3, D)
+    ).reshape(Lloc * 3, D)
+    Hib = jnp.einsum("lab,lb->la", Hll_inv, bl).reshape(Lloc * 3)
+    H = -(Wf.T @ HiW)
+    rows = (jnp.arange(K)[:, None] * 6 + jnp.arange(6)[None, :])
+    H = H.at[rows[:, :, None], rows[:, None, :]].add(Hpp)
+    b = bp.reshape(D) - Wf.T @ Hib
 
     # merge shards over the mesh (one psum per iteration) + cost for LM
     if axis_name is not None:
-        Hred_blocks = jax.lax.psum(Hred_blocks, axis_name)
-        bred = jax.lax.psum(bred, axis_name)
+        H = jax.lax.psum(H, axis_name)
+        b = jax.lax.psum(b, axis_name)
         cost = jax.lax.psum(cost, axis_name)
-
-    D = K * 6
-    H = Hred_blocks.transpose(0, 2, 1, 3).reshape(D, D)
-    b = bred.reshape(D)
     fixed_coords = jnp.repeat(prob.pose_fixed, 6)
     dH = jnp.diag(H)
     damp = lam * jnp.maximum(dH, 1e-6) + jnp.where(fixed_coords, 1.0, 0.0)
     damp = damp + jnp.where(dH < 1e-9, 1.0, 0.0)  # unobserved poses
     H = H + jnp.diag(damp)
-    dx = -jnp.linalg.solve(H, b)
+    dx = -solve_spd(H, b)
     dxk = dx.reshape(K, 6)
-    # landmark back-substitution (local)
-    dl = -jnp.einsum("lab,lb->la", Hll_inv,
-                     bl + jnp.einsum("lkab,kb->la", W, dxk))
+    # landmark back-substitution (local, one (L·3, D) @ (D,) matvec)
+    dl = -jnp.einsum(
+        "lab,lb->la", Hll_inv, bl + (Wf @ dx).reshape(Lloc, 3)
+    )
     return dxk, dl, cost
 
 

@@ -97,3 +97,20 @@ def test_evaluate_cli(tmp_path, capsys):
     assert abs(out["scale"] - 2.0) < 0.01
     assert out["ate_rmse"] < 0.03
     assert out["n_pairs"] == 200
+
+
+def test_app_live_synthetic(tmp_path, monkeypatch):
+    """Live-mode CLI (okvis_node analog): threaded pipeline at unpaced
+    speed, drop accounting, TUM outputs."""
+    cfg_path = tmp_path / "rig.yaml"
+    cfg_path.write_text(CONFIG_YAML)
+    out_dir = tmp_path / "live_out"
+    monkeypatch.setenv("SVIN_SYNTH_DURATION", "1.6")
+
+    from svin_tpu.apps.run_live import main
+
+    rc = main([str(cfg_path), "--synthetic", str(out_dir), "--speed", "0"])
+    assert rc == 0
+    traj = np.loadtxt(out_dir / "svin_vio.txt")
+    # unpaced drop-oldest mode keeps only what the pipeline can sustain
+    assert traj.ndim == 2 and traj.shape[1] == 8 and traj.shape[0] >= 2

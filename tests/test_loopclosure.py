@@ -731,3 +731,36 @@ def test_train_vocabulary_cli(tmp_path):
     cam, _, _ = _render_setup()
     closer = LoopCloser(cam, cfg)
     assert closer.db.weights is not None
+
+
+def test_capacity_growth_unbounded_keyframes():
+    """The pose-graph arrays grow past the initial capacity (the reference's
+    keyframe list is unbounded); nodes/edges stay consistent across growth."""
+    cam, _, _ = _render_setup()
+    cfg = VioConfig()
+    closer = LoopCloser(cam, cfg, capacity=4)
+    rng = np.random.RandomState(0)
+    img = rng.rand(96, 128).astype(np.float32)
+    for k in range(10):
+        export = {
+            "timestamp": 0.1 * k,
+            "T_WC_r": np.array([0.1 * k, 0.0, 0.0]),
+            "T_WC_q": np.array([0.0, 0.0, 0.0, 1.0]),
+            "image": img,
+            "keypoints_uv": rng.rand(20, 2) * [127, 95],
+            "points_W": rng.rand(20, 3) * 4.0,
+            "ids": np.arange(20),
+            "quality": np.full(20, 0.5),
+            "num_tracked": 20,
+            "quadrant_counts": np.array([5, 5, 5, 5]),
+            "response_strengths": np.ones(20),
+        }
+        closer.add_keyframe(export)
+    assert len(closer.keyframes) == 10
+    assert closer.capacity >= 10
+    assert closer.nodes.valid[:10].all()
+    assert not closer.nodes.valid[10:].any()
+    # sequential edges: 1 + 2*(n-2) for back in (1,2)
+    assert closer.n_edges == 1 + 2 * 8
+    path = closer.optimized_path()
+    assert path.shape == (10, 3)
