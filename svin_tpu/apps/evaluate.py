@@ -25,10 +25,15 @@ def main(argv=None) -> int:
     if "--max-dt" in argv:
         max_dt = float(argv[argv.index("--max-dt") + 1])
 
-    from ..evaluation import evaluate_tum
+    from ..evaluation import associate, evaluate_tum, load_tum, rpe
 
     out = evaluate_tum(est, gt, with_scale=with_scale, max_dt=max_dt)
     out["alignment"] = "sim3" if with_scale else "se3"
+    # drift metric: RPE over 1 s (TUM benchmark protocol)
+    t_e, p_e, q_e = load_tum(est)
+    t_g, p_g, q_g = load_tum(gt)
+    ie, ig = associate(t_e, t_g, max_dt)
+    out.update(rpe(t_e[ie], p_e[ie], q_e[ie], p_g[ig], q_g[ig], delta_s=1.0))
     print(json.dumps(out))
     return 0
 

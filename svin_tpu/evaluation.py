@@ -85,3 +85,52 @@ def evaluate_tum(
         "n_pairs": int(len(ie)),
         "scale": a.scale,
     }
+
+
+def rpe(
+    t: np.ndarray,
+    p_est: np.ndarray,
+    q_est: np.ndarray,
+    p_gt: np.ndarray,
+    q_gt: np.ndarray,
+    delta_s: float = 1.0,
+) -> dict:
+    """Relative pose error over a fixed time delta (the TUM benchmark's
+    drift metric, complementing ATE): for each pose i paired with the pose
+    nearest t_i + delta, the error transform
+    E = (T_gt_i⁻¹ T_gt_j)⁻¹ (T_est_i⁻¹ T_est_j); reports translational RMSE
+    [m] and rotational RMSE [deg] per delta. Inputs are time-associated
+    arrays (same length); quaternions xyzw."""
+    from .kinematics import npq
+
+    n = len(t)
+    j_idx = np.searchsorted(t, t + delta_s)
+    j_idx = np.clip(j_idx, 1, n - 1)
+    prev = j_idx - 1
+    use_prev = np.abs(t[prev] - (t + delta_s)) < np.abs(t[j_idx] - (t + delta_s))
+    j_idx = np.where(use_prev, prev, j_idx)  # nearest grid point to t+delta
+    ok = (
+        (j_idx > np.arange(n))
+        & (np.abs(t[j_idx] - (t + delta_s)) < 0.1 * delta_s)
+        & (t + delta_s <= t[-1] + 0.01 * delta_s)  # tail has no valid pair
+    )
+    terr, rerr = [], []
+    for i in np.nonzero(ok)[0]:
+        j = int(j_idx[i])
+        dr_e, dq_e = npq.compose_rq(
+            *npq.inverse_rq(p_est[i], q_est[i]), p_est[j], q_est[j]
+        )
+        dr_g, dq_g = npq.compose_rq(
+            *npq.inverse_rq(p_gt[i], q_gt[i]), p_gt[j], q_gt[j]
+        )
+        er, eq = npq.compose_rq(*npq.inverse_rq(dr_g, dq_g), dr_e, dq_e)
+        terr.append(np.dot(er, er))
+        w = np.clip(abs(npq.normalize(eq)[3]), -1.0, 1.0)
+        rerr.append((2.0 * np.arccos(w)) ** 2)
+    if not terr:
+        return {"rpe_trans_rmse": float("nan"), "rpe_rot_rmse_deg": float("nan"), "rpe_n_pairs": 0}
+    return {
+        "rpe_trans_rmse": float(np.sqrt(np.mean(terr))),
+        "rpe_rot_rmse_deg": float(np.degrees(np.sqrt(np.mean(rerr)))),
+        "rpe_n_pairs": int(len(terr)),
+    }

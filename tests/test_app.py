@@ -114,3 +114,20 @@ def test_app_live_synthetic(tmp_path, monkeypatch):
     traj = np.loadtxt(out_dir / "svin_vio.txt")
     # unpaced drop-oldest mode keeps only what the pipeline can sustain
     assert traj.ndim == 2 and traj.shape[1] == 8 and traj.shape[0] >= 2
+
+
+def test_rpe_metric():
+    """RPE: exact trajectories give 0; a constant velocity offset gives the
+    expected per-second translational drift."""
+    from svin_tpu.evaluation import rpe
+
+    t = np.arange(0.0, 10.0, 0.1)
+    p = np.stack([t, np.zeros_like(t), np.zeros_like(t)], axis=1)
+    q = np.tile([0.0, 0.0, 0.0, 1.0], (len(t), 1))
+    out0 = rpe(t, p, q, p, q, delta_s=1.0)
+    assert out0["rpe_n_pairs"] > 0 and out0["rpe_trans_rmse"] < 1e-12
+    # est drifts 0.05 m/s in +y
+    p_est = p + np.outer(t, [0.0, 0.05, 0.0])
+    out = rpe(t, p_est, q, p, q, delta_s=1.0)
+    assert abs(out["rpe_trans_rmse"] - 0.05) < 1e-6
+    assert out["rpe_rot_rmse_deg"] < 1e-2  # arccos noise near identity
