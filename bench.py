@@ -107,8 +107,9 @@ def main():
     prob, ba_rig = build_global_ba_problem(
         jax.random.PRNGKey(3), K=64, L=4096, O=16384, dtype=jnp.float32
     )
-    ba_fn = jax.jit(lambda p: dist_ba.ba_solve_local(p, ba_rig, iters=BA_ITERS)[1])
-    t_ba = time_fn(ba_fn, prob, iters=20) / BA_ITERS
+    bprob = dist_ba.bucket_problem(prob)  # scatter-free (L,R) layout
+    ba_fn = jax.jit(lambda p: dist_ba.ba_solve_bucketed(p, ba_rig, iters=BA_ITERS)[1])
+    t_ba = time_fn(ba_fn, bprob, iters=20) / BA_ITERS
 
     t_frame = t_opt + t_match
     # stereo per-frame estimate: batched 2-cam frontend + match + optimize

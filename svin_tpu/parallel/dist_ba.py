@@ -263,3 +263,238 @@ def partition_problem(prob: GlobalMapProblem, n: int) -> GlobalMapProblem:
         obs_cam=gather_pad(prob.obs_cam),
         obs_valid=gather_pad(prob.obs_valid, fill=False),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed layout: observations grouped per landmark, (L, R) fixed shapes.
+# Every segment-sum scatter of the flat layout (the dominant per-iteration
+# cost on TPU — scatters lower to serial dynamic-update-slices) becomes a
+# plain reduction over the bucket axis or a small one-hot matmul, and in the
+# sharded build observations travel with their landmark's shard for free.
+# ---------------------------------------------------------------------------
+
+
+class BucketedProblem(NamedTuple):
+    """Global BA problem with per-landmark observation buckets. K poses are
+    replicated; all (L, ...) arrays shard along the landmark axis."""
+
+    pose_r: jnp.ndarray  # (K,3)
+    pose_q: jnp.ndarray  # (K,4)
+    pose_fixed: jnp.ndarray  # (K,)
+    lm: jnp.ndarray  # (L,3)
+    lm_valid: jnp.ndarray  # (L,)
+    obs_uv: jnp.ndarray  # (L,R,2)
+    obs_pose: jnp.ndarray  # (L,R) int32 (global pose index)
+    obs_cam: jnp.ndarray  # (L,R) int32
+    obs_valid: jnp.ndarray  # (L,R)
+
+
+def bucket_problem(prob: GlobalMapProblem, R: int = 0) -> BucketedProblem:
+    """Host-side re-layout: group observations by landmark into fixed-size
+    buckets (R = max observations per landmark, rounded up to a multiple of
+    4; observations beyond R are dropped with a log note)."""
+    import logging
+
+    import numpy as np
+
+    L = prob.lm.shape[0]
+    valid = np.asarray(prob.obs_valid)
+    lm_idx = np.asarray(prob.obs_lm)[valid]
+    counts = np.bincount(lm_idx, minlength=L)
+    r_needed = int(counts.max()) if counts.size else 1
+    if R <= 0:
+        R = max(4, -(-r_needed // 4) * 4)
+    elif r_needed > R:
+        logging.getLogger(__name__).info(
+            "bucket_problem: dropping %d observations beyond bucket size %d",
+            int(np.sum(np.maximum(counts - R, 0))), R,
+        )
+    uv = np.zeros((L, R, 2), np.asarray(prob.obs_uv).dtype)
+    pose = np.zeros((L, R), np.int32)
+    cam = np.zeros((L, R), np.int32)
+    ok = np.zeros((L, R), bool)
+    slot = np.zeros(L, np.int64)
+    uv_np = np.asarray(prob.obs_uv)[valid]
+    pose_np = np.asarray(prob.obs_pose)[valid]
+    cam_np = np.asarray(prob.obs_cam)[valid]
+    for o in range(lm_idx.shape[0]):
+        l = lm_idx[o]
+        s = slot[l]
+        if s >= R:
+            continue
+        uv[l, s] = uv_np[o]
+        pose[l, s] = pose_np[o]
+        cam[l, s] = cam_np[o]
+        ok[l, s] = True
+        slot[l] = s + 1
+    return BucketedProblem(
+        pose_r=prob.pose_r, pose_q=prob.pose_q, pose_fixed=prob.pose_fixed,
+        lm=prob.lm, lm_valid=prob.lm_valid,
+        obs_uv=jnp.asarray(uv), obs_pose=jnp.asarray(pose),
+        obs_cam=jnp.asarray(cam), obs_valid=jnp.asarray(ok),
+    )
+
+
+def _reproj_eval_bucketed(prob: BucketedProblem, rig: RigParams):
+    """Residuals + Jacobians over the (L,R) buckets (landmark = own row)."""
+    L, R = prob.obs_pose.shape
+
+    def one(uv, pi, ci, ok, p_W, lm_ok):
+        T_WS = Transformation(r=prob.pose_r[pi], q=prob.pose_q[pi])
+        T_SC = rig.T_SC(ci)
+        C_SW = quat.to_rotation_matrix(T_WS.q).T
+        C_CS = quat.to_rotation_matrix(T_SC.q).T
+        p_S = C_SW @ (p_W - T_WS.r)
+        p_C = C_CS @ (p_S - T_SC.r)
+        cam = rig.camera(ci)
+        uv_hat, _ = project(cam, p_C)
+        ok = ok & (p_C[2] > 0.2) & lm_ok
+        Juv = project_jacobian(cam, p_C)
+        C_CW = C_CS @ C_SW
+        Jp = -Juv @ jnp.concatenate(
+            [-C_CW, C_CW @ quat.cross_mx(p_W - T_WS.r)], axis=1
+        )
+        Jp = Jp * (1.0 - prob.pose_fixed[pi])
+        Jl = -Juv @ C_CW
+        r = uv - uv_hat
+        n = jnp.linalg.norm(r)
+        w = jnp.sqrt(jnp.where(n > 3.0, 3.0 / n, 1.0))
+        w = jnp.where(ok, w, 0.0)
+        return w * r, w * Jp, w * Jl
+
+    per_lm = jax.vmap(jax.vmap(one, in_axes=(0, 0, 0, 0, None, None)))
+    return per_lm(
+        prob.obs_uv, prob.obs_pose, prob.obs_cam, prob.obs_valid,
+        prob.lm, prob.lm_valid,
+    )
+
+
+def _normal_eqs_bucketed(prob: BucketedProblem, rig: RigParams, K: int):
+    """Scatter-free normal equations: bucket-axis reductions for the
+    landmark blocks, one-hot matmuls for the pose blocks and W."""
+    dtype = prob.pose_r.dtype
+    L, R = prob.obs_pose.shape
+    r, Jp, Jl = _reproj_eval_bucketed(prob, rig)  # (L,R,2), (L,R,2,6), (L,R,2,3)
+    Hll = jnp.einsum("lria,lrib->lab", Jl, Jl)  # (L,3,3)
+    bl = jnp.einsum("lria,lri->la", Jl, r)  # (L,3)
+    oh = jax.nn.one_hot(prob.obs_pose, K, dtype=dtype)  # (L,R,K)
+    Hpp_o = jnp.einsum("lria,lrib->lrab", Jp, Jp).reshape(L * R, 36)
+    Hpp = (oh.reshape(L * R, K).T @ Hpp_o).reshape(K, 6, 6)
+    bp = (
+        oh.reshape(L * R, K).T
+        @ jnp.einsum("lria,lri->lra", Jp, r).reshape(L * R, 6)
+    )
+    W = jnp.einsum(
+        "lrk,lrab->lakb", oh, jnp.einsum("lria,lrib->lrab", Jl, Jp)
+    )  # (L,3,K,6) — directly in the flat-matmul layout (no transpose copy)
+    cost = 0.5 * jnp.sum(r * r)
+    return Hpp, bp, Hll, bl, W, cost
+
+
+def _gn_iteration_bucketed(prob: BucketedProblem, rig: RigParams, K, lam,
+                           axis_name=None):
+    L = prob.lm.shape[0]
+    Hpp, bp, Hll, bl, W, cost = _normal_eqs_bucketed(prob, rig, K)
+
+    dHll = jnp.einsum("lii->li", Hll)
+    damp_l = lam * jnp.maximum(dHll, 1e-6) + jnp.where(
+        prob.lm_valid, 0.0, 1.0
+    )[:, None]
+    Hll_inv = inv3x3(Hll + jax.vmap(jnp.diag)(damp_l))
+    D = K * 6
+    Wf = W.reshape(L * 3, D)  # already (L,3,K,6)
+    HiW = jnp.matmul(Hll_inv, W.reshape(L, 3, D)).reshape(L * 3, D)
+    Hib = jnp.einsum("lab,lb->la", Hll_inv, bl).reshape(L * 3)
+    H = -(Wf.T @ HiW)
+    rows = (jnp.arange(K)[:, None] * 6 + jnp.arange(6)[None, :])
+    H = H.at[rows[:, :, None], rows[:, None, :]].add(Hpp)
+    b = bp.reshape(D) - Wf.T @ Hib
+
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        b = jax.lax.psum(b, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+    fixed_coords = jnp.repeat(prob.pose_fixed, 6)
+    dH = jnp.diag(H)
+    damp = lam * jnp.maximum(dH, 1e-6) + jnp.where(fixed_coords, 1.0, 0.0)
+    damp = damp + jnp.where(dH < 1e-9, 1.0, 0.0)
+    H = H + jnp.diag(damp)
+    dx = -solve_spd(H, b)
+    dl = -jnp.einsum(
+        "lab,lb->la", Hll_inv, bl + (Wf @ dx).reshape(L, 3)
+    )
+    return dx.reshape(K, 6), dl, cost
+
+
+def _apply_bucketed(prob: BucketedProblem, dxk, dl) -> BucketedProblem:
+    fixed = prob.pose_fixed[:, None]
+    r_new = jnp.where(fixed > 0, prob.pose_r, prob.pose_r + dxk[:, :3])
+    q_new = jnp.where(
+        fixed > 0,
+        prob.pose_q,
+        quat.normalize(quat.multiply(quat.exp(dxk[:, 3:6]), prob.pose_q)),
+    )
+    lm_new = jnp.where(prob.lm_valid[:, None], prob.lm + dl, prob.lm)
+    return prob._replace(pose_r=r_new, pose_q=q_new, lm=lm_new)
+
+
+def ba_solve_bucketed(
+    prob: BucketedProblem, rig: RigParams, iters: int = 10, lam: float = 1e-3
+) -> Tuple[BucketedProblem, jnp.ndarray]:
+    """Single-device bucketed GN (the fast path; jit-able as-is)."""
+    K = prob.pose_r.shape[0]
+
+    def body(i, p):
+        dxk, dl, _ = _gn_iteration_bucketed(
+            p, rig, K, jnp.asarray(lam, p.pose_r.dtype)
+        )
+        return _apply_bucketed(p, dxk, dl)
+
+    prob = jax.lax.fori_loop(0, iters, body, prob)
+    _, _, cost = _gn_iteration_bucketed(
+        prob, rig, K, jnp.asarray(lam, prob.pose_r.dtype)
+    )
+    return prob, cost
+
+
+def make_sharded_ba_bucketed(
+    mesh: Mesh, rig: RigParams, K: int, L: int, R: int,
+    iters: int = 10, lam: float = 1e-3, axis: str = "data",
+):
+    """Distributed bucketed BA: (L, ...) arrays block-sharded along the
+    landmark axis (observations ride with their landmark's shard by
+    construction — no host re-partitioning step), poses replicated, one
+    psum of the reduced camera system per GN iteration."""
+    n = mesh.shape[axis]
+    assert L % n == 0, "landmark count must divide the mesh"
+
+    def shard_body(prob: BucketedProblem):
+        def body(i, p):
+            dxk, dl, _ = _gn_iteration_bucketed(
+                p, rig, K, jnp.asarray(lam, p.pose_r.dtype), axis_name=axis
+            )
+            return _apply_bucketed(p, dxk, dl)
+
+        prob = jax.lax.fori_loop(0, iters, body, prob)
+        _, _, cost = _gn_iteration_bucketed(
+            prob, rig, K, jnp.asarray(lam, prob.pose_r.dtype), axis_name=axis
+        )
+        return prob, cost
+
+    replicated = P()
+    sharded = P(axis)
+    in_specs = BucketedProblem(
+        pose_r=replicated, pose_q=replicated, pose_fixed=replicated,
+        lm=sharded, lm_valid=sharded,
+        obs_uv=sharded, obs_pose=sharded, obs_cam=sharded, obs_valid=sharded,
+    )
+    step = jax.jit(
+        jax.shard_map(
+            shard_body, mesh=mesh, in_specs=(in_specs,),
+            out_specs=(in_specs, replicated),
+        )
+    )
+    shardings = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), in_specs
+    )
+    return step, shardings

@@ -132,3 +132,48 @@ def test_multisession_joint_mapping():
     pb = np.asarray(out.pose_r)[pose_maps[1]]
     err = np.linalg.norm(pb - np.asarray(truth["r"]), axis=1)
     assert err.max() < 0.02, err
+
+
+def test_bucketed_matches_flat():
+    """The scatter-free bucketed layout solves the same problem to the same
+    optimum as the flat-observation reference path."""
+    from svin_tpu.parallel import ba_solve_bucketed, bucket_problem
+
+    prob, rig_p, truth = build_global_problem(jax.random.PRNGKey(3))
+    bprob = bucket_problem(prob)
+    assert int(bprob.obs_valid.sum()) == int(prob.obs_valid.sum())
+    out_f, cost_f = ba_solve_local(prob, rig_p, iters=10)
+    out_b, cost_b = ba_solve_bucketed(bprob, rig_p, iters=10)
+    np.testing.assert_allclose(float(cost_b), float(cost_f), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_b.pose_r), np.asarray(out_f.pose_r), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b.lm), np.asarray(out_f.lm), atol=1e-7
+    )
+
+
+def test_sharded_bucketed_matches_local():
+    """Distributed bucketed BA over the 8-device mesh == single-device
+    bucketed BA (observations ride their landmark shard by construction)."""
+    from svin_tpu.parallel import (
+        ba_solve_bucketed,
+        bucket_problem,
+        make_sharded_ba_bucketed,
+    )
+
+    n = 8
+    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+    prob, rig_p, truth = build_global_problem(jax.random.PRNGKey(4))
+    bprob = bucket_problem(prob)
+    K, L, R = prob.pose_r.shape[0], prob.lm.shape[0], bprob.obs_pose.shape[1]
+    step, shardings = make_sharded_ba_bucketed(mesh, rig_p, K, L, R, iters=10)
+    out_s, cost_s = step(jax.device_put(bprob, shardings))
+    out_l, cost_l = ba_solve_bucketed(bprob, rig_p, iters=10)
+    np.testing.assert_allclose(float(cost_s), float(cost_l), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_s.pose_r), np.asarray(out_l.pose_r), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.lm), np.asarray(out_l.lm), atol=1e-8
+    )

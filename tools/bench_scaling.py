@@ -88,7 +88,7 @@ def main():
     args = ap.parse_args()
 
     from svin_tpu.estimator import rig_params
-    from svin_tpu.parallel import make_sharded_ba
+    from svin_tpu.parallel import bucket_problem, make_sharded_ba_bucketed
     from svin_tpu.problems import euroc_like_rig
 
     dtype = jnp.float32
@@ -102,10 +102,11 @@ def main():
         O = args.per_device_obs * n
         mesh = Mesh(np.array(devs[:n]), ("data",))
         prob = build_problem(jax.random.PRNGKey(0), K, L, O, dtype)
-        step, shardings = make_sharded_ba(
-            mesh, rig_p, K, L, O, iters=args.iters
+        bprob = bucket_problem(prob)  # scatter-free (L,R) layout
+        step, shardings = make_sharded_ba_bucketed(
+            mesh, rig_p, K, L, bprob.obs_pose.shape[1], iters=args.iters
         )
-        prob_dev = jax.device_put(prob, shardings)
+        prob_dev = jax.device_put(bprob, shardings)
         out = step(prob_dev)  # compile + warm
         jax.block_until_ready(out)
         t0 = time.perf_counter()
