@@ -25,15 +25,24 @@ def main(argv=None) -> int:
     if "--max-dt" in argv:
         max_dt = float(argv[argv.index("--max-dt") + 1])
 
-    from ..evaluation import associate, evaluate_tum, load_tum, rpe
+    from ..evaluation import associate, ate_rmse, load_tum, rpe
 
-    out = evaluate_tum(est, gt, with_scale=with_scale, max_dt=max_dt)
-    out["alignment"] = "sim3" if with_scale else "se3"
-    # drift metric: RPE over 1 s (TUM benchmark protocol)
     t_e, p_e, q_e = load_tum(est)
     t_g, p_g, q_g = load_tum(gt)
     ie, ig = associate(t_e, t_g, max_dt)
-    out.update(rpe(t_e[ie], p_e[ie], q_e[ie], p_g[ig], q_g[ig], delta_s=1.0))
+    rmse, a = ate_rmse(p_e[ie], p_g[ig], with_scale=with_scale)
+    out = {
+        "ate_rmse": rmse,
+        "n_pairs": int(len(ie)),
+        "scale": a.scale,
+        "alignment": "sim3" if with_scale else "se3",
+    }
+    # drift metric: RPE over 1 s (TUM protocol). Under Sim(3) alignment the
+    # estimate is scale-corrected first — otherwise a perfect up-to-scale
+    # trajectory (the COLMAP ground-truth case) would read as huge drift.
+    out.update(
+        rpe(t_e[ie], a.scale * p_e[ie], q_e[ie], p_g[ig], q_g[ig], delta_s=1.0)
+    )
     print(json.dumps(out))
     return 0
 

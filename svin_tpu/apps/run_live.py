@@ -27,14 +27,21 @@ def main(argv=None) -> int:
         print(__doc__)
         return 2
     config_path, data = argv[0], argv[1]
-    rest = [a for a in argv[2:] if not a.startswith("--speed")]
-    out_dir = rest[0] if rest else "svin_live_out"
     speed = 1.0
-    for i, a in enumerate(argv):
-        if a == "--speed" and i + 1 < len(argv):
+    rest = []
+    i = 2
+    while i < len(argv):
+        a = argv[i]
+        if a == "--speed":
             speed = float(argv[i + 1])
+            i += 2
         elif a.startswith("--speed="):
             speed = float(a.split("=", 1)[1])
+            i += 1
+        else:
+            rest.append(a)
+            i += 1
+    out_dir = rest[0] if rest else "svin_live_out"
     os.makedirs(out_dir, exist_ok=True)
 
     import jax
@@ -43,12 +50,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
 
     from ..loopclosure import LoopCloser
-    from ..pipeline import (
-        VioEngine,
-        load_config,
-        read_euroc_folder,
-        synthetic_sequence,
-    )
+    from ..pipeline import VioEngine, events_from_source, load_config
     from ..pipeline.async_vio import AsyncLoopCloser, AsyncVioEngine
     from ..utils import Timing
 
@@ -61,34 +63,9 @@ def main(argv=None) -> int:
     n_results = [0]
     live.state_callback = lambda r: n_results.__setitem__(0, n_results[0] + 1)
 
+    events = events_from_source(data, cfg, engine.rig)
     if data == "--synthetic":
-        from .. import sim
-
-        duration = float(os.environ.get("SVIN_SYNTH_DURATION", "5.0"))
-        events, _ = synthetic_sequence(
-            engine.rig, duration=duration, cam_rate=cfg.camera_rate,
-            imu_rate=float(cfg.imu.rate), imu_params=cfg.imu,
-            traj=sim.default_trajectory(scale=0.4, ramp_tau=0.8),
-            spread=6.0, depth_offset=3.0, t_first_frame=0.12,
-            depth_enabled=cfg.is_depth_used,
-        )
         events = list(events)
-    elif data.endswith(".db3") or os.path.exists(
-        os.path.join(data, "metadata.yaml")
-    ):
-        from ..pipeline.rosbag import read_rosbag
-
-        n = engine.rig.num_cameras
-        cam_topics = os.environ.get(
-            "SVIN_CAM_TOPICS",
-            ",".join(f"/cam{i}/image_raw" for i in range(n)),
-        ).split(",")
-        events = read_rosbag(
-            data, cam_topics=cam_topics,
-            imu_topic=os.environ.get("SVIN_IMU_TOPIC", "/imu"),
-        )
-    else:
-        events = read_euroc_folder(data, num_cams=engine.rig.num_cameras)
 
     t_first = None
     t0_wall = time.perf_counter()

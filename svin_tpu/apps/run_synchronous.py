@@ -44,10 +44,9 @@ def main(argv=None) -> int:
     from ..loopclosure import GlobalMap, LoopCloser, save_frustums_ply
     from ..pipeline import (
         VioEngine,
+        events_from_source,
         load_config,
-        read_euroc_folder,
         run_events,
-        synthetic_sequence,
     )
     from ..pipeline.outputs import (
         CsvLandmarkWriter,
@@ -97,36 +96,7 @@ def main(argv=None) -> int:
 
     engine.state_callback = on_state
 
-    if data == "--synthetic":
-        from .. import sim
-
-        duration = float(os.environ.get("SVIN_SYNTH_DURATION", "5.0"))
-        events, _ = synthetic_sequence(
-            engine.rig, duration=duration, cam_rate=cfg.camera_rate,
-            imu_rate=float(cfg.imu.rate), imu_params=cfg.imu,
-            traj=sim.default_trajectory(scale=0.4, ramp_tau=0.8),
-            spread=6.0, depth_offset=3.0, t_first_frame=0.12,
-            depth_enabled=cfg.is_depth_used,
-        )
-    elif data.endswith(".db3") or os.path.exists(
-        os.path.join(data, "metadata.yaml")
-    ):
-        from ..pipeline.rosbag import read_rosbag
-
-        n = engine.rig.num_cameras
-        cam_topics = os.environ.get(
-            "SVIN_CAM_TOPICS",
-            ",".join(f"/cam{i}/image_raw" for i in range(n)),
-        ).split(",")
-        events = read_rosbag(
-            data, cam_topics=cam_topics,
-            imu_topic=os.environ.get("SVIN_IMU_TOPIC", "/imu"),
-            depth_topic=os.environ.get("SVIN_DEPTH_TOPIC") or None,
-            sonar_topic=os.environ.get("SVIN_SONAR_TOPIC") or None,
-            skip_first_s=float(os.environ.get("SVIN_SKIP_FIRST_S", "0")),
-        )
-    else:
-        events = read_euroc_folder(data, num_cams=engine.rig.num_cameras)
+    events = events_from_source(data, cfg, engine.rig)
 
     results = run_events(engine, events)
 

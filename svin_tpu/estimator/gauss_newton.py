@@ -40,14 +40,21 @@ def _block_diag(blocks: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(C * k, C * k)
 
 
+# TPU matmuls default to bfloat16 operand truncation; Hessian/gradient
+# accumulation must be exact-f32 like the segment_sum scatters it replaces
+# (measured: default precision injects ~1.6e-3 relative error, HIGHEST
+# matches the scatter to 1e-7).
+_EXACT = jax.lax.Precision.HIGHEST
+
+
 def _segsum(data: jnp.ndarray, oh: jnp.ndarray) -> jnp.ndarray:
     """Segment-sum as a one-hot matmul: ``oh`` is (O, n) one-hot of the
     segment index. Scatter-adds lower to serial dynamic-update-slices on
-    TPU, while an (n, O) @ (O, K) product rides the MXU; multiplication by
-    {0,1} is exact, so only the reduction order differs from a scatter
-    (measured 1.5x on the whole LM step)."""
+    TPU, while an (n, O) @ (O, K) product rides the MXU; at HIGHEST
+    precision only the reduction order differs from a scatter (measured
+    1.5x on the whole LM step)."""
     flat = data.reshape(data.shape[0], -1)
-    out = oh.T @ flat
+    out = jnp.matmul(oh.T, flat, precision=_EXACT)
     return out.reshape((oh.shape[1],) + data.shape[1:])
 
 
@@ -96,7 +103,8 @@ def assemble(
     Hll = _segsum(Hll_o, oh_l)  # (L,3,3)
     bl = _segsum(bl_o, oh_l)  # (L,3)
     Wls = jnp.einsum(
-        "ol,ok,os->lsk", oh_l, Wls_o.reshape(-1, 18), oh_s
+        "ol,ok,os->lsk", oh_l, Wls_o.reshape(-1, 18), oh_s,
+        precision=_EXACT,
     ).reshape(L, S, 3, 6)  # double one-hot contraction (two MXU matmuls)
     W = jnp.zeros((L, 3, S, 15), dtype)
     W = W.at[:, :, :, :6].add(jnp.swapaxes(Wls, 1, 2))
@@ -111,12 +119,12 @@ def assemble(
         Hpe = jnp.einsum(
             "os,ok,oc->sck", oh_s,
             jnp.einsum("oia,oib->oab", re.J_pose, re.J_ext).reshape(-1, 36),
-            oh_c,
+            oh_c, precision=_EXACT,
         ).reshape(S, C, 6, 6)
         Wle = jnp.einsum(
             "ol,ok,oc->lck", oh_l,
             jnp.einsum("oia,oib->oab", re.J_lm, re.J_ext).reshape(-1, 18),
-            oh_c,
+            oh_c, precision=_EXACT,
         ).reshape(L, C, 3, 6)
         # prior on extrinsics
         ep = eval_ext_prior(window, factors)

@@ -104,6 +104,12 @@ def rpe(
     from .kinematics import npq
 
     n = len(t)
+    if n == 0:
+        return {
+            "rpe_trans_rmse": float("nan"),
+            "rpe_rot_rmse_deg": float("nan"),
+            "rpe_n_pairs": 0,
+        }
     j_idx = np.searchsorted(t, t + delta_s)
     j_idx = np.clip(j_idx, 1, n - 1)
     prev = j_idx - 1

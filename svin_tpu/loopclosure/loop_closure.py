@@ -40,6 +40,13 @@ from .posegraph import (
 from .retrieval import KeyframeDatabase
 from .switching import HealthStatus, SwitchingEstimator, check_health
 
+def _pad(a, n):
+    """Zero-pad a host array to n leading rows (capacity growth)."""
+    out = np.zeros((n,) + a.shape[1:], a.dtype)
+    out[: a.shape[0]] = a
+    return out
+
+
 RECENCY_EXCLUSION = 50  # skip the most recent N keyframes (PoseGraph.cpp:197)
 MIN_LOOP_SCORE = 0.015  # absolute floor on BoW score
 N_EXTRA_CORNERS = 500  # fresh FAST/Harris corners per loop keyframe
@@ -293,18 +300,12 @@ class LoopCloser:
         unbounded (``PoseGraph`` keyframelist)."""
         old = self.capacity
         new = old * 2
-
-        def pad(a, n):
-            out = np.zeros((n,) + a.shape[1:], a.dtype)
-            out[: a.shape[0]] = a
-            return out
-
         self.nodes = PoseGraphNodes(
-            p=pad(self.nodes.p, new),
-            yaw=pad(self.nodes.yaw, new),
-            pitch=pad(self.nodes.pitch, new),
-            roll=pad(self.nodes.roll, new),
-            valid=pad(self.nodes.valid, new),
+            p=_pad(self.nodes.p, new),
+            yaw=_pad(self.nodes.yaw, new),
+            pitch=_pad(self.nodes.pitch, new),
+            roll=_pad(self.nodes.roll, new),
+            valid=_pad(self.nodes.valid, new),
         )
         self._grow_edges(new * 4)
         if self.earliest_loop_index == old:  # "no loop yet" sentinel
@@ -316,17 +317,11 @@ class LoopCloser:
         e_new = e_new or e_old * 2
         if e_new <= e_old:
             return
-
-        def pad(a, n):
-            out = np.zeros((n,) + a.shape[1:], a.dtype)
-            out[: a.shape[0]] = a
-            return out
-
         e = self.edges
         self.edges = PoseGraphEdges(
-            i=pad(e.i, e_new), j=pad(e.j, e_new), t_ij=pad(e.t_ij, e_new),
-            yaw_ij=pad(e.yaw_ij, e_new), weight=pad(e.weight, e_new),
-            is_loop=pad(e.is_loop, e_new), valid=pad(e.valid, e_new),
+            i=_pad(e.i, e_new), j=_pad(e.j, e_new), t_ij=_pad(e.t_ij, e_new),
+            yaw_ij=_pad(e.yaw_ij, e_new), weight=_pad(e.weight, e_new),
+            is_loop=_pad(e.is_loop, e_new), valid=_pad(e.valid, e_new),
         )
 
     def _add_sequential_edge(self, i: int, j: int):

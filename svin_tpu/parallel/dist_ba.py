@@ -29,6 +29,10 @@ from ..cameras.pinhole import project, project_jacobian
 from ..estimator.rig import RigParams
 from ..ops.linalg3 import inv3x3
 from ..ops.solve import solve_spd
+
+# exact-f32 matmul accumulation for Hessian/gradient reductions (TPU
+# default truncates operands to bfloat16 — ~1e-3 relative error in H,b)
+_EXACT = jax.lax.Precision.HIGHEST
 from ..kinematics import Transformation, quaternion as quat
 
 
@@ -121,13 +125,14 @@ def _gn_iteration(prob: GlobalMapProblem, rig: RigParams, lm_base, K, Lloc,
     D = K * 6
     Wf = W.transpose(0, 2, 1, 3).reshape(Lloc * 3, D)
     HiW = jnp.matmul(
-        Hll_inv, W.transpose(0, 2, 1, 3).reshape(Lloc, 3, D)
+        Hll_inv, W.transpose(0, 2, 1, 3).reshape(Lloc, 3, D),
+        precision=_EXACT,
     ).reshape(Lloc * 3, D)
     Hib = jnp.einsum("lab,lb->la", Hll_inv, bl).reshape(Lloc * 3)
-    H = -(Wf.T @ HiW)
+    H = -jnp.matmul(Wf.T, HiW, precision=_EXACT)
     rows = (jnp.arange(K)[:, None] * 6 + jnp.arange(6)[None, :])
     H = H.at[rows[:, :, None], rows[:, None, :]].add(Hpp)
-    b = bp.reshape(D) - Wf.T @ Hib
+    b = bp.reshape(D) - jnp.matmul(Wf.T, Hib, precision=_EXACT)
 
     # merge shards over the mesh (one psum per iteration) + cost for LM
     if axis_name is not None:
@@ -143,7 +148,8 @@ def _gn_iteration(prob: GlobalMapProblem, rig: RigParams, lm_base, K, Lloc,
     dxk = dx.reshape(K, 6)
     # landmark back-substitution (local, one (L·3, D) @ (D,) matvec)
     dl = -jnp.einsum(
-        "lab,lb->la", Hll_inv, bl + (Wf @ dx).reshape(Lloc, 3)
+        "lab,lb->la", Hll_inv,
+        bl + jnp.matmul(Wf, dx, precision=_EXACT).reshape(Lloc, 3),
     )
     return dxk, dl, cost
 
@@ -313,20 +319,18 @@ def bucket_problem(prob: GlobalMapProblem, R: int = 0) -> BucketedProblem:
     pose = np.zeros((L, R), np.int32)
     cam = np.zeros((L, R), np.int32)
     ok = np.zeros((L, R), bool)
-    slot = np.zeros(L, np.int64)
-    uv_np = np.asarray(prob.obs_uv)[valid]
-    pose_np = np.asarray(prob.obs_pose)[valid]
-    cam_np = np.asarray(prob.obs_cam)[valid]
-    for o in range(lm_idx.shape[0]):
-        l = lm_idx[o]
-        s = slot[l]
-        if s >= R:
-            continue
-        uv[l, s] = uv_np[o]
-        pose[l, s] = pose_np[o]
-        cam[l, s] = cam_np[o]
-        ok[l, s] = True
-        slot[l] = s + 1
+    # vectorized slot assignment: stable-sort by landmark, slot = rank
+    # within the landmark's contiguous run (no per-obs Python loop)
+    order = np.argsort(lm_idx, kind="stable")
+    lm_sorted = lm_idx[order]
+    run_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot_sorted = np.arange(lm_sorted.shape[0]) - run_start[lm_sorted]
+    keep = slot_sorted < R
+    li, si, oi = lm_sorted[keep], slot_sorted[keep], order[keep]
+    uv[li, si] = np.asarray(prob.obs_uv)[valid][oi]
+    pose[li, si] = np.asarray(prob.obs_pose)[valid][oi]
+    cam[li, si] = np.asarray(prob.obs_cam)[valid][oi]
+    ok[li, si] = True
     return BucketedProblem(
         pose_r=prob.pose_r, pose_q=prob.pose_q, pose_fixed=prob.pose_fixed,
         lm=prob.lm, lm_valid=prob.lm_valid,
@@ -375,17 +379,21 @@ def _normal_eqs_bucketed(prob: BucketedProblem, rig: RigParams, K: int):
     dtype = prob.pose_r.dtype
     L, R = prob.obs_pose.shape
     r, Jp, Jl = _reproj_eval_bucketed(prob, rig)  # (L,R,2), (L,R,2,6), (L,R,2,3)
-    Hll = jnp.einsum("lria,lrib->lab", Jl, Jl)  # (L,3,3)
-    bl = jnp.einsum("lria,lri->la", Jl, r)  # (L,3)
+    Hll = jnp.einsum("lria,lrib->lab", Jl, Jl, precision=_EXACT)  # (L,3,3)
+    bl = jnp.einsum("lria,lri->la", Jl, r, precision=_EXACT)  # (L,3)
     oh = jax.nn.one_hot(prob.obs_pose, K, dtype=dtype)  # (L,R,K)
     Hpp_o = jnp.einsum("lria,lrib->lrab", Jp, Jp).reshape(L * R, 36)
-    Hpp = (oh.reshape(L * R, K).T @ Hpp_o).reshape(K, 6, 6)
-    bp = (
-        oh.reshape(L * R, K).T
-        @ jnp.einsum("lria,lri->lra", Jp, r).reshape(L * R, 6)
+    Hpp = jnp.matmul(
+        oh.reshape(L * R, K).T, Hpp_o, precision=_EXACT
+    ).reshape(K, 6, 6)
+    bp = jnp.matmul(
+        oh.reshape(L * R, K).T,
+        jnp.einsum("lria,lri->lra", Jp, r).reshape(L * R, 6),
+        precision=_EXACT,
     )
     W = jnp.einsum(
-        "lrk,lrab->lakb", oh, jnp.einsum("lria,lrib->lrab", Jl, Jp)
+        "lrk,lrab->lakb", oh, jnp.einsum("lria,lrib->lrab", Jl, Jp),
+        precision=_EXACT,
     )  # (L,3,K,6) — directly in the flat-matmul layout (no transpose copy)
     cost = 0.5 * jnp.sum(r * r)
     return Hpp, bp, Hll, bl, W, cost
@@ -403,12 +411,14 @@ def _gn_iteration_bucketed(prob: BucketedProblem, rig: RigParams, K, lam,
     Hll_inv = inv3x3(Hll + jax.vmap(jnp.diag)(damp_l))
     D = K * 6
     Wf = W.reshape(L * 3, D)  # already (L,3,K,6)
-    HiW = jnp.matmul(Hll_inv, W.reshape(L, 3, D)).reshape(L * 3, D)
+    HiW = jnp.matmul(
+        Hll_inv, W.reshape(L, 3, D), precision=_EXACT
+    ).reshape(L * 3, D)
     Hib = jnp.einsum("lab,lb->la", Hll_inv, bl).reshape(L * 3)
-    H = -(Wf.T @ HiW)
+    H = -jnp.matmul(Wf.T, HiW, precision=_EXACT)
     rows = (jnp.arange(K)[:, None] * 6 + jnp.arange(6)[None, :])
     H = H.at[rows[:, :, None], rows[:, None, :]].add(Hpp)
-    b = bp.reshape(D) - Wf.T @ Hib
+    b = bp.reshape(D) - jnp.matmul(Wf.T, Hib, precision=_EXACT)
 
     if axis_name is not None:
         H = jax.lax.psum(H, axis_name)
@@ -421,7 +431,8 @@ def _gn_iteration_bucketed(prob: BucketedProblem, rig: RigParams, K, lam,
     H = H + jnp.diag(damp)
     dx = -solve_spd(H, b)
     dl = -jnp.einsum(
-        "lab,lb->la", Hll_inv, bl + (Wf @ dx).reshape(L, 3)
+        "lab,lb->la", Hll_inv,
+        bl + jnp.matmul(Wf, dx, precision=_EXACT).reshape(L, 3),
     )
     return dx.reshape(K, 6), dl, cost
 
@@ -458,7 +469,7 @@ def ba_solve_bucketed(
 
 
 def make_sharded_ba_bucketed(
-    mesh: Mesh, rig: RigParams, K: int, L: int, R: int,
+    mesh: Mesh, rig: RigParams, K: int, L: int,
     iters: int = 10, lam: float = 1e-3, axis: str = "data",
 ):
     """Distributed bucketed BA: (L, ...) arrays block-sharded along the

@@ -2,6 +2,7 @@ from .config import VioConfig, load_config
 from .dataset import (
     SensorEvent,
     SyntheticRenderer,
+    events_from_source,
     read_euroc_folder,
     run_events,
     sonar_range_from_intensity,
@@ -16,6 +17,7 @@ __all__ = [
     "VioConfig",
     "VioEngine",
     "load_config",
+    "events_from_source",
     "read_euroc_folder",
     "sonar_range_from_intensity",
     "run_events",

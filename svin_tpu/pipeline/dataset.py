@@ -301,3 +301,41 @@ def run_events(engine, events: Iterator[SensorEvent], max_frames: int = 10**9):
                 if n >= max_frames:
                     break
     return results
+
+
+def events_from_source(data: str, cfg, rig):
+    """CLI dataset-source dispatch shared by ``apps.run_synchronous`` and
+    ``apps.run_live``: ``--synthetic`` (rendered sequence, duration via
+    SVIN_SYNTH_DURATION), a rosbag2 directory/.db3 (topics via
+    SVIN_CAM_TOPICS / SVIN_IMU_TOPIC / SVIN_DEPTH_TOPIC / SVIN_SONAR_TOPIC,
+    SVIN_SKIP_FIRST_S honored), or a EuRoC-layout folder."""
+    import os
+
+    if data == "--synthetic":
+        from .. import sim
+
+        duration = float(os.environ.get("SVIN_SYNTH_DURATION", "5.0"))
+        events, _ = synthetic_sequence(
+            rig, duration=duration, cam_rate=cfg.camera_rate,
+            imu_rate=float(cfg.imu.rate), imu_params=cfg.imu,
+            traj=sim.default_trajectory(scale=0.4, ramp_tau=0.8),
+            spread=6.0, depth_offset=3.0, t_first_frame=0.12,
+            depth_enabled=cfg.is_depth_used,
+        )
+        return events
+    if data.endswith(".db3") or os.path.exists(os.path.join(data, "metadata.yaml")):
+        from .rosbag import read_rosbag
+
+        n = rig.num_cameras
+        cam_topics = os.environ.get(
+            "SVIN_CAM_TOPICS",
+            ",".join(f"/cam{i}/image_raw" for i in range(n)),
+        ).split(",")
+        return read_rosbag(
+            data, cam_topics=cam_topics,
+            imu_topic=os.environ.get("SVIN_IMU_TOPIC", "/imu"),
+            depth_topic=os.environ.get("SVIN_DEPTH_TOPIC") or None,
+            sonar_topic=os.environ.get("SVIN_SONAR_TOPIC") or None,
+            skip_first_s=float(os.environ.get("SVIN_SKIP_FIRST_S", "0")),
+        )
+    return read_euroc_folder(data, num_cams=rig.num_cameras)

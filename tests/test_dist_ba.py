@@ -166,8 +166,8 @@ def test_sharded_bucketed_matches_local():
     mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
     prob, rig_p, truth = build_global_problem(jax.random.PRNGKey(4))
     bprob = bucket_problem(prob)
-    K, L, R = prob.pose_r.shape[0], prob.lm.shape[0], bprob.obs_pose.shape[1]
-    step, shardings = make_sharded_ba_bucketed(mesh, rig_p, K, L, R, iters=10)
+    K, L = prob.pose_r.shape[0], prob.lm.shape[0]
+    step, shardings = make_sharded_ba_bucketed(mesh, rig_p, K, L, iters=10)
     out_s, cost_s = step(jax.device_put(bprob, shardings))
     out_l, cost_l = ba_solve_bucketed(bprob, rig_p, iters=10)
     np.testing.assert_allclose(float(cost_s), float(cost_l), rtol=1e-6)

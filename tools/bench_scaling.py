@@ -104,7 +104,7 @@ def main():
         prob = build_problem(jax.random.PRNGKey(0), K, L, O, dtype)
         bprob = bucket_problem(prob)  # scatter-free (L,R) layout
         step, shardings = make_sharded_ba_bucketed(
-            mesh, rig_p, K, L, bprob.obs_pose.shape[1], iters=args.iters
+            mesh, rig_p, K, L, iters=args.iters
         )
         prob_dev = jax.device_put(bprob, shardings)
         out = step(prob_dev)  # compile + warm
