@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from ..imu import ImuParameters
-from ..kinematics import quaternion as quat
 from .factors import (
     eval_depth,
     eval_imu,
@@ -76,7 +75,15 @@ def marginalize_slot(
     imu_params: ImuParameters,
     cfg: WindowConfig,
 ) -> Tuple[WindowState, Factors]:
-    """Fold state `slot` into the marginal prior and compact the window."""
+    """Fold state `slot` into the marginal prior and compact the window.
+
+    Known approximation: the exclusive-landmark fold uses J_pose/J_lm only —
+    when online extrinsics calibration is active (cfg.estimate_extrinsics)
+    the folded observations' dependence on the still-uncertain T_SC
+    (re.J_ext) is conditioned on rather than marginalized, making the prior
+    slightly overconfident. The reference's default configs hold T_SC fixed
+    (sigma_absolute_* = 0), where the fold is exact.
+    """
     S, L, D = cfg.num_states, cfg.num_landmarks, cfg.state_dim
     dtype = window.r.dtype
     slot = jnp.asarray(slot, jnp.int32)
@@ -95,9 +102,15 @@ def marginalize_slot(
     n_elsewhere = jax.ops.segment_sum(
         obs_elsewhere.astype(jnp.int32), l_idx, num_segments=L
     )
-    lm_drop = window.lm_valid & (n_elsewhere == 0) & (
-        jax.ops.segment_sum(obs_at_slot.astype(jnp.int32), l_idx, num_segments=L) > 0
+    n_at_slot = jax.ops.segment_sum(
+        obs_at_slot.astype(jnp.int32), l_idx, num_segments=L
     )
+    lm_drop = window.lm_valid & (n_elsewhere == 0) & (n_at_slot > 0)
+    # landmarks with NO live observation anywhere (all rows pruned or
+    # truncated) are unconstrained dead weight: nothing to fold, but their
+    # slots must return to the pool or the fixed-size landmark table leaks
+    # one slot per pruned-out landmark until allocation fails
+    lm_orphan = window.lm_valid & (n_elsewhere == 0) & (n_at_slot == 0)
 
     Hb = jnp.zeros((S, S, 15, 15), dtype)
     b = jnp.zeros((S, 15), dtype)
@@ -201,7 +214,7 @@ def marginalize_slot(
         state_id=jnp.where(
             last_invalid, _shift_rows(window.state_id, slot), -1
         ),
-        lm_valid=window.lm_valid & ~lm_drop,
+        lm_valid=window.lm_valid & ~lm_drop & ~lm_orphan,
     )
 
     # obs: drop at slot, re-index the rest

@@ -222,7 +222,12 @@ def sqrt_information(pre: Preintegral) -> jnp.ndarray:
     """
     L = jnp.linalg.cholesky(pre.P_delta)
     eye = jnp.eye(15, dtype=pre.P_delta.dtype)
-    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    W = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    # degenerate segment (no IMU samples between the states → P = 0):
+    # Cholesky yields NaN; return a zero whitener instead of poisoning the
+    # factor tables (0·NaN = NaN survives validity masks downstream). The
+    # caller must also mark the factor invalid (vio checks Delta_t > 0).
+    return jnp.where(jnp.isfinite(W), W, 0.0)
 
 
 def propagate(

@@ -245,9 +245,12 @@ class VioEngine:
 
             ev = eval_reprojection(w, f, rig_p, wcfg)
             wt = jnp.sqrt(jnp.maximum(ev.weight, 1e-9))
-            err = jnp.linalg.norm(ev.res, axis=-1) / (
-                jnp.maximum(f.reproj.sqrt_info, 1e-9) * wt
-            )
+            # octave-NORMALIZED pixel error: divide by the constant base
+            # info (not the per-observation sqrt_info) so a coarse-octave
+            # keypoint's larger sigma scales its prune threshold too —
+            # raw-pixel thresholding would destroy perfectly consistent
+            # octave>=2 tracks (sigma = 2^octave px)
+            err = jnp.linalg.norm(ev.res, axis=-1) / (VioEngine._KP_SQRT_INFO * wt)
             return ev.valid, err
 
         def _opt_prune(w, f):
@@ -489,6 +492,15 @@ class VioEngine:
         free = np.nonzero(~valid)[0]
         n = min(len(rows), len(free))
         if n < len(rows):
+            # observation table full: tail factors are dropped (the window
+            # still holds the association; the rows re-enter on later
+            # frames via match-to-map). Loud, not silent — persistent
+            # saturation means num_obs is undersized for the rig.
+            _LOG.warning(
+                "observation table full: dropping %d of %d new rows "
+                "(num_obs=%d)", len(rows) - n, len(rows),
+                self.wcfg.num_obs,
+            )
             rows = rows[:n]
         idx = free[:n]
         f = self.factors.reproj
@@ -1071,7 +1083,9 @@ class VioEngine:
             ):
                 full[k] = new
             imf.sqrt_info[k] = W_imu
-            imf.valid[k] = True
+            # guard against degenerate preintegrals (IMU dropout /
+            # non-positive segment): a zero-Δt factor has no information
+            imf.valid[k] = float(np.asarray(pre.Delta_t)) > 0.0
 
         self._attach_depth_factor(slot, t)
         self._attach_sonar_factor(slot, t, T_pred)
@@ -1151,11 +1165,22 @@ class VioEngine:
         self._marginalize(victim)
 
     def _marginalize(self, slot: int):
+        lm_valid_before = self.window.lm_valid.copy()
         w_d, f_d = self._marginalize_fn(
             self.window, self.factors, jnp.int32(slot)
         )
         self.window = _to_np(w_d)
         self.factors = _to_np(f_d)
+        # scrub frame records referencing landmark slots freed above —
+        # a freed slot is reused by _allocate_landmarks, and a stale
+        # kp_landmark would export the unrelated new landmark's 3D point
+        # through the keyframe ABI and block re-association
+        freed = lm_valid_before & ~self.window.lm_valid
+        if freed.any():
+            freed_slots = np.nonzero(freed)[0]
+            for fdta in self.frames.values():
+                for kl in fdta.kp_landmark:
+                    kl[np.isin(kl, freed_slots)] = -1
         # host bookkeeping shift
         new_frames = {}
         for s, fdta in self.frames.items():

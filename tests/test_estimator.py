@@ -238,3 +238,26 @@ def test_marginalization_prior_constrains_gauge(problem):
     )
     res2 = optimize(win_pert, fac2, rig_p, IMU_PARAMS, CFG)
     assert np.linalg.norm(np.array(res2.window.r[0]) - r_ref) < 0.02
+
+
+def test_marginalization_frees_orphaned_landmarks(problem):
+    """A landmark whose observations have ALL been pruned must return its
+    slot to the pool at the next marginalization (no slot leak)."""
+    window, factors, rig_p, truth = problem
+    from svin_tpu.estimator import marginalize_slot
+    from svin_tpu.problems import IMU_PARAMS
+    import svin_tpu.estimator as est
+
+    f = factors.reproj
+    lv = np.asarray(window.lm_valid)
+    target = int(np.nonzero(lv)[0][0])
+    # prune every observation of `target`
+    new_valid = np.asarray(f.valid) & (np.asarray(f.lm_idx) != target)
+    factors = factors._replace(reproj=f._replace(valid=jnp.asarray(new_valid)))
+    w2, f2 = marginalize_slot(
+        window, factors, jnp.int32(1), rig_p, IMU_PARAMS, CFG
+    )
+    assert not bool(w2.lm_valid[target]), "orphaned landmark slot not freed"
+    # landmarks with live observations elsewhere survive
+    alive = np.asarray(f2.reproj.lm_idx)[np.asarray(f2.reproj.valid)]
+    assert np.asarray(w2.lm_valid)[np.unique(alive)].all()

@@ -190,3 +190,22 @@ def test_init_pose_from_imu():
     # gravity must map to +z in world under the estimated orientation
     up_W = quat.rotate(T.q, f / jnp.linalg.norm(f))
     np.testing.assert_allclose(up_W, jnp.array([0.0, 0.0, 1.0]), atol=1e-7)
+
+
+def test_sqrt_information_degenerate_segment_is_finite():
+    """IMU dropout: a preintegral with no covered samples (P = 0) must yield
+    a finite (zero) whitener, not NaN — NaN would poison the factor tables
+    through 0*NaN even where validity masks are False."""
+    import jax.numpy as jnp
+    from svin_tpu.imu import ImuParameters, preintegrate, sqrt_information
+
+    params = ImuParameters()
+    ts = jnp.array([0.0, 0.01, 0.02])
+    gyro = jnp.zeros((3, 3))
+    acc = jnp.tile(jnp.array([0.0, 0.0, 9.81]), (3, 1))
+    mask = jnp.zeros(3, bool)  # nothing covered
+    pre = preintegrate(ts, gyro, acc, mask, 0.5, 0.5, jnp.zeros(6), params)
+    assert float(pre.Delta_t) == 0.0
+    W = sqrt_information(pre)
+    assert bool(jnp.isfinite(W).all())
+    assert float(jnp.abs(W).max()) == 0.0
