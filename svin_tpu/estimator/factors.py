@@ -203,11 +203,17 @@ def eval_ext_prior(window: WindowState, factors: Factors) -> ExtPriorEval:
 
 
 def marg_delta(window: WindowState, factors: Factors) -> jnp.ndarray:
-    """χ ⊟ χ_lin over the full minimal state, (D,) — the FEJ offset the
-    marginal prior is evaluated at (MarginalizationError.cpp:798-844)."""
+    """χ ⊟ χ_lin over the full minimal state + extrinsics, (Dx,) — the FEJ
+    offset the marginal prior is evaluated at
+    (MarginalizationError.cpp:798-844). Layout matches MarginalPrior.H:
+    S·15 state coords then C·6 extrinsics coords."""
     m = factors.marg
     dq = quat.multiply(window.q, quat.conjugate(m.lin_q))
     d = jnp.concatenate(
         [window.r - m.lin_r, quat.log(dq), window.speed_bias - m.lin_sb], axis=-1
     )  # (S,15)
-    return d.reshape(-1)
+    dqe = quat.multiply(window.ext_q, quat.conjugate(m.lin_ext_q))
+    de = jnp.concatenate(
+        [window.ext_r - m.lin_ext_r, quat.log(dqe)], axis=-1
+    )  # (C,6)
+    return jnp.concatenate([d.reshape(-1), de.reshape(-1)])

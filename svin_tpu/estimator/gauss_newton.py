@@ -166,14 +166,12 @@ def assemble(
         jnp.sum(pr.pose_res * pr.pose_res) + jnp.sum(pr.sb_res * pr.sb_res)
     )
 
-    # --- marginalization prior (FEJ; occupies the S·15 state block) ---
+    # --- marginalization prior (FEJ over state + extrinsics coords) ---
     H = Hb.transpose(0, 2, 1, 3).reshape(D, D)
     bf = b.reshape(D)
     m = factors.marg
-    dm = marg_delta(window, factors)
+    dm = marg_delta(window, factors)  # (full_dim,): states then extrinsics
     mw = jnp.where(m.valid, 1.0, 0.0)
-    H = H + mw * m.H
-    bf = bf + mw * (m.b + m.H @ dm)
     cost = cost + mw * (0.5 * dm @ m.H @ dm + m.b @ dm)
 
     if cfg.estimate_extrinsics:
@@ -186,9 +184,16 @@ def assemble(
         Hf = Hf.at[rows[:, None], D + jnp.arange(C * 6)[None, :]].add(Hpe_f)
         Hf = Hf.at[D + jnp.arange(C * 6)[:, None], rows[None, :]].add(Hpe_f.T)
         bfx = jnp.concatenate([bf, be.reshape(-1)])
+        # marginal prior spans the full state+extrinsics coords
+        Hf = Hf + mw * m.H
+        bfx = bfx + mw * (m.b + m.H @ dm)
         Wf = jnp.concatenate([W, Wle.transpose(0, 2, 1, 3).reshape(L, 3, C * 6)], axis=2)
         return NormalEqs(H=Hf, b=bfx, Hll=Hll, bl=bl, W=Wf, cost=cost)
 
+    # fixed extrinsics: the prior's extrinsics block is identically zero —
+    # restrict to the state coords
+    H = H + mw * m.H[:D, :D]
+    bf = bf + mw * (m.b[:D] + m.H[:D, :D] @ dm[:D])
     return NormalEqs(H=H, b=bf, Hll=Hll, bl=bl, W=W, cost=cost)
 
 

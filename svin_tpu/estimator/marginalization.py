@@ -77,14 +77,24 @@ def marginalize_slot(
 ) -> Tuple[WindowState, Factors]:
     """Fold state `slot` into the marginal prior and compact the window.
 
-    Known approximation: the exclusive-landmark fold uses J_pose/J_lm only —
-    when online extrinsics calibration is active (cfg.estimate_extrinsics)
+    When online extrinsics calibration is active (cfg.estimate_extrinsics)
     the folded observations' dependence on the still-uncertain T_SC
-    (re.J_ext) is conditioned on rather than marginalized, making the prior
-    slightly overconfident. The reference's default configs hold T_SC fixed
-    (sigma_absolute_* = 0), where the fold is exact.
+    (re.J_ext) is marginalized exactly: the prior spans the full
+    state+extrinsics coords (cfg.full_dim) and the exclusive-landmark fold
+    carries the [slot-pose | extrinsics] coupling through both Schur steps.
+    With fixed extrinsics the extrinsics block stays identically zero.
+
+    Note for the random-walk extrinsics mode (sigma_c_relative > 0,
+    re-expressed as per-frame prior decay in VioEngine): the prior's
+    extrinsics block is FEJ information like any other — the walk's
+    information decay applies to the live ext_prior factor, not to
+    already-marginalized information, matching the reference where folded
+    RelativePoseError links stay in the MarginalizationError.
     """
     S, L, D = cfg.num_states, cfg.num_landmarks, cfg.state_dim
+    C = cfg.num_cameras
+    E = C * 6
+    Dx = cfg.full_dim
     dtype = window.r.dtype
     slot = jnp.asarray(slot, jnp.int32)
 
@@ -116,27 +126,41 @@ def marginalize_slot(
     b = jnp.zeros((S, 15), dtype)
 
     # ---------- 2. exclusive-landmark fold (3x3 Schur) ----------
+    # The folded observations couple {slot pose, (extrinsics), landmark}.
+    # Stack the non-landmark coords as x = [slot-pose 6 | ext E] and reduce
+    # the landmarks out of the joint (x, l) system.
     fold_o = obs_at_slot & lm_drop[l_idx]
     wf = jnp.where(fold_o, 1.0, 0.0)
     Jp = re.J_pose * wf[:, None, None]
     Jl = re.J_lm * wf[:, None, None]
     r = re.res * wf[:, None]
+    if cfg.estimate_extrinsics:
+        c_idx = factors.reproj.cam_idx
+        oh_c = jax.nn.one_hot(c_idx, C, dtype=dtype)  # (O,C)
+        Je = re.J_ext * wf[:, None, None]  # (O,2,6)
+        Jef = (oh_c[:, None, :, None] * Je[:, :, None, :]).reshape(
+            Je.shape[0], 2, E
+        )
+        Jx = jnp.concatenate([Jp, Jef], axis=2)  # (O,2,6+E)
+    else:
+        Jx = Jp  # (O,2,6)
     Hll = jax.ops.segment_sum(
         jnp.einsum("oia,oib->oab", Jl, Jl), l_idx, num_segments=L
     )
     bl = jax.ops.segment_sum(jnp.einsum("oia,oi->oa", Jl, r), l_idx, num_segments=L)
-    # coupling is only to `slot` (exclusive landmarks) → reduce directly
-    Wp = jax.ops.segment_sum(
-        jnp.einsum("oia,oib->oab", Jl, Jp), l_idx, num_segments=L
-    )  # (L,3,6)
+    # coupling is only to x (exclusive landmarks) → reduce directly
+    Wx = jax.ops.segment_sum(
+        jnp.einsum("oia,oib->oab", Jl, Jx), l_idx, num_segments=L
+    )  # (L,3,X)
     Hll_inv = jax.vmap(_pinv_sym)(Hll)
-    # all folded observations live at `slot`, so the pose block is a plain sum
-    Hpp_obs = jnp.einsum("oia,oib->ab", Jp, Jp)  # (6,6)
-    bp_obs = jnp.einsum("oia,oi->a", Jp, r)
-    Hpp_red = Hpp_obs - jnp.einsum("lab,lac,lcd->bd", Wp, Hll_inv, Wp)
-    bp_red = bp_obs - jnp.einsum("lab,lac,lc->b", Wp, Hll_inv, bl)
-    Hb = Hb.at[slot, slot, :6, :6].add(Hpp_red)
-    b = b.at[slot, :6].add(bp_red)
+    # all folded observations live at `slot`, so the x block is a plain sum
+    Hxx_obs = jnp.einsum("oia,oib->ab", Jx, Jx)  # (X,X)
+    bx_obs = jnp.einsum("oia,oi->a", Jx, r)
+    Hxx_red = Hxx_obs - jnp.einsum("lab,lac,lcd->bd", Wx, Hll_inv, Wx)
+    bx_red = bx_obs - jnp.einsum("lab,lac,lc->b", Wx, Hll_inv, bl)
+    Hb = Hb.at[slot, slot, :6, :6].add(Hxx_red[:6, :6])
+    b = b.at[slot, :6].add(bx_red[:6])
+    # extrinsics rows/couplings are scattered after the (Dx,Dx) reshape below
 
     # ---------- IMU factors adjacent to the slot ----------
     i0 = jnp.arange(S - 1)
@@ -175,8 +199,17 @@ def marginalize_slot(
     )
     b = b.at[:, 6:15].add(jnp.einsum("sia,si->sa", Jsb, pr.sb_res * ws_[:, None]))
 
-    H_m = Hb.transpose(0, 2, 1, 3).reshape(D, D)
-    b_m = b.reshape(D)
+    H_m = jnp.zeros((Dx, Dx), dtype)
+    H_m = H_m.at[:D, :D].set(Hb.transpose(0, 2, 1, 3).reshape(D, D))
+    b_m = jnp.zeros(Dx, dtype).at[:D].set(b.reshape(D))
+    if cfg.estimate_extrinsics:
+        # scatter the fold's extrinsics block + slot-pose↔extrinsics coupling
+        erow = D + jnp.arange(E)
+        prow = slot * 15 + jnp.arange(6)
+        H_m = H_m.at[erow[:, None], erow[None, :]].add(Hxx_red[6:, 6:])
+        H_m = H_m.at[prow[:, None], erow[None, :]].add(Hxx_red[:6, 6:])
+        H_m = H_m.at[erow[:, None], prow[None, :]].add(Hxx_red[6:, :6])
+        b_m = b_m.at[erow].add(bx_red[6:])
 
     # ---------- existing prior, re-centred at the current estimate ----------
     m = factors.marg
@@ -188,19 +221,28 @@ def marginalize_slot(
     # ---------- 3. Schur-eliminate the slot's 15 coords ----------
     key = jnp.where(jnp.arange(S) == slot, S, jnp.arange(S))
     perm_slots = jnp.argsort(key)  # kept slots in order, dropped slot last
-    cperm = (perm_slots[:, None] * 15 + jnp.arange(15)[None, :]).reshape(-1)
+    scols = (perm_slots[:, None] * 15 + jnp.arange(15)[None, :]).reshape(-1)
+    # permuted order: kept state coords, extrinsics coords, dropped 15 last
+    cperm = jnp.concatenate(
+        [scols[: D - 15], D + jnp.arange(E), scols[D - 15 :]]
+    )
     Hp = H_m[cperm][:, cperm]
     bp = b_m[cperm]
-    K = D - 15
+    K = Dx - 15
     A = Hp[:K, :K]
     B = Hp[:K, K:]
-    C = Hp[K:, K:]
-    C_inv = _pinv_sym(C)
+    Cb = Hp[K:, K:]
+    C_inv = _pinv_sym(Cb)
     H_new = A - B @ C_inv @ B.T
     b_new = bp[:K] - B @ C_inv @ bp[K:]
     H_new = 0.5 * (H_new + H_new.T)
-    H_full = jnp.zeros((D, D), dtype).at[:K, :K].set(H_new)
-    b_full = jnp.zeros(D, dtype).at[:K].set(b_new)
+    # back to the canonical layout: kept states land at coords 0..(S-1)·15
+    # (the window shift moves them left), extrinsics stay at D..Dx
+    dest = jnp.concatenate([jnp.arange(D - 15), D + jnp.arange(E)])
+    H_full = (
+        jnp.zeros((Dx, Dx), dtype).at[dest[:, None], dest[None, :]].set(H_new)
+    )
+    b_full = jnp.zeros(Dx, dtype).at[dest].set(b_new)
 
     # ---------- 4. shift window + factors ----------
     last_invalid = jnp.arange(S) < (S - 1)
@@ -292,6 +334,8 @@ def marginalize_slot(
         lin_r=win2.r,
         lin_q=win2.q,
         lin_sb=win2.speed_bias,
+        lin_ext_r=win2.ext_r,
+        lin_ext_q=win2.ext_q,
         valid=jnp.asarray(True),
     )
     factors2 = factors._replace(

@@ -151,14 +151,19 @@ class ExtrinsicsPrior(NamedTuple):
 class MarginalPrior(NamedTuple):
     """Dense FEJ marginalization prior over the full minimal state:
     cost = ½ ‖b + H (χ ⊟ χ_lin)‖²_H-metric accumulated as
-    H_marg (D,D), b_marg (D,) with linearization points (reference
-    MarginalizationError.cpp:126-844)."""
+    H_marg (Dx,Dx), b_marg (Dx,) with linearization points (reference
+    MarginalizationError.cpp:126-844). Dx = cfg.full_dim: the S·15 state
+    coords followed by the C·6 extrinsics coords — the extrinsics block is
+    written only under online calibration (cfg.estimate_extrinsics) and
+    stays identically zero otherwise."""
 
-    H: jnp.ndarray  # (D,D)
-    b: jnp.ndarray  # (D,)
+    H: jnp.ndarray  # (Dx,Dx)
+    b: jnp.ndarray  # (Dx,)
     lin_r: jnp.ndarray  # (S,3) pose linearization points
     lin_q: jnp.ndarray  # (S,4)
     lin_sb: jnp.ndarray  # (S,9)
+    lin_ext_r: jnp.ndarray  # (C,3) extrinsics linearization points
+    lin_ext_q: jnp.ndarray  # (C,4)
     valid: jnp.ndarray  # () bool — any prior accumulated yet
 
 
@@ -202,7 +207,8 @@ def empty_window(cfg: WindowConfig, dtype=jnp.float64, rig=None) -> WindowState:
 
 
 def empty_factors(cfg: WindowConfig, dtype=jnp.float64) -> Factors:
-    S, L, O, D = cfg.num_states, cfg.num_landmarks, cfg.num_obs, cfg.state_dim
+    S, L, O = cfg.num_states, cfg.num_landmarks, cfg.num_obs
+    Dx = cfg.full_dim
     Sm1 = S - 1
     pre = Preintegral(
         Delta_q=jnp.zeros((Sm1, 4), dtype).at[:, 3].set(1.0),
@@ -260,11 +266,13 @@ def empty_factors(cfg: WindowConfig, dtype=jnp.float64) -> Factors:
             valid=jnp.zeros(cfg.num_cameras, bool),
         ),
         marg=MarginalPrior(
-            H=jnp.zeros((D, D), dtype),
-            b=jnp.zeros(D, dtype),
+            H=jnp.zeros((Dx, Dx), dtype),
+            b=jnp.zeros(Dx, dtype),
             lin_r=jnp.zeros((S, 3), dtype),
             lin_q=q0,
             lin_sb=jnp.zeros((S, 9), dtype),
+            lin_ext_r=jnp.zeros((cfg.num_cameras, 3), dtype),
+            lin_ext_q=jnp.zeros((cfg.num_cameras, 4), dtype).at[:, 3].set(1.0),
             valid=jnp.zeros((), bool),
         ),
     )
