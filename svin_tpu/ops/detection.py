@@ -21,6 +21,15 @@ import jax.numpy as jnp
 from .image import _separable_conv, gaussian_blur
 
 
+# Config→response threshold mapping. The reference's detector threshold
+# (detection_options.threshold, default 40 — Frontend.cpp:74-82) applies to
+# BRISK's integer Harris response: raw 3x3 Sobel on uint8 intensities,
+# descaled into a small integer range (>>18). Our response uses
+# unit-normalized Sobel (raw/8) on [0,1] intensities, so responses differ
+# by (8*255)^4 with the 2^18 descale: threshold 40 maps to ~6.05e-7 here.
+BRISK_THRESHOLD_SCALE = float(2 ** 18) / float((8 * 255) ** 4)
+
+
 class Keypoints(NamedTuple):
     uv: jnp.ndarray  # (K,2) float pixel coords (x, y) at full resolution
     score: jnp.ndarray  # (K,)

@@ -76,6 +76,8 @@ from functools import partial as _partial
 def _frontend_batch(
     imgs: jnp.ndarray,  # (C,H,W) raw images
     g_C: jnp.ndarray,  # (C,3) gravity direction per camera frame
+    threshold: jnp.ndarray,  # () detector response threshold (traced —
+    # changing the config key does not recompile)
     *,
     max_keypoints: int,
     octaves: int,
@@ -92,7 +94,10 @@ def _frontend_batch(
             histogram_method=histogram_method,
             clahe_clip_limit=clahe_clip_limit,
         )
-        kp = detection.detect(im, max_keypoints=max_keypoints, octaves=octaves)
+        kp = detection.detect(
+            im, max_keypoints=max_keypoints, octaves=octaves,
+            threshold=threshold.astype(im.dtype),
+        )
         ang = desc_ops.gravity_angles(kp.uv, g.astype(im.dtype))
         d = desc_ops.describe(
             im, kp.uv, ang, kp.valid, octave=kp.octave, max_octave=octaves
@@ -159,6 +164,9 @@ class FrameResult:
     num_new_landmarks: int
     cost: float
     keyframe_export: Optional[dict] = None
+    # accepted LM steps in this frame's optimize (reference: Ceres
+    # summary.iterations under CeresIterationCallback)
+    lm_iterations: int = 0
 
 
 @dataclass
@@ -256,7 +264,7 @@ class VioEngine:
         def _opt_prune(w, f):
             res = optimize(w, f, rig_p, imu_p, wcfg)
             pv, pe = _reproj_px_err(res.window, f)
-            return res.window, res.cost, pv, pe
+            return res.window, res.cost, res.iterations, pv, pe
 
         self._optimize_fn = jax.jit(_opt_prune)
         self._marginalize_fn = jax.jit(
@@ -327,6 +335,13 @@ class VioEngine:
         self.last_kf_slot: Optional[int] = None
         self._track_miss_streak = 0  # widens the projection gate on losses
         self._cost_last = 0.0
+        self._lm_iterations_last = 0
+        # detection_options.threshold (reference default 40,
+        # Frontend.cpp:74-82) mapped into our Harris response units
+        self._detect_threshold = jnp.asarray(
+            config.detection_threshold * detection.BRISK_THRESHOLD_SCALE,
+            jnp.float32,
+        )
         self.frame_count = 0
         self.kf_count = 0
         self.next_state_id = 0
@@ -442,6 +457,7 @@ class VioEngine:
                 _frontend_batch(
                     jnp.asarray(np.stack([np.asarray(i) for i in images])),
                     jnp.asarray(np.stack(g_Cs), jnp.float32),
+                    self._detect_threshold,
                     max_keypoints=self.cfg.max_keypoints,
                     octaves=self.cfg.detection_octaves,
                     histogram_method=self.cfg.histogram_method,
@@ -460,6 +476,7 @@ class VioEngine:
                 _frontend_batch(
                     jnp.asarray(np.asarray(img))[None],
                     jnp.asarray(g_Cs[ci], jnp.float32)[None],
+                    self._detect_threshold,
                     max_keypoints=self.cfg.max_keypoints,
                     octaves=self.cfg.detection_octaves,
                     histogram_method=self.cfg.histogram_method,
@@ -1110,11 +1127,12 @@ class VioEngine:
 
         # ---- 6. optimize ----
         with Timer("3.1 optimization"):
-            win_h, cost_h, pr_valid, pr_err = jax.device_get(
+            win_h, cost_h, iters_h, pr_valid, pr_err = jax.device_get(
                 self._optimize_fn(self.window, self.factors)
             )
         self.window = jax.tree_util.tree_map(np.array, win_h)
         self._cost_last = float(cost_h)
+        self._lm_iterations_last = int(iters_h)
         bad = pr_valid & (pr_err > self._PRUNE_PX)
         if bad.any():
             self.factors.reproj.valid[bad] = False
@@ -1132,6 +1150,7 @@ class VioEngine:
             num_new_landmarks=n_new,
             cost=self._cost_last,
             keyframe_export=self._export_keyframe(slot, images) if is_kf else None,
+            lm_iterations=self._lm_iterations_last,
         )
         self.trajectory.append((t, result.T_WS.r, result.T_WS.q))
         if self.state_callback:
