@@ -3,15 +3,22 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric: sliding-window optimize (assemble + Schur + LM loop) for a
-full window (8 states, 256 landmarks, 2048 observations) — the reference's
-real-time envelope budgets 0.035 s for matching + optimization per frame on
-a laptop CPU (config_stereorig_v2.yaml:83-85, CeresIterationCallback).
-``vs_baseline`` = 0.035 s / measured seconds (>1 means faster than the
-reference's real-time budget).
+Headline metric: sliding-window optimize (assemble + Schur + LM loop) for
+the SHIPPED engine window shapes (8 states, 512 landmarks, 4096
+observations — exactly what ``VioEngine`` builds, ``pipeline/vio.py``) —
+the reference's real-time envelope budgets 0.035 s for matching +
+optimization per frame on a laptop CPU (config_stereorig_v2.yaml:83-85,
+CeresIterationCallback). ``vs_baseline`` = 0.035 s / measured seconds
+(>1 means faster than the reference's real-time budget).
 
-Extra detail metrics go to stderr so the driver-parsed stdout stays a single
-JSON line.
+Also measured (stderr): frontend kernels, Cave-scale global BA via the
+matrix-free PCG solver (K=2048 ≥ Cave's 1519 keyframes, 64k landmarks),
+a 20k-node pose-graph GN step, and ON-CHIP validation of the Pallas
+kernels against their reference paths (VERDICT r1 weak #6: the kernels
+must be proven where they run).
+
+Extra detail metrics go to stderr so the driver-parsed stdout stays a
+single JSON line.
 """
 import json
 import os
@@ -20,6 +27,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Persistent compile cache: the remote-TPU compile service is the slowest
 # and most variable part of a fresh-process run (minutes for the unrolled
@@ -50,18 +58,111 @@ def time_fn(fn, *args, iters=500, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
+def validate_pallas_on_chip():
+    """Assert the Pallas kernels agree with their reference paths ON THE
+    CURRENT DEVICE (they were previously only checked in interpret mode)."""
+    from svin_tpu.ops import hamming
+    from svin_tpu.ops.solve import solve_spd_pallas
+
+    notes = []
+    ka, kb = jax.random.split(jax.random.PRNGKey(9))
+    a = jax.random.randint(ka, (256, 8), 0, 2 ** 31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    b = jax.random.randint(kb, (256, 8), 0, 2 ** 31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    ref = np.asarray(hamming.hamming_matrix_ref(a, b))
+    mxu = np.asarray(hamming.hamming_matrix_mxu(a, b))
+    assert (ref == mxu).all(), "MXU hamming != popcount reference on-chip"
+    notes.append("hamming MXU==ref")
+    if jax.devices()[0].platform == "tpu":
+        try:
+            pal = np.asarray(hamming.hamming_matrix_pallas(a, b))
+            assert (ref == pal).all(), "Pallas hamming != reference on-chip"
+            notes.append("hamming pallas==ref")
+        except Exception as e:  # pragma: no cover - informational
+            notes.append(f"hamming pallas SKIPPED ({type(e).__name__})")
+        try:
+            kh = jax.random.PRNGKey(11)
+            A = jax.random.normal(kh, (120, 120), jnp.float32)
+            H = A @ A.T + 120.0 * jnp.eye(120)
+            rhs = jax.random.normal(jax.random.PRNGKey(12), (120,), jnp.float32)
+            x = solve_spd_pallas(H, rhs)
+            resid = float(jnp.linalg.norm(H @ x - rhs) / jnp.linalg.norm(rhs))
+            assert resid < 1e-3, f"solve_spd_pallas residual {resid}"
+            notes.append(f"solve_spd pallas resid={resid:.2e}")
+        except Exception as e:  # pragma: no cover
+            notes.append(f"solve_spd pallas SKIPPED ({type(e).__name__})")
+    return "; ".join(notes)
+
+
+def build_posegraph_20k(N=20480):
+    """Chain + sparse loop edges at Cave/Bus-joint scale (vectorized)."""
+    from svin_tpu.loopclosure.posegraph import PoseGraphEdges, PoseGraphNodes
+
+    th = np.linspace(0, 6 * np.pi, N)
+    radius = 30.0
+    p = np.stack(
+        [radius * np.cos(th), radius * np.sin(th), 0.2 * np.sin(5 * th)], 1
+    )
+    yaw = th + np.pi / 2
+    i_seq = np.arange(N - 1)
+    j_seq = i_seq + 1
+    cy, sy = np.cos(yaw[i_seq]), np.sin(yaw[i_seq])
+    d = p[j_seq] - p[i_seq]
+    tij_seq = np.stack(
+        [cy * d[:, 0] + sy * d[:, 1], -sy * d[:, 0] + cy * d[:, 1], d[:, 2]], 1
+    )
+    third = N // 3
+    i_loop = np.arange(8, third, 61)
+    j_loop = i_loop + 2 * third
+    cyl, syl = np.cos(yaw[i_loop]), np.sin(yaw[i_loop])
+    dl = p[j_loop] - p[i_loop]
+    tij_loop = np.stack(
+        [
+            cyl * dl[:, 0] + syl * dl[:, 1],
+            -syl * dl[:, 0] + cyl * dl[:, 1],
+            dl[:, 2],
+        ],
+        1,
+    )
+    E = len(i_seq) + len(i_loop)
+    nodes = PoseGraphNodes(
+        p=jnp.asarray(p, jnp.float32), yaw=jnp.asarray(yaw, jnp.float32),
+        pitch=jnp.zeros(N, jnp.float32), roll=jnp.zeros(N, jnp.float32),
+        valid=jnp.ones(N, bool),
+    )
+    edges = PoseGraphEdges(
+        i=jnp.asarray(np.concatenate([i_seq, i_loop]), jnp.int32),
+        j=jnp.asarray(np.concatenate([j_seq, j_loop]), jnp.int32),
+        t_ij=jnp.asarray(np.concatenate([tij_seq, tij_loop]), jnp.float32),
+        yaw_ij=jnp.asarray(
+            np.concatenate([yaw[j_seq] - yaw[i_seq], yaw[j_loop] - yaw[i_loop]]),
+            jnp.float32,
+        ),
+        weight=jnp.asarray(
+            np.concatenate([np.ones(len(i_seq)), 5 * np.ones(len(i_loop))]),
+            jnp.float32,
+        ),
+        is_loop=jnp.asarray(
+            np.concatenate([np.zeros(len(i_seq), bool), np.ones(len(i_loop), bool)])
+        ),
+        valid=jnp.ones(E, bool),
+    )
+    return nodes, edges, N
+
+
 def main():
     from svin_tpu.estimator import WindowConfig, optimize
     from svin_tpu.ops import hamming
     from svin_tpu.problems import IMU_PARAMS, build_window_problem
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    # SHIPPED engine shapes (VioEngine builds 8 states / 512 landmarks /
+    # 4096 observations — bench what actually runs, VERDICT r1 weak #2)
     cfg = WindowConfig(
-        num_states=8, num_landmarks=256, num_obs=2048, max_iterations=5,
+        num_states=8, num_landmarks=512, num_obs=4096, max_iterations=5,
         unroll=True,
     )
     window, factors, rig_p, _ = build_window_problem(
-        jax.random.PRNGKey(0), cfg, n_landmarks=128, dtype=dtype
+        jax.random.PRNGKey(0), cfg, n_landmarks=256, dtype=dtype
     )
 
     step = jax.jit(lambda w, f: optimize(w, f, rig_p, IMU_PARAMS, cfg).window.r)
@@ -92,15 +193,19 @@ def main():
 
     imgs2 = jnp.stack([img, img])
     g2 = jnp.asarray([[0.0, -1.0, 0.0], [0.0, -1.0, 0.0]], jnp.float32)
+    thr = jnp.asarray(40.0 * detection.BRISK_THRESHOLD_SCALE, jnp.float32)
     fb = lambda a, b: _frontend_batch(
-        a, b, max_keypoints=400, octaves=0,
+        a, b, thr, max_keypoints=400, octaves=0,
         histogram_method="NONE", clahe_clip_limit=1.0,
     )[1]
     t_front2 = time_fn(fb, imgs2, g2)
 
-    # global bundle adjustment: GN iterations/s on one chip (the BASELINE
-    # "BA iters/s" headline) — 64 poses, 4096 landmarks, 16384 obs slots
+    # global bundle adjustment — two scales:
+    #  (a) dense-Schur bucketed at 64 kf (the round-1 number, comparability)
+    #  (b) Cave-scale matrix-free PCG: K=2048 poses (> Cave's 1519,
+    #      brackets Bus-partial), 64k landmarks — the round-2 headline
     from svin_tpu.parallel import dist_ba
+    from svin_tpu.parallel.pcg import ba_solve_pcg
     from svin_tpu.problems import build_global_ba_problem
 
     BA_ITERS = 10
@@ -111,16 +216,45 @@ def main():
     ba_fn = jax.jit(lambda p: dist_ba.ba_solve_bucketed(p, ba_rig, iters=BA_ITERS)[1])
     t_ba = time_fn(ba_fn, bprob, iters=20) / BA_ITERS
 
+    prob_big, _ = build_global_ba_problem(
+        jax.random.PRNGKey(4), K=2048, L=65536, O=262144, dtype=jnp.float32
+    )
+    bprob_big = dist_ba.bucket_problem(prob_big)
+    PCG_GN = 2
+    pcg_fn = jax.jit(
+        lambda p: ba_solve_pcg(p, ba_rig, iters=PCG_GN, cg_iters=32)[1]
+    )
+    t_pcg = time_fn(pcg_fn, bprob_big, iters=3, warmup=1) / PCG_GN
+
+    # 20k-node pose graph (Cave+Bus joint scale) — matrix-free PCG with the
+    # two-level coarse preconditioner
+    from svin_tpu.parallel import optimize_4dof_pcg
+
+    nodes, edges, N_pg = build_posegraph_20k()
+    PG_GN = 2
+    pg_fn = jax.jit(
+        lambda nd, ed: optimize_4dof_pcg(
+            nd, ed, jnp.int32(1), iters=PG_GN, cg_iters=64, coarse_group=64
+        ).p
+    )
+    t_pg = time_fn(pg_fn, nodes, edges, iters=3, warmup=1) / PG_GN
+
+    pallas_note = validate_pallas_on_chip()
+
     t_frame = t_opt + t_match
     # stereo per-frame estimate: batched 2-cam frontend + match + optimize
     t_e2e = t_front2 + t_match + t_opt
     print(
-        f"detail: optimize {t_opt*1e3:.3f} ms, matching {t_match*1e3:.3f} ms, "
+        f"detail: optimize(512lm/4096obs) {t_opt*1e3:.3f} ms, "
+        f"matching {t_match*1e3:.3f} ms, "
         f"detect {t_det*1e3:.3f} ms, describe {t_desc*1e3:.3f} ms, "
         f"stereo-batched frontend {t_front2*1e3:.3f} ms, "
         f"stereo-frame e2e {t_e2e*1e3:.3f} ms ({1.0/t_e2e:.0f} fps; reference "
         f"sustains 20 Hz stereo), "
-        f"global BA (64 kf, 4096 lm) {1.0/t_ba:.0f} GN iters/s, "
+        f"global BA (64 kf, 4096 lm, dense Schur) {1.0/t_ba:.0f} GN iters/s, "
+        f"global BA PCG (2048 kf, 65536 lm) {1.0/t_pcg:.2f} GN iters/s, "
+        f"pose graph PCG ({N_pg} nodes) {1.0/t_pg:.2f} GN iters/s, "
+        f"pallas on-chip: [{pallas_note}], "
         f"device {jax.devices()[0].platform}",
         file=sys.stderr,
     )

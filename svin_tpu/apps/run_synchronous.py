@@ -98,7 +98,23 @@ def main(argv=None) -> int:
 
     events = events_from_source(data, cfg, engine.rig)
 
-    results = run_events(engine, events)
+    def route_primitive(evs):
+        """Primitive-estimator odometry goes to the switching estimator
+        (the reference's primitive topic → SwitchingEstimator), everything
+        else to the engine."""
+        for ev in evs:
+            if ev.kind == "primitive":
+                closer.add_primitive_pose(
+                    ev.t,
+                    Transformation(
+                        r=np.asarray(ev.primitive[0]),
+                        q=np.asarray(ev.primitive[1]),
+                    ),
+                )
+                continue
+            yield ev
+
+    results = run_events(engine, route_primitive(events))
 
     closer.flush()  # run any fast-relocalization-deferred optimization
     engine.save_trajectory_tum(os.path.join(out_dir, "svin_vio.txt"))

@@ -298,6 +298,11 @@ class OptimizeResult(NamedTuple):
     cost0: jnp.ndarray
     cost: jnp.ndarray
     iterations: jnp.ndarray
+    # (L,3,3) per-landmark conditional covariance inv(Hll) [m²] — the
+    # pose-conditioned landmark uncertainty used for projected-covariance
+    # matching gates (reference: ProbabilisticStereoTriangulator's point
+    # UOplus feeding VioKeyframeWindowMatchingAlgorithm::doSetup)
+    lm_cov: jnp.ndarray = None
 
 
 def optimize(
@@ -346,9 +351,11 @@ def optimize(
     )  # (L,3) ascending, closed form
     quality = jnp.sqrt(jnp.clip(evs[:, 0], 0) / jnp.maximum(evs[:, 2], 1e-12))
     win = win._replace(lm_quality=jnp.where(win.lm_valid, quality, 0.0))
+    lm_cov = inv3x3(Hll + 1e-6 * jnp.eye(3, dtype=Hll.dtype))
     # iterations = number of ACCEPTED LM steps (what the reference's
     # CeresIterationCallback measured — successful_steps, not the static
     # scan length; VERDICT r1 weak #7)
     return OptimizeResult(
         window=win, cost0=cost0, cost=cost, iterations=n_accepted,
+        lm_cov=lm_cov,
     )

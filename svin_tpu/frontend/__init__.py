@@ -1,6 +1,7 @@
 from .ransac import (
     RansacResult,
     absolute_pose_ransac,
+    absolute_pose_ransac_p3p,
     relative_pose_ransac,
     rotation_only_ransac,
 )
@@ -9,6 +10,7 @@ from .triangulation import (
     TriangulationResult,
     point_from_homogeneous,
     triangulate_fast,
+    triangulation_covariance,
 )
 
 __all__ = [
@@ -17,9 +19,11 @@ __all__ = [
     "ScaleRefiner",
     "TriangulationResult",
     "absolute_pose_ransac",
+    "absolute_pose_ransac_p3p",
     "relative_pose_ransac",
     "point_from_homogeneous",
     "rotation_only_ransac",
     "solve_scale",
     "triangulate_fast",
+    "triangulation_covariance",
 ]

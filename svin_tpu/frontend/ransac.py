@@ -323,3 +323,178 @@ def relative_pose_ransac(
         T=Transformation(r=t_out, q=q_out), inliers=inl, num_inliers=n,
         success=ok,
     )
+
+
+# ----------------------------------------------------------- closed-form P3P
+def _quartic_roots(A, B, C, D, E, iters: int = 40):
+    """All four (complex) roots of A v⁴ + B v³ + C v² + D v + E via
+    Durand–Kerner simultaneous iteration — elementary complex arithmetic
+    only (general `eig` does not exist on TPU, so no companion matrix; and
+    unlike Ferrari's method there are no branch-selection hazards).
+    Coefficients may be batched (...,). Returns (...,4) complex roots."""
+    cdtype = jnp.complex128 if A.dtype == jnp.float64 else jnp.complex64
+    A_ = jnp.where(jnp.abs(A) < 1e-12, 1e-12, A)
+    a = (B / A_).astype(cdtype)
+    b = (C / A_).astype(cdtype)
+    c = (D / A_).astype(cdtype)
+    d = (E / A_).astype(cdtype)
+
+    def poly(x):
+        return (((x + a[..., None]) * x + b[..., None]) * x
+                + c[..., None]) * x + d[..., None]
+
+    # Cauchy-style root bound scales the standard rotating starts
+    bound = 1.0 + jnp.maximum(
+        jnp.maximum(jnp.abs(a), jnp.abs(b)), jnp.maximum(jnp.abs(c), jnp.abs(d))
+    )
+    seed = jnp.asarray(0.4 + 0.9j, cdtype)
+    z = bound[..., None] * seed ** jnp.arange(1, 5)
+
+    def body(i, z):
+        # z_i ← z_i − p(z_i) / ∏_{j≠i} (z_i − z_j)
+        diff = z[..., :, None] - z[..., None, :]  # (...,4,4)
+        eye = jnp.eye(4, dtype=cdtype)
+        diff = diff + eye  # diagonal → 1 (excluded from the product)
+        denom = jnp.prod(diff, axis=-1)
+        denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        return z - poly(z) / denom
+
+    return jax.lax.fori_loop(0, iters, body, z)
+
+
+def _p3p_grunert(f: jnp.ndarray, P: jnp.ndarray):
+    """Closed-form P3P (Grunert 1841 / Haralick's review): unit bearings
+    f (3,3) and world points P (3,3) → up to 4 candidate camera poses
+    (T_WC). Returns (r (4,3), q (4,4), ok (4,)). The TPU-native analog of
+    the unseeded ``cv::solvePnPRansac`` of the reference loop verification
+    (``pose_graph/src/pose_graph/Keyframe.cpp:308-380``)."""
+    dtype = f.dtype
+    a2 = jnp.sum((P[1] - P[2]) ** 2)
+    b2 = jnp.sum((P[0] - P[2]) ** 2)
+    c2 = jnp.sum((P[0] - P[1]) ** 2)
+    ca = jnp.dot(f[1], f[2])  # cos α (angle at rays 2-3)
+    cb = jnp.dot(f[0], f[2])  # cos β (rays 1-3)
+    cg = jnp.dot(f[0], f[1])  # cos γ (rays 1-2)
+    b2s = jnp.where(b2 < 1e-12, 1e-12, b2)
+    m = (a2 - c2) / b2s
+    n = (a2 + c2) / b2s
+    A4 = (m - 1.0) ** 2 - 4.0 * (c2 / b2s) * ca * ca
+    A3 = 4.0 * (
+        m * (1.0 - m) * cb - (1.0 - n) * ca * cg
+        + 2.0 * (c2 / b2s) * ca * ca * cb
+    )
+    A2 = 2.0 * (
+        m * m - 1.0 + 2.0 * m * m * cb * cb + 2.0 * ((b2 - c2) / b2s) * ca * ca
+        - 4.0 * n * ca * cb * cg + 2.0 * ((b2 - a2) / b2s) * cg * cg
+    )
+    A1 = 4.0 * (
+        -m * (1.0 + m) * cb + 2.0 * (a2 / b2s) * cg * cg * cb
+        - (1.0 - n) * ca * cg
+    )
+    A0 = (1.0 + m) ** 2 - 4.0 * (a2 / b2s) * cg * cg
+
+    roots = _quartic_roots(
+        jnp.asarray(A4), jnp.asarray(A3), jnp.asarray(A2), jnp.asarray(A1),
+        jnp.asarray(A0),
+    )  # (4,) complex
+    v = jnp.real(roots)
+    real_ok = jnp.abs(jnp.imag(roots)) < 1e-4 * (1.0 + jnp.abs(v))
+
+    def pose_of(vk, okk):
+        denom_u = 2.0 * (cg - vk * ca)
+        denom_u = jnp.where(jnp.abs(denom_u) < 1e-9, 1e-9, denom_u)
+        u = ((-1.0 + m) * vk * vk - 2.0 * m * cb * vk + 1.0 + m) / denom_u
+        s1sq = b2 / jnp.maximum(1.0 + vk * vk - 2.0 * vk * cb, 1e-12)
+        s1 = jnp.sqrt(jnp.maximum(s1sq, 0.0))
+        s2 = u * s1
+        s3 = vk * s1
+        ok = okk & (vk > 0) & (u > 0) & (s1 > 1e-6)
+        X = jnp.stack([s1 * f[0], s2 * f[1], s3 * f[2]])  # camera frame
+        # absolute orientation: P ≈ R X + t
+        Xc = X - X.mean(axis=0)
+        Pc = P - P.mean(axis=0)
+        q_WC = _kabsch_quat(Pc, Xc, jnp.ones(3, dtype))
+        t = P.mean(axis=0) - quat.rotate(q_WC, X.mean(axis=0))
+        # self-consistency: the recovered pose must reproduce the triple
+        err = jnp.max(
+            jnp.linalg.norm(
+                quat.rotate(q_WC, X) + t - P, axis=-1
+            )
+        )
+        scale = jnp.sqrt(jnp.maximum(a2 + b2 + c2, 1e-9))
+        ok = ok & (err < 0.02 * scale)
+        return t, q_WC, ok
+
+    r4, q4, ok4 = jax.vmap(pose_of)(v.astype(dtype), real_ok)
+    return r4, q4, ok4
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "min_inliers", "refine_iters"),
+)
+def absolute_pose_ransac_p3p(
+    key,
+    p_W: jnp.ndarray,  # (N,3)
+    bearings: jnp.ndarray,  # (N,3) unit, camera frame
+    valid: jnp.ndarray,  # (N,)
+    focal_px,
+    threshold_px=3.0,
+    num_hypotheses: int = 64,
+    min_inliers: int = 10,
+    refine_iters: int = 7,
+) -> RansacResult:
+    """SEED-FREE absolute-pose RANSAC: closed-form P3P hypotheses (up to 4
+    poses per minimal triple, all scored), best model refined by GN on its
+    inliers. Unlike ``absolute_pose_ransac`` (prior-seeded GN) this needs
+    NO initial pose — loop-closure verification must work under arbitrary
+    drift, exactly why the reference uses unseeded ``cv::solvePnPRansac``
+    (``Keyframe.cpp:308-380``)."""
+    N = p_W.shape[0]
+    dtype = p_W.dtype
+    thr = threshold_px / focal_px
+    probs = jnp.where(valid, 1.0, 1e-9)
+    keys = jax.random.split(key, num_hypotheses)
+
+    def one(k):
+        idx = jax.random.choice(
+            k, N, shape=(3,), replace=False, p=probs / jnp.sum(probs)
+        )
+        ok_sample = jnp.all(valid[idx])
+        r4, q4, ok4 = _p3p_grunert(bearings[idx], p_W[idx])
+
+        def score(rr, qq, ok):
+            T = Transformation(r=rr, q=qq)
+            res = _bearing_residual(T, p_W, bearings).reshape(N, 3)
+            err = jnp.linalg.norm(res, axis=-1)
+            inl = valid & (err < thr) & ok & ok_sample
+            return inl, jnp.sum(inl)
+
+        inl4, n4 = jax.vmap(score)(r4, q4, ok4)
+        best = jnp.argmax(n4)
+        return r4[best], q4[best], inl4[best], n4[best]
+
+    rs, qs, inls, counts = jax.vmap(one)(keys)
+    best = jnp.argmax(counts)
+    T_best = Transformation(r=rs[best], q=qs[best])
+    inl_b = inls[best]
+    # GN refinement on the best model's inliers (seeded by P3P itself)
+    T_ref = _gn_pose_fit(
+        T_best, p_W, bearings, inl_b.astype(dtype), iters=refine_iters
+    )
+    res = _bearing_residual(T_ref, p_W, bearings).reshape(N, 3)
+    err = jnp.linalg.norm(res, axis=-1)
+    inl = valid & (err < thr)
+    n = jnp.sum(inl)
+    ok = n >= min_inliers
+    # fall back to the unrefined best if refinement lost inliers
+    better = n >= counts[best]
+    T_out = Transformation(
+        r=jnp.where(better, T_ref.r, T_best.r),
+        q=jnp.where(better, T_ref.q, T_best.q),
+    )
+    inl = jnp.where(better, inl, inl_b)
+    n = jnp.where(better, n, counts[best])
+    return RansacResult(
+        T=T_out, inliers=inl, num_inliers=n, success=n >= min_inliers
+    )

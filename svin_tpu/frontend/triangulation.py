@@ -65,3 +65,53 @@ def triangulate_fast(
 def point_from_homogeneous(hp: jnp.ndarray) -> jnp.ndarray:
     w = hp[..., 3:4]
     return hp[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+
+
+def triangulation_covariance(
+    p_W: jnp.ndarray,  # (...,3) triangulated point (world)
+    c1: jnp.ndarray,  # (...,3) camera-1 center
+    c2: jnp.ndarray,  # (...,3) camera-2 center
+    sigma1: jnp.ndarray,  # (...,) ray-1 angular std [rad]
+    sigma2: jnp.ndarray,  # (...,) ray-2 angular std [rad]
+    pose_var: jnp.ndarray,  # (...,) relative-pose translation variance [m²]
+) -> jnp.ndarray:
+    """3×3 landmark covariance from the two-view Gauss-Newton system with a
+    relative-pose prior, Schur-marginalizing the second camera's pose.
+
+    The TPU-native closed form of
+    ``ProbabilisticStereoTriangulator::getUncertainty``
+    (``ProbabilisticStereoTriangulator.cpp:239+``): with unit-bearing
+    residuals r_i = (p−c_i)/|p−c_i| − e_i, the Jacobians are the
+    perpendicular projectors P_i/d_i (P_i = I − e_i e_iᵀ), so the
+    information is
+
+        H_pp  = Σ_i P_i / (σ_i² d_i²)
+        H_pc  = −P_2 / (σ_2² d_2²)      (only view 2's center is uncertain)
+        H_cc  =  P_2 / (σ_2² d_2²) + I/pose_var
+
+    and  cov = (H_pp − H_pc H_cc⁻¹ H_cp)⁻¹.  ``pose_var`` is the reference's
+    velocity-scaled UOplus translation block
+    (``VioKeyframeWindowMatchingAlgorithm.cpp:133-141``: 1e-2·max(1,|v|)²
+    between frames, 4e-8 within a stereo pair); its rotation block (1e-8)
+    is negligible and dropped. All ops are batched 3×3 — vmap-free
+    broadcasting."""
+    eye = jnp.eye(3, dtype=p_W.dtype)
+    d1v = p_W - c1
+    d2v = p_W - c2
+    d1 = jnp.linalg.norm(d1v, axis=-1)
+    d2 = jnp.linalg.norm(d2v, axis=-1)
+    e1 = d1v / jnp.maximum(d1, 1e-9)[..., None]
+    e2 = d2v / jnp.maximum(d2, 1e-9)[..., None]
+    P1 = eye - e1[..., :, None] * e1[..., None, :]
+    P2 = eye - e2[..., :, None] * e2[..., None, :]
+    w1 = 1.0 / jnp.maximum(sigma1 * sigma1 * d1 * d1, 1e-18)
+    w2 = 1.0 / jnp.maximum(sigma2 * sigma2 * d2 * d2, 1e-18)
+    Hpp = w1[..., None, None] * P1 + w2[..., None, None] * P2
+    Hcc = w2[..., None, None] * P2 + (1.0 / jnp.maximum(pose_var, 1e-12))[
+        ..., None, None
+    ] * eye
+    Hpc = -w2[..., None, None] * P2
+    # Schur: Hpp − Hpc Hcc⁻¹ Hcp  (3×3 solves, batched)
+    Hcc_inv = jnp.linalg.inv(Hcc + 1e-12 * eye)
+    Hs = Hpp - Hpc @ Hcc_inv @ jnp.swapaxes(Hpc, -1, -2)
+    return jnp.linalg.inv(Hs + 1e-9 * eye)

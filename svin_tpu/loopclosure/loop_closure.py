@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cameras import PinholeCamera, back_project
-from ..frontend import absolute_pose_ransac
+from ..frontend import absolute_pose_ransac_p3p
 from ..kinematics import Transformation, npq, quaternion as quat
 from ..ops import descriptor as desc_ops, detection, hamming
 from ..pipeline.config import VioConfig
@@ -98,13 +98,28 @@ class LoopCloser:
         vocab_file = getattr(self.cfg.loop_closure, "vocabulary_file", "")
         if vocab_file:
             # trained codebook + idf weights, the brief_k10L6.bin analog
-            # (reference LoopClosure.cpp:18-55 loads it at setup)
-            from .retrieval import load_vocabulary
+            # (reference LoopClosure.cpp:18-55 loads it at setup); product
+            # (two-level) vocabularies load into the 65k-word PQ database,
+            # flat codebooks into the 1024-word one
+            from .retrieval import (
+                ProductKeyframeDatabase,
+                load_product_vocabulary,
+                load_vocabulary,
+            )
 
-            vocab, weights = load_vocabulary(vocab_file)
-            self.db = KeyframeDatabase(vocab=vocab, weights=weights)
+            try:
+                pv = load_product_vocabulary(vocab_file)
+                self.db = ProductKeyframeDatabase(pv=pv)
+            except (ValueError, KeyError):
+                vocab, weights = load_vocabulary(vocab_file)
+                self.db = KeyframeDatabase(vocab=vocab, weights=weights)
         else:
-            self.db = KeyframeDatabase()
+            # default: the product-quantized 65k-effective-word database
+            # (DBoW2's k=10,L=6 tree has ~10^6 leaves; two 256-word halves
+            # give comparable discrimination at two (K,256) matmuls)
+            from .retrieval import ProductKeyframeDatabase
+
+            self.db = ProductKeyframeDatabase()
         self.keyframes: List[LoopKeyframe] = []
         self.capacity = capacity
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -375,7 +390,7 @@ class LoopCloser:
         all_valid = np.concatenate([kf.window_valid, kf.extra_valid])
         # ONE BoW quantization serves both the top-K query and the
         # covisible-neighbor floor (it is a device program + fetch)
-        v = self.db._bow_np(all_desc, all_valid)
+        v = self.db.bow(all_desc, all_valid)
         idxs, scores = self.db.query_vector(
             v, top_k=4, exclude_after=exclude_after
         )
@@ -385,9 +400,7 @@ class LoopCloser:
         neighbor_floor = 0.0
         if self.db.count >= 1:
             lo = max(0, self.db.count - 3)
-            s_nb = 1.0 - 0.5 * np.sum(
-                np.abs(self.db.vectors[lo : self.db.count] - v[None, :]), axis=-1
-            )
+            s_nb = self.db.scores_range(v, lo, self.db.count)
             # the WEAKEST covisible link sets the bar (reference semantics)
             neighbor_floor = 0.6 * float(np.min(s_nb))
         for cand, score in zip(idxs, scores):
@@ -419,17 +432,17 @@ class LoopCloser:
         uv_pad[:n] = np.asarray(old.extra_uv)[old_idx[:n]]
         ransac_valid = np.arange(WINDOW_CAP) < n
         rays = self._backproject(jnp.asarray(uv_pad))
-        # solve for the OLD camera's pose against the CURRENT 3D points,
-        # seeded with the old VIO pose (drift makes them differ)
-        rr = absolute_pose_ransac(
+        # solve for the OLD camera's pose against the CURRENT 3D points —
+        # SEED-FREE closed-form P3P hypotheses: loop closure exists exactly
+        # because the old VIO pose has drifted arbitrarily far, so (unlike
+        # the VIO-window 3D-2D RANSAC) no prior may enter the solve. The
+        # reference uses unseeded cv::solvePnPRansac the same way
+        # (Keyframe.cpp:308-380).
+        rr = absolute_pose_ransac_p3p(
             jax.random.PRNGKey(cur.index * 7919 + old.index),
             jnp.asarray(p_W_pad, self._dtype),
             rays.astype(self._dtype),
             ransac_valid,
-            Transformation(
-                r=jnp.asarray(np.asarray(old.T_WC_vio.r), self._dtype),
-                q=jnp.asarray(np.asarray(old.T_WC_vio.q), self._dtype),
-            ),
             focal_px=float(self.camera.fu),
             threshold_px=lc.pnp_reprojection_threshold,
             num_hypotheses=lc.pnp_ransac_iterations,
@@ -437,6 +450,14 @@ class LoopCloser:
         )
         rr = jax.device_get(rr)
         if not bool(rr.success) or int(rr.num_inliers) < lc.min_correspondences:
+            return None
+        # inlier-RATIO gate: a true loop's descriptor matches are mostly
+        # consistent with one pose; a seed-free P3P can always scrape a
+        # minimal pose out of spurious matches, so demand that the model
+        # explains the majority of the matched set (the reference gets the
+        # same protection from min_correspondences=25 against its typical
+        # match counts, Parameters.cpp:24-27)
+        if int(rr.num_inliers) < 0.5 * int(n):
             return None
         T_old_fit = Transformation(
             r=rr.T.r, q=rr.T.q
@@ -501,12 +522,30 @@ class LoopCloser:
         if self.cfg.loop_closure.pgo_mode == "6dof":
             self._optimize_6dof(fix_before)
         else:
-            self.nodes = jax.tree_util.tree_map(
+            # Solve only the OCCUPIED prefix (padded to the next power of
+            # two so jit recompiles O(log N) times over the session, not
+            # per keyframe): the dense reduced solve is (4N)², so running
+            # it at full table capacity would dominate the per-loop cost.
+            # 30 GN/IRLS rounds ≈ the reference's repeated 10-iteration
+            # re-solves (its optimization thread re-runs every 500 ms,
+            # PoseGraph.cpp:382-384): Huber re-weighting on large loop
+            # residuals needs several re-linearizations to converge.
+            n_used = max(len(self.keyframes), 2)
+            Np = max(64, 1 << (n_used - 1).bit_length())
+            Ep = max(128, 1 << (max(self.n_edges, 1) - 1).bit_length())
+            Np = min(Np, self.nodes.p.shape[0])
+            Ep = min(Ep, self.edges.i.shape[0])
+            nodes_s = jax.tree_util.tree_map(lambda a: a[:Np], self.nodes)
+            edges_s = jax.tree_util.tree_map(lambda a: a[:Ep], self.edges)
+            # edges referencing nodes beyond the slice are padding (invalid)
+            out = jax.tree_util.tree_map(
                 np.array,
                 jax.device_get(
-                    optimize_4dof(self.nodes, self.edges, fix_before, iters=10)
+                    optimize_4dof(nodes_s, edges_s, fix_before, iters=30)
                 ),
             )
+            self.nodes.p[:Np] = out.p
+            self.nodes.yaw[:Np] = out.yaw
         # drift: newest node's optimized pose vs its raw VIO pose
         last = len(self.keyframes) - 1
         kf = self.keyframes[last]
@@ -534,18 +573,28 @@ class LoopCloser:
         PoseGraph.cpp:387-543, PoseGraph3dErrorTerm with sqrt information
         diag(20,20,20,100,100,0.573)); nodes written back into the shared
         yaw/pitch/roll table."""
-        N = self.capacity
+        # occupied-prefix slicing (see the 4-DoF path): the (6N)² dense
+        # solve must scale with the live graph, not table capacity
+        n_used = max(len(self.keyframes), 2)
+        Np = min(
+            max(64, 1 << (n_used - 1).bit_length()), self.nodes.p.shape[0]
+        )
+        Ep = min(
+            max(128, 1 << (max(self.n_edges, 1) - 1).bit_length()),
+            self.edges.i.shape[0],
+        )
         Rm = jax.vmap(ypr_to_matrix)(
-            jnp.asarray(self.nodes.yaw, self._dtype),
-            jnp.asarray(self.nodes.pitch, self._dtype),
-            jnp.asarray(self.nodes.roll, self._dtype),
+            jnp.asarray(self.nodes.yaw[:Np], self._dtype),
+            jnp.asarray(self.nodes.pitch[:Np], self._dtype),
+            jnp.asarray(self.nodes.roll[:Np], self._dtype),
         )
         q = jax.vmap(quat.from_rotation_matrix)(Rm)
         nodes6 = PoseGraph6Nodes(
-            r=jnp.asarray(self.nodes.p, self._dtype), q=q.astype(self._dtype),
-            valid=jnp.asarray(self.nodes.valid),
+            r=jnp.asarray(self.nodes.p[:Np], self._dtype),
+            q=q.astype(self._dtype),
+            valid=jnp.asarray(self.nodes.valid[:Np]),
         )
-        E = self.edges.i.shape[0]
+        E = Ep
         t_full = np.zeros((E, 3))
         q_full = np.zeros((E, 4))
         q_full[:, 3] = 1.0
@@ -554,26 +603,24 @@ class LoopCloser:
             q_full[k] = qr
         W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
         edges6 = PoseGraph6Edges(
-            i=self.edges.i,
-            j=self.edges.j,
+            i=self.edges.i[:E],
+            j=self.edges.j[:E],
             t_ij=jnp.asarray(t_full, self._dtype),
             q_ij=jnp.asarray(q_full, self._dtype),
             sqrt_info=jnp.broadcast_to(
                 jnp.asarray(W, self._dtype), (E, 6, 6)
             ),
-            valid=self.edges.valid,
+            valid=self.edges.valid[:E],
         )
         out = optimize_6dof(nodes6, edges6, fix_before, iters=5)
         ypr_d = jax.vmap(
             lambda qq: jnp.stack(matrix_to_ypr(quat.to_rotation_matrix(qq)))
         )(out.q)
         out_r, ypr = jax.device_get((out.r, ypr_d))
-        self.nodes = self.nodes._replace(
-            p=np.array(out_r, self.nodes.p.dtype),
-            yaw=np.array(ypr[:, 0], self.nodes.yaw.dtype),
-            pitch=np.array(ypr[:, 1], self.nodes.pitch.dtype),
-            roll=np.array(ypr[:, 2], self.nodes.roll.dtype),
-        )
+        self.nodes.p[:Np] = np.array(out_r, self.nodes.p.dtype)
+        self.nodes.yaw[:Np] = np.array(ypr[:, 0], self.nodes.yaw.dtype)
+        self.nodes.pitch[:Np] = np.array(ypr[:, 1], self.nodes.pitch.dtype)
+        self.nodes.roll[:Np] = np.array(ypr[:, 2], self.nodes.roll.dtype)
 
     def add_primitive_pose(self, t: float, T: Transformation) -> None:
         """Robot dead-reckoning odometry stream for the switching estimator

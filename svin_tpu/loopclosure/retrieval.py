@@ -236,3 +236,259 @@ class KeyframeDatabase:
         idx = np.argpartition(-s, k - 1)[:k]
         idx = idx[np.argsort(-s[idx])]
         return idx, s[idx]
+
+    def bow(self, desc, valid):
+        """Representation-agnostic BoW handle (mirrors the product DB)."""
+        return self._bow_np(desc, valid)
+
+    def scores_range(self, v, lo: int, hi: int) -> np.ndarray:
+        """L1 scores of v against database entries [lo, hi)."""
+        return 1.0 - 0.5 * np.sum(
+            np.abs(self.vectors[lo:hi] - v[None, :]), axis=-1
+        )
+
+
+# ---------------------------------------------------- product quantization
+# Two-level product vocabulary: the 256-bit descriptor splits into two
+# 128-bit halves, each quantized against its own 256-word codebook; the
+# joint word id (w1·256 + w2) spans an EFFECTIVE vocabulary of 65,536 words
+# — the same order as DBoW2's k=10,L=6 tree's usable discrimination
+# (TemplatedVocabulary.h:1487) — while quantization costs two small
+# (K,256) Hamming matmuls instead of a 10^6-leaf tree walk.
+
+PQ_HALF_WORDS = DESC_WORDS // 2  # 4 × uint32 = 128 bits per half
+PQ_WORDS = 256  # per-half codebook size
+PQ_VOCAB = PQ_WORDS * PQ_WORDS  # effective joint vocabulary
+
+
+class ProductVocabulary(NamedTuple):
+    vocab1: jnp.ndarray  # (256, 4) uint32 — first-half codebook
+    vocab2: jnp.ndarray  # (256, 4) uint32 — second-half codebook
+    idf: Optional[jnp.ndarray] = None  # (65536,) joint idf weights
+
+
+def make_product_vocabulary(seed: int = 7) -> ProductVocabulary:
+    rng = np.random.RandomState(seed)
+
+    def half(s):
+        return jnp.asarray(
+            rng.randint(
+                0, 2 ** 32, size=(PQ_WORDS, PQ_HALF_WORDS), dtype=np.uint64
+            ).astype(np.uint32)
+        )
+
+    return ProductVocabulary(vocab1=half(0), vocab2=half(1))
+
+
+def _train_half(descs_half: jnp.ndarray, iters: int, seed: int) -> jnp.ndarray:
+    """k-medoids over one 128-bit half (same majority-vote refinement as
+    ``train_vocabulary``, parametrized by descriptor width)."""
+    N, W = descs_half.shape
+    size = PQ_WORDS
+    rng = np.random.RandomState(seed)
+    if N >= size:
+        centroids = descs_half[rng.choice(N, size, replace=False)]
+    else:
+        pad = make_product_vocabulary(seed).vocab1[: size - N]
+        centroids = jnp.concatenate([descs_half, pad])
+    bits = hamming.unpack_bits_pm1(descs_half).astype(jnp.int32)
+
+    def step(centroids):
+        d = hamming.hamming_matrix_ref(descs_half, centroids)
+        assign = jnp.argmin(d, axis=1)
+        sums = jax.ops.segment_sum(bits, assign, num_segments=size)
+        counts = jax.ops.segment_sum(
+            jnp.ones(N, jnp.int32), assign, num_segments=size
+        )
+        maj = (sums > 0).astype(jnp.uint32).reshape(size, W, 32)
+        weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        packed = jnp.sum(maj * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+        return jnp.where((counts > 0)[:, None], packed, centroids)
+
+    for _ in range(iters):
+        centroids = step(centroids)
+    return centroids
+
+
+def train_product_vocabulary(
+    descriptors: jnp.ndarray, iters: int = 8, seed: int = 7
+) -> ProductVocabulary:
+    return ProductVocabulary(
+        vocab1=_train_half(descriptors[:, :PQ_HALF_WORDS], iters, seed),
+        vocab2=_train_half(descriptors[:, PQ_HALF_WORDS:], iters, seed + 1),
+    )
+
+
+@jax.jit
+def product_words(
+    desc: jnp.ndarray, pv_vocab1: jnp.ndarray, pv_vocab2: jnp.ndarray
+) -> jnp.ndarray:
+    """(K,) int32 joint word ids — two (K,256) Hamming matmuls."""
+    w1 = jnp.argmin(
+        hamming.hamming_matrix_ref(desc[:, :PQ_HALF_WORDS], pv_vocab1), axis=1
+    )
+    w2 = jnp.argmin(
+        hamming.hamming_matrix_ref(desc[:, PQ_HALF_WORDS:], pv_vocab2), axis=1
+    )
+    return (w1 * PQ_WORDS + w2).astype(jnp.int32)
+
+
+def compute_idf_product(doc_descs: list, pv: ProductVocabulary) -> jnp.ndarray:
+    """Joint-word idf over a keyframe corpus (DBoW2 TF_IDF semantics)."""
+    present = np.zeros(PQ_VOCAB, np.float64)
+    for desc, valid in doc_descs:
+        w = np.asarray(product_words(desc, pv.vocab1, pv.vocab2))
+        w = np.unique(w[np.asarray(valid, bool)])
+        present[w] += 1.0
+    n_docs = max(len(doc_descs), 1)
+    idf = np.log(n_docs / np.maximum(present, 1.0))
+    idf[present == 0] = np.log(float(n_docs))
+    return jnp.asarray(np.maximum(idf, 1e-3), jnp.float32)
+
+
+def save_product_vocabulary(path: str, pv: ProductVocabulary) -> None:
+    if pv.idf is None:
+        np.savez(
+            path, vocab1=np.asarray(pv.vocab1), vocab2=np.asarray(pv.vocab2)
+        )
+    else:
+        np.savez(
+            path, vocab1=np.asarray(pv.vocab1), vocab2=np.asarray(pv.vocab2),
+            idf=np.asarray(pv.idf, np.float32),
+        )
+
+
+def load_product_vocabulary(path: str) -> ProductVocabulary:
+    arr = np.load(path, allow_pickle=False)
+    if "vocab1" not in getattr(arr, "files", []):
+        raise ValueError(f"not a product vocabulary: {path}")
+    idf = jnp.asarray(arr["idf"]) if "idf" in arr.files else None
+    return ProductVocabulary(
+        vocab1=jnp.asarray(arr["vocab1"]), vocab2=jnp.asarray(arr["vocab2"]),
+        idf=idf,
+    )
+
+
+class ProductKeyframeDatabase:
+    """Sparse-BoW database over the 65k product vocabulary.
+
+    Each keyframe stores its ≤M unique active words (ids + L1-normalized
+    tf·idf weights) — the inverted-file content of DBoW2's
+    ``TemplatedDatabase`` as two packed arrays. L1 scoring uses the
+    identity  1 − ½‖q−d‖₁ = Σ_w min(q_w, d_w)  for L1-normalized vectors:
+    scatter the query into a dense (65536,) vector once, then every
+    database entry scores with a gather + min + row-sum —
+    ``score_packed_device`` runs that as ONE jitted program over the whole
+    packed database (the pod-scale device path; the host path is the same
+    math in numpy)."""
+
+    M = 512  # max unique words per keyframe (≥ keypoint budget)
+
+    def __init__(self, pv: Optional[ProductVocabulary] = None,
+                 capacity: int = 4096):
+        self.pv = pv if pv is not None else make_product_vocabulary()
+        self.capacity = capacity
+        self.word_ids = np.zeros((capacity, self.M), np.int32)
+        self.word_w = np.zeros((capacity, self.M), np.float32)
+        self.count = 0
+
+    def _sparse_bow(self, desc, valid):
+        w = np.asarray(product_words(desc, self.pv.vocab1, self.pv.vocab2))
+        v = np.asarray(valid, bool)
+        ids, cnt = np.unique(w[v], return_counts=True)
+        tf = cnt.astype(np.float32)
+        if self.pv.idf is not None:
+            tf = tf * np.asarray(self.pv.idf)[ids]
+        s = tf.sum()
+        if s > 0:
+            tf = tf / s
+        ids, tf = ids[: self.M], tf[: self.M]
+        out_i = np.zeros(self.M, np.int32)
+        out_w = np.zeros(self.M, np.float32)
+        out_i[: len(ids)] = ids
+        out_w[: len(ids)] = tf
+        return out_i, out_w
+
+    def add(self, desc, valid) -> int:
+        if self.count >= self.capacity:
+            self.word_ids = np.concatenate(
+                [self.word_ids, np.zeros_like(self.word_ids)]
+            )
+            self.word_w = np.concatenate(
+                [self.word_w, np.zeros_like(self.word_w)]
+            )
+            self.capacity *= 2
+        idx = self.count
+        self.word_ids[idx], self.word_w[idx] = self._sparse_bow(desc, valid)
+        self.count += 1
+        return idx
+
+    def bow(self, desc, valid):
+        """(ids, weights) sparse vector for reuse (query + neighbor floor)."""
+        return self._sparse_bow(desc, valid)
+
+    def query(self, desc, valid, top_k: int = 4, exclude_after: int = None):
+        if self.count == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        return self.query_vector(
+            self._sparse_bow(desc, valid), top_k=top_k,
+            exclude_after=exclude_after,
+        )
+
+    def query_vector(self, v, top_k: int = 4, exclude_after: int = None):
+        q_ids, q_w = v
+        n = (
+            self.count if exclude_after is None
+            else max(0, min(exclude_after, self.count))
+        )
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        dense = np.zeros(PQ_VOCAB, np.float32)
+        dense[q_ids] = q_w
+        gathered = dense[self.word_ids[:n]]  # (n, M)
+        s = np.sum(
+            np.minimum(gathered, self.word_w[:n]) * (self.word_w[:n] > 0),
+            axis=1,
+        )
+        k = min(top_k, n)
+        idx = np.argpartition(-s, k - 1)[:k]
+        idx = idx[np.argsort(-s[idx])]
+        return idx, s[idx]
+
+    def scores_range(self, v, lo: int, hi: int) -> np.ndarray:
+        """L1 scores of a sparse query against database entries [lo, hi)."""
+        q_ids, q_w = v
+        if hi <= lo:
+            return np.empty(0, np.float32)
+        dense = np.zeros(PQ_VOCAB, np.float32)
+        dense[q_ids] = q_w
+        gathered = dense[self.word_ids[lo:hi]]
+        return np.sum(
+            np.minimum(gathered, self.word_w[lo:hi])
+            * (self.word_w[lo:hi] > 0),
+            axis=1,
+        )
+
+    def packed_device(self, pad_to: Optional[int] = None):
+        """Packed (ids, weights) device arrays for ``score_packed_device``."""
+        n = self.count if pad_to is None else pad_to
+        ids = np.zeros((n, self.M), np.int32)
+        w = np.zeros((n, self.M), np.float32)
+        ids[: self.count] = self.word_ids[: self.count]
+        w[: self.count] = self.word_w[: self.count]
+        return jnp.asarray(ids), jnp.asarray(w)
+
+
+@jax.jit
+def score_packed_device(
+    q_ids: jnp.ndarray,  # (M,) int32
+    q_w: jnp.ndarray,  # (M,) float32
+    db_ids: jnp.ndarray,  # (N,M) int32
+    db_w: jnp.ndarray,  # (N,M) float32
+) -> jnp.ndarray:
+    """L1 BoW scores of one query against the whole packed database as one
+    device program: dense-scatter the query (65536 floats — one VMEM-sized
+    vector), gather per database slot, min-intersect, row-sum."""
+    dense = jnp.zeros(PQ_VOCAB, jnp.float32).at[q_ids].set(q_w)
+    gathered = dense[db_ids]  # (N,M)
+    return jnp.sum(jnp.minimum(gathered, db_w) * (db_w > 0), axis=1)

@@ -36,10 +36,11 @@ def _make_pattern(seed: int = 42) -> np.ndarray:
     return np.clip(pts, -PATCH_RADIUS + 1, PATCH_RADIUS - 1)
 
 
-PATTERN = jnp.asarray(_make_pattern(), jnp.float32)  # (256,2,2)
-_BIT_WEIGHTS = jnp.asarray(
-    (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
-)
+# host numpy constants — they become jit-time constants inside `describe`;
+# module-level jnp arrays would initialize the XLA backend at import time,
+# which breaks jax.distributed.initialize ordering in multi-host bootstraps
+PATTERN = _make_pattern().astype(np.float32)  # (256,2,2)
+_BIT_WEIGHTS = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
 
 
 @partial(jax.jit, static_argnames=("smooth_sigma", "max_octave"))
@@ -86,7 +87,7 @@ def describe(
 
     ca, sa = jnp.cos(ang0), jnp.sin(ang0)
     R = jnp.array([[ca, -sa], [sa, ca]], dtype)
-    base = PATTERN.reshape(2 * DESC_BITS, 2) @ R.T  # (512,2) rotated (x,y)
+    base = jnp.asarray(PATTERN).reshape(2 * DESC_BITS, 2) @ R.T  # (512,2) rotated (x,y)
     cols = jnp.arange(2 * DESC_BITS)
     vals = None
     for L in range(max_octave + 1):
@@ -113,7 +114,10 @@ def describe(
     vals = vals.reshape(K, DESC_BITS, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K,256)
     words = bits.reshape(bits.shape[0], DESC_WORDS, 32)
-    packed = jnp.sum(words * _BIT_WEIGHTS[None, None, :], axis=-1, dtype=jnp.uint32)
+    packed = jnp.sum(
+        words * jnp.asarray(_BIT_WEIGHTS)[None, None, :], axis=-1,
+        dtype=jnp.uint32,
+    )
     return jnp.where(valid[:, None], packed, jnp.uint32(0))
 
 

@@ -109,7 +109,9 @@ class MatchResult(NamedTuple):
     valid: jnp.ndarray  # (Na,) bool
 
 
-BIG = jnp.int32(1 << 20)
+# plain python int (a module-level jnp scalar would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering)
+BIG = 1 << 20
 
 
 def match(

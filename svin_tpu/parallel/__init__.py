@@ -10,17 +10,39 @@ from .dist_ba import (
 )
 from .dist_posegraph import make_sharded_posegraph, pad_edges_for_mesh
 from .multisession import merge_sessions
+from .pcg import (
+    ba_solve_pcg,
+    make_sharded_ba_pcg,
+    make_sharded_posegraph_pcg,
+    optimize_4dof_pcg,
+)
+from .runtime import (
+    exchange_keyframe_payloads,
+    exchange_loop_edges,
+    initialize_distributed,
+    make_process_mesh,
+    pack_keyframe,
+)
 
 __all__ = [
     "BucketedProblem",
     "GlobalMapProblem",
     "ba_solve_bucketed",
     "ba_solve_local",
+    "ba_solve_pcg",
     "bucket_problem",
     "make_sharded_ba",
     "make_sharded_ba_bucketed",
+    "make_sharded_ba_pcg",
     "make_sharded_posegraph",
+    "make_sharded_posegraph_pcg",
     "merge_sessions",
+    "exchange_keyframe_payloads",
+    "exchange_loop_edges",
+    "initialize_distributed",
+    "make_process_mesh",
+    "optimize_4dof_pcg",
+    "pack_keyframe",
     "pad_edges_for_mesh",
     "partition_problem",
 ]

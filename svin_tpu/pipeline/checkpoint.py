@@ -39,6 +39,7 @@ def save_engine(engine: VioEngine, path: str) -> None:
     _flatten(engine.window, "window", out)
     _flatten(engine.factors, "factors", out)
     out["lm_desc"] = np.asarray(engine._lm_desc) if hasattr(engine, "_lm_desc") else np.zeros((0, 8), np.uint32)
+    out["lm_cov"] = np.asarray(engine._lm_cov) if hasattr(engine, "_lm_cov") else np.zeros((0, 3, 3))
     meta = {
         "n_states": engine.n_states,
         "frame_count": engine.frame_count,
@@ -75,6 +76,8 @@ def load_engine(engine: VioEngine, path: str) -> VioEngine:
     engine.window = _to_np(_unflatten(engine.window, "window", data))
     engine.factors = _to_np(_unflatten(engine.factors, "factors", data))
     engine._lm_desc = np.array(data["lm_desc"])
+    if "lm_cov" in data and data["lm_cov"].size:
+        engine._lm_cov = np.array(data["lm_cov"])
     meta = json.loads(str(data["meta"]))
     engine.n_states = meta["n_states"]
     engine.frame_count = meta["frame_count"]

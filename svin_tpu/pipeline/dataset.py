@@ -36,11 +36,14 @@ class SensorEvent:
     """One timestamped event, ordered stream (the app's interleave loop)."""
 
     t: float
-    kind: str  # "imu" | "frame" | "depth" | "sonar"
+    kind: str  # "imu" | "frame" | "depth" | "sonar" | "primitive"
     imu: Optional[Tuple[np.ndarray, np.ndarray]] = None  # (gyro, acc)
     images: Optional[List[np.ndarray]] = None
     depth: Optional[float] = None
     sonar: Optional[Tuple[float, float]] = None  # (range, heading)
+    # robot dead-reckoning odometry (the reference's primitive-estimator
+    # topic feeding SwitchingEstimator) as (r (3,), q (4,)) world pose
+    primitive: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
 
 def sonar_range_from_intensity(
@@ -244,8 +247,17 @@ def synthetic_sequence(
     spread: float = 14.0,
     depth_offset: float = 6.0,
     t_first_frame: float = 0.25,
+    degrade_windows: Optional[List[Tuple[float, float]]] = None,
+    primitive_enabled: bool = False,
+    primitive_noise: float = 0.02,
 ) -> Tuple[Iterator[SensorEvent], SyntheticRenderer]:
-    """Ordered event stream + its renderer (ground truth via renderer.pose)."""
+    """Ordered event stream + its renderer (ground truth via renderer.pose).
+
+    ``degrade_windows`` = [(t0, t1), ...]: frames inside a window are
+    rendered nearly featureless (flat + faint noise) — the synthetic analog
+    of turbid-water / low-texture stretches that trip the health gate.
+    ``primitive_enabled`` adds robot dead-reckoning odometry events (ground
+    truth + a slow random-walk offset) for the switching estimator."""
     params = imu_params if imu_params is not None else ImuParameters()
     renderer = SyntheticRenderer(
         rig, n_points=n_points, seed=seed, traj=traj,
@@ -259,9 +271,12 @@ def synthetic_sequence(
     gyro = np.asarray(series.gyro)
     acc = np.asarray(series.acc)
     frame_times = np.arange(t_first_frame, duration, 1.0 / cam_rate)
+    windows = degrade_windows or []
+    prim_rng = np.random.RandomState(seed + 17)
 
     def gen():
         ii = 0
+        prim_off = np.zeros(3)
         for t_f in frame_times:
             while ii < len(t_np) and t_np[ii] <= t_f + 1e-9:
                 yield SensorEvent(t=float(t_np[ii]), kind="imu", imu=(gyro[ii], acc[ii]))
@@ -275,9 +290,22 @@ def synthetic_sequence(
                     yield SensorEvent(
                         t=float(t_f), kind="sonar", sonar=(rng, heading)
                     )
-            yield SensorEvent(
-                t=float(t_f), kind="frame", images=renderer.render_frame(float(t_f))
-            )
+            if primitive_enabled:
+                T = renderer.pose(float(t_f))
+                prim_off = prim_off + primitive_noise * prim_rng.randn(3) / np.sqrt(
+                    max(cam_rate, 1.0)
+                )
+                yield SensorEvent(
+                    t=float(t_f), kind="primitive",
+                    primitive=(np.asarray(T.r) + prim_off, np.asarray(T.q)),
+                )
+            imgs = renderer.render_frame(float(t_f))
+            if any(a <= t_f < b for a, b in windows):
+                imgs = [
+                    0.35 + 0.02 * prim_rng.randn(*im.shape).astype(im.dtype)
+                    for im in imgs
+                ]
+            yield SensorEvent(t=float(t_f), kind="frame", images=imgs)
 
     return gen(), renderer
 
@@ -315,12 +343,28 @@ def events_from_source(data: str, cfg, rig):
         from .. import sim
 
         duration = float(os.environ.get("SVIN_SYNTH_DURATION", "5.0"))
+        # SVIN_SYNTH_REVISIT=1: drop the linear drift term so the Lissajous
+        # trajectory revisits its own path every ~10 s (loop-closure food)
+        traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+        if os.environ.get("SVIN_SYNTH_REVISIT", "0") == "1":
+            traj = traj._replace(r_lin=traj.r_lin * 0.0)
+        # SVIN_SYNTH_DEGRADE="t0:t1[,t0:t1...]": featureless stretches
+        degrade = []
+        for w in os.environ.get("SVIN_SYNTH_DEGRADE", "").split(","):
+            if ":" in w:
+                a, b = w.split(":")
+                degrade.append((float(a), float(b)))
         events, _ = synthetic_sequence(
             rig, duration=duration, cam_rate=cfg.camera_rate,
             imu_rate=float(cfg.imu.rate), imu_params=cfg.imu,
-            traj=sim.default_trajectory(scale=0.4, ramp_tau=0.8),
+            traj=traj,
             spread=6.0, depth_offset=3.0, t_first_frame=0.12,
             depth_enabled=cfg.is_depth_used,
+            sonar_enabled=cfg.is_sonar_used,
+            sonar_T_SSo=cfg.T_SSo if cfg.is_sonar_used else None,
+            degrade_windows=degrade or None,
+            primitive_enabled=os.environ.get("SVIN_SYNTH_PRIMITIVE", "0")
+            == "1",
         )
         return events
     if data.endswith(".db3") or os.path.exists(os.path.join(data, "metadata.yaml")):

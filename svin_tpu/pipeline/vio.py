@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cameras import NCameraSystem, back_project, project
+from ..cameras.pinhole import project_jacobian
 from ..estimator import (
     WindowConfig,
     empty_factors,
@@ -44,7 +45,10 @@ from ..frontend import (
     ScaleRefiner,
     absolute_pose_ransac,
     point_from_homogeneous,
+    relative_pose_ransac,
+    rotation_only_ransac,
     triangulate_fast,
+    triangulation_covariance,
 )
 from ..frontend.hull import keyframe_overlap_ratio
 from ..imu import init_pose_from_imu, preintegrate, propagate, sqrt_information
@@ -121,6 +125,21 @@ def _to_np(tree):
 _match_desc_jit = hamming.match_descriptors_jit
 
 
+@_partial(jax.jit, static_argnames=("num_hypotheses",))
+def _ransac_2d2d(k1, k2, bA, bB, ok, r_prior, q_prior, focal,
+                 num_hypotheses: int = 32):
+    """Rotation-only + relative-pose RANSAC in one compiled program (the
+    'try both' of Frontend::runRansac2d2d, Frontend.cpp:858-910)."""
+    rot = rotation_only_ransac(
+        k1, bA, bB, ok, focal_px=focal, num_hypotheses=num_hypotheses
+    )
+    rel = relative_pose_ransac(
+        k2, bA, bB, ok, Transformation(r=r_prior, q=q_prior),
+        focal_px=focal, num_hypotheses=num_hypotheses,
+    )
+    return rot, rel
+
+
 def _make_project_points(cam):
     @jax.jit
     def fn(T_WC_r, T_WC_q, p_W):
@@ -133,21 +152,31 @@ def _make_project_points(cam):
 
 
 def _make_triangulate_world(cam_a, cam_b):
-    """Jitted two-view world-frame triangulation for one camera pair:
-    back-project both pixel sets, rotate rays to world, midpoint
-    triangulation (triangulateFast analog) — one device program."""
+    """Jitted two-view world-frame probabilistic triangulation for one
+    camera pair: back-project both pixel sets, rotate rays to world,
+    midpoint triangulation (triangulateFast analog) plus the 3×3 landmark
+    covariance from per-keypoint ray sigmas and the relative-pose prior
+    (ProbabilisticStereoTriangulator::stereoTriangulate + getUncertainty,
+    ``ProbabilisticStereoTriangulator.cpp:154-235,239+``) — one device
+    program."""
 
     @jax.jit
-    def fn(uv_a, uv_b, TWA_r, TWA_q, TWB_r, TWB_q, sigma):
+    def fn(uv_a, uv_b, TWA_r, TWA_q, TWB_r, TWB_q, sigma_a, sigma_b,
+           pose_var):
         rays_a = back_project(cam_a, uv_a)
         rays_b = back_project(cam_b, uv_b)
         eA = quat.rotate(TWA_q, rays_a)
         eB = quat.rotate(TWB_q, rays_b)
         pA = jnp.broadcast_to(TWA_r, eA.shape)
         pB = jnp.broadcast_to(TWB_r, eB.shape)
+        sigma = jnp.sqrt(sigma_a * sigma_a + sigma_b * sigma_b)
         tri = triangulate_fast(pA, eA, pB, eB, sigma)
         pts = point_from_homogeneous(tri.hp)
-        return pts, tri.valid, tri.parallel, eA, eB
+        cov = triangulation_covariance(
+            pts, pA, pB, sigma_a, sigma_b,
+            jnp.broadcast_to(pose_var, sigma_a.shape),
+        )
+        return pts, tri.valid, tri.parallel, eA, eB, cov
 
     return fn
 
@@ -242,6 +271,10 @@ class VioEngine:
         self.window = _to_np(self.window)
         self.factors = _to_np(self.factors)
         self._lm_desc = np.zeros((self.wcfg.num_landmarks, 8), np.uint32)
+        self._lm_cov = np.tile(
+            np.eye(3) * self._LM_COV_DEFAULT,
+            (self.wcfg.num_landmarks, 1, 1),
+        )
 
         # ---- the engine's device program set (compiled once each; stages
         # that run back-to-back with no host decision between them are FUSED
@@ -264,7 +297,7 @@ class VioEngine:
         def _opt_prune(w, f):
             res = optimize(w, f, rig_p, imu_p, wcfg)
             pv, pe = _reproj_px_err(res.window, f)
-            return res.window, res.cost, res.iterations, pv, pe
+            return res.window, res.cost, res.iterations, res.lm_cov, pv, pe
 
         self._optimize_fn = jax.jit(_opt_prune)
         self._marginalize_fn = jax.jit(
@@ -290,22 +323,58 @@ class VioEngine:
         def _gate_match_all(
             uv, desc, kp_valid,  # (C,K,...) stacked over cameras
             hp_W, lm_valid, lm_desc,
+            lm_cov,  # (L,3,3) world-frame landmark position covariance
             T_WS_r, T_WS_q, ext_r, ext_q,
-            gate_px: float = 30.0,
+            kp_sigma,  # (C,K) per-keypoint pixel std (octave-scaled)
+            pos_var,  # () pose translation variance (velocity-scaled
+            # UOplus, inflated by the tracking-miss streak)
         ):
-            def one(ci, uv_c, desc_c, val_c, er, eq):
+            """Projection gating with PROJECTED COVARIANCE: the search
+            region around each predicted landmark projection is the χ²(2)
+            99.9% ellipse of J (Σ_lm + pos_var·I) Jᵀ + σ_kp² I — the
+            reference's projectionsIntoBUncertainties gate
+            (VioKeyframeWindowMatchingAlgorithm::doSetup:196-206) with the
+            landmark covariance from the triangulator/window Hessian
+            instead of a fixed pixel radius."""
+            CHI2_2_999 = 13.816
+            eye3 = jnp.eye(3, dtype=hp_W.dtype)
+
+            def one(ci, uv_c, desc_c, val_c, er, eq, kps_c):
                 T_WC = compose(
                     Transformation(r=T_WS_r, q=T_WS_q),
                     Transformation(r=er, q=eq),
                 )
-                p_C = transform_point(inverse(T_WC), hp_W[:, :3])
+                T_CW = inverse(T_WC)
+                p_C = transform_point(T_CW, hp_W[:, :3])
                 cam = rig_p.camera(ci)
                 uv_pred, proj_ok = project(cam, p_C)
                 proj_ok = proj_ok & lm_valid
-                d2 = jnp.sum(
-                    (uv_c[:, None, :] - uv_pred[None, :, :]) ** 2, axis=-1
+                J = project_jacobian(cam, p_C)  # (L,2,3)
+                C_CW = quat.to_rotation_matrix(T_CW.q)
+                Sig_C = C_CW @ (lm_cov + pos_var * eye3) @ C_CW.T  # (L,3,3)
+                S = jnp.einsum(
+                    "lab,lbc,ldc->lad", J, Sig_C, J
+                )  # (L,2,2) projected covariance
+                r = uv_c[:, None, :] - uv_pred[None, :, :]  # (K,L,2)
+                s2 = (kps_c * kps_c)[:, None]  # (K,1)
+                a = S[None, :, 0, 0] + s2
+                bq = S[None, :, 0, 1]
+                cq = S[None, :, 1, 1] + s2
+                det = jnp.maximum(a * cq - bq * bq, 1e-12)
+                mahal = (
+                    cq * r[..., 0] ** 2
+                    - 2.0 * bq * r[..., 0] * r[..., 1]
+                    + a * r[..., 1] ** 2
+                ) / det
+                d2 = jnp.sum(r * r, axis=-1)
+                # χ² ellipse, with a hard pixel cap against runaway
+                # covariances and a small floor so a sharply-converged
+                # landmark still tolerates detector jitter
+                mask = (
+                    ((mahal < CHI2_2_999) | (d2 < 9.0))
+                    & (d2 < 150.0 ** 2)
+                    & proj_ok[None, :]
                 )
-                mask = (d2 < gate_px * gate_px) & proj_ok[None, :]
                 res = hamming.match_descriptors(
                     desc_c, lm_desc, val_c, lm_valid, mask=mask,
                     max_distance=60, mutual=True,
@@ -313,12 +382,10 @@ class VioEngine:
                 return res.valid, res.idx_b, back_project(cam, uv_c)
 
             return jax.vmap(one)(
-                jnp.arange(C), uv, desc, kp_valid, ext_r, ext_q
+                jnp.arange(C), uv, desc, kp_valid, ext_r, ext_q, kp_sigma
             )
 
-        self._gate_match_all = jax.jit(
-            _gate_match_all, static_argnames=("gate_px",)
-        )
+        self._gate_match_all = jax.jit(_gate_match_all)
         self._project_fns = [
             _make_project_points(cam) for cam in self.rig.cameras
         ]
@@ -336,6 +403,9 @@ class VioEngine:
         self._track_miss_streak = 0  # widens the projection gate on losses
         self._cost_last = 0.0
         self._lm_iterations_last = 0
+        # count of camera-pair passes where rotation-only RANSAC beat the
+        # relative-pose model (Frontend::runRansac2d2d rotationOnly)
+        self.rotation_only_detections = 0
         # detection_options.threshold (reference default 40,
         # Frontend.cpp:74-82) mapped into our Harris response units
         self._detect_threshold = jnp.asarray(
@@ -528,8 +598,13 @@ class VioEngine:
         f.sqrt_info[idx] = [r[4] for r in rows]
         f.valid[idx] = True
 
-    def _allocate_landmarks(self, points_W: np.ndarray, descs) -> np.ndarray:
-        """Allocate landmark slots; returns slot indices (-1 on overflow)."""
+    def _allocate_landmarks(
+        self, points_W: np.ndarray, descs, covs: np.ndarray = None
+    ) -> np.ndarray:
+        """Allocate landmark slots; returns slot indices (-1 on overflow).
+        ``covs`` (n,3,3) is the creation-time triangulation covariance
+        (projected-covariance matching gates use it until the first
+        optimize refreshes it from the window Hessian)."""
         free = np.nonzero(~self.window.lm_valid)[0]
         n = min(len(points_W), len(free))
         slots = np.full(len(points_W), -1, np.int32)
@@ -544,6 +619,10 @@ class VioEngine:
             self.next_lm_id, self.next_lm_id + n, dtype=np.int32
         )
         self._lm_desc[sl] = np.asarray(descs[:n])
+        if covs is not None:
+            self._lm_cov[sl] = np.asarray(covs[:n])
+        else:
+            self._lm_cov[sl] = np.eye(3) * self._LM_COV_DEFAULT
         self.next_lm_id += n
         return slots
 
@@ -564,10 +643,36 @@ class VioEngine:
     def _kp_info(self, fd: "_FrameData", ci: int, k: int) -> float:
         return self._KP_SQRT_INFO / float(1 << int(fd.kp_octave[ci][k]))
 
+    # per-keypoint ray angular sigma (raySigma of
+    # VioKeyframeWindowMatchingAlgorithm.cpp:208-212:
+    # sqrt(sqrt(2)) · (0.8·kpSize/12) / f, kpSize = 12·2^octave)
+    _RAY_SIGMA_BASE = (2.0 ** 0.25) * 0.8
+    # fallback landmark position variance [m²] before any covariance is
+    # known (wide: ~0.5 m std)
+    _LM_COV_DEFAULT = 0.25
+
+    def _ray_sigmas(self, fd: "_FrameData", ci: int, idx) -> np.ndarray:
+        oct_scale = np.ldexp(1.0, fd.kp_octave[ci][idx].astype(np.int64))
+        return (
+            self._RAY_SIGMA_BASE * oct_scale / float(self.rig.cameras[ci].fu)
+        )
+
+    # relative-pose translation variance for triangulation covariance
+    # (UOplus of VioKeyframeWindowMatchingAlgorithm::doSetup:133-141)
+    _POSE_VAR_STEREO = 4e-8  # within one multiframe
+
+    def _pose_var_temporal(self, slot: int) -> float:
+        v = float(np.linalg.norm(self.window.speed_bias[slot][:3]))
+        return 1e-2 * max(1.0, v) ** 2
+
     def _initialize(self, t: float, images: List[np.ndarray]) -> Optional[FrameResult]:
         if len(self.imu_t) < 3:
             return None  # wait for IMU (ImuFrameSynchronizer analog)
         self._lm_desc = np.zeros((self.wcfg.num_landmarks, 8), np.uint32)
+        self._lm_cov = np.tile(
+            np.eye(3) * self._LM_COV_DEFAULT,
+            (self.wcfg.num_landmarks, 1, 1),
+        )
         acc_mean = jnp.asarray(np.mean(self.imu_acc[-20:], axis=0), self.dtype)
         T0_h = jax.device_get(init_pose_from_imu(acc_mean))
         T0 = Transformation(r=np.array(T0_h.r), q=np.array(T0_h.q))
@@ -692,19 +797,25 @@ class VioEngine:
         # triangulate in world frame (one jitted program)
         rA, qA = self._T_WC_np(T_WS, 0)
         rB, qB = self._T_WC_np(T_WS, 1)
-        sigma = np.full(CAP, 2.0 / float(self.rig.cameras[0].fu))
-        pts_d, tri_valid, tri_par, _, _ = self._tri_fn(0, 1)(
+        sigA = self._ray_sigmas(fd, 0, ia)
+        sigB = self._ray_sigmas(fd, 1, ib)
+        pts_d, tri_valid, tri_par, _, _, cov_d = self._tri_fn(0, 1)(
             fd.kp_uv[0][ia], fd.kp_uv[1][ib],
             jnp.asarray(rA, self.dtype), jnp.asarray(qA, self.dtype),
             jnp.asarray(rB, self.dtype), jnp.asarray(qB, self.dtype),
-            jnp.asarray(sigma, self.dtype),
+            jnp.asarray(sigA, self.dtype), jnp.asarray(sigB, self.dtype),
+            jnp.asarray(self._POSE_VAR_STEREO, self.dtype),
         )
-        pts, tri_valid, tri_par = jax.device_get((pts_d, tri_valid, tri_par))
+        pts, tri_valid, tri_par, cov = jax.device_get(
+            (pts_d, tri_valid, tri_par, cov_d)
+        )
         good = tri_valid & ~tri_par & pair_ok
         # depth sanity
         depth = np.linalg.norm(pts - rA, axis=1)
         good &= (depth > 0.1) & (depth < 60.0)
-        ia, ib, pts, depth = ia[good], ib[good], pts[good], depth[good]
+        ia, ib, pts, depth, cov = (
+            ia[good], ib[good], pts[good], depth[good], cov[good],
+        )
         if len(ia) == 0:
             return 0
         # dedup: never create a landmark on top of an existing one (a missed
@@ -716,10 +827,10 @@ class VioEngine:
             d = np.linalg.norm(pts[:, None, :] - existing[None, :, :], axis=-1)
             min_d = d.min(axis=1)
             keep = min_d > np.maximum(0.1, 0.04 * depth)
-            ia, ib, pts = ia[keep], ib[keep], pts[keep]
+            ia, ib, pts, cov = ia[keep], ib[keep], pts[keep], cov[keep]
             if len(ia) == 0:
                 return 0
-        slots = self._allocate_landmarks(pts, fd.kp_desc[0][ia])
+        slots = self._allocate_landmarks(pts, fd.kp_desc[0][ia], cov)
         rows = []
         for k, (a, b_) in enumerate(zip(ia, ib)):
             if slots[k] < 0:
@@ -788,17 +899,67 @@ class VioEngine:
             pair_ok = np.arange(CAP) < npair
             rA, qA = self._T_WC_np(T_WS, ci)
             rB, qB = self._T_WC_np(T_prev, ci)
-            sigma = np.full(CAP, 2.0 / float(self.rig.cameras[ci].fu))
-            pts_d, tri_valid, tri_par, eA_d, eB_d = self._tri_fn(ci, ci)(
+            sigA = self._ray_sigmas(fd, ci, ia)
+            sigB = self._ray_sigmas(fd_prev, ci, ib)
+            pts_d, tri_valid, tri_par, eA_d, eB_d, cov_d = self._tri_fn(
+                ci, ci
+            )(
                 fd.kp_uv[ci][ia], fd_prev.kp_uv[ci][ib],
                 jnp.asarray(rA, self.dtype), jnp.asarray(qA, self.dtype),
                 jnp.asarray(rB, self.dtype), jnp.asarray(qB, self.dtype),
-                jnp.asarray(sigma, self.dtype),
+                jnp.asarray(sigA, self.dtype), jnp.asarray(sigB, self.dtype),
+                jnp.asarray(self._pose_var_temporal(slot), self.dtype),
             )
-            pts, eA, eB, tri_valid, tri_par = jax.device_get(
-                (pts_d, eA_d, eB_d, tri_valid, tri_par)
+            pts, eA, eB, tri_valid, tri_par, cov = jax.device_get(
+                (pts_d, eA_d, eB_d, tri_valid, tri_par, cov_d)
             )
             good = tri_valid & ~tri_par & pair_ok
+            # 2D-2D RANSAC disambiguation (Frontend::runRansac2d2d,
+            # Frontend.cpp:832-980): try rotation-only AND relative-pose
+            # models on the matched camera-frame bearings, in one compiled
+            # program. A pair inconsistent with BOTH geometric models is a
+            # mismatch and is dropped (the reference's removeOutliers on
+            # the winning model — the union is the mask that keeps every
+            # true match while rejecting junk under any motion).
+            # Triangulability itself is decided by the per-pair parallax
+            # gate below — strictly stronger than the reference's
+            # frame-level rotationOnly heuristic, whose decision rule
+            # (rot_ratio > rel_ratio or rot_ratio > 0.8,
+            # Frontend.cpp:893) is still evaluated and surfaced as
+            # ``rotation_only_detections`` for the health/keyframe story.
+            if npair >= 10:
+                bA = npq.rotate(npq.conjugate(qA), eA)
+                bB = npq.rotate(npq.conjugate(qB), eB)
+                riA, qiA = npq.inverse_rq(rA, qA)
+                rAB, qAB = npq.compose_rq(riA, qiA, rB, qB)
+                kk = jax.random.PRNGKey(self._rng.randint(0, 2**31))
+                k1, k2 = jax.random.split(kk)
+                rot_rr, rel_rr = jax.device_get(
+                    _ransac_2d2d(
+                        k1, k2,
+                        jnp.asarray(bA, self.dtype),
+                        jnp.asarray(bB, self.dtype),
+                        jnp.asarray(pair_ok),
+                        jnp.asarray(rAB, self.dtype),
+                        jnp.asarray(qAB, self.dtype),
+                        jnp.asarray(
+                            float(self.rig.cameras[ci].fu), self.dtype
+                        ),
+                    )
+                )
+                rot_ratio = float(rot_rr.num_inliers) / npair
+                rel_ratio = float(rel_rr.num_inliers) / npair
+                if rot_ratio > rel_ratio or rot_ratio > 0.8:
+                    # rotationOnly (Frontend.cpp:893): the epipolar t is
+                    # ill-determined, so its inlier set cannot be trusted
+                    # as a mismatch filter — the per-pair parallax gate
+                    # below is what blocks garbage triangulation here.
+                    self.rotation_only_detections += 1
+                elif bool(rel_rr.success):
+                    # translation-dominated: the 5-pt inlier set rejects
+                    # descriptor mismatches (the reference's
+                    # removeOutliers on the winning model)
+                    good &= np.asarray(rel_rr.inliers)
             depth = np.linalg.norm(pts - rA, axis=1)
             good &= (depth > 0.1) & (depth < 60.0)
             # epipolar-consistency gate: a correct match is coplanar with the
@@ -819,7 +980,9 @@ class VioEngine:
             # gate — its baseline is fixed by the rig)
             cos_ang = np.sum(eA * eB, axis=-1)
             good &= cos_ang < np.cos(np.radians(1.0))
-            ia, ib, pts, depth = ia[good], ib[good], pts[good], depth[good]
+            ia, ib, pts, depth, cov = (
+                ia[good], ib[good], pts[good], depth[good], cov[good],
+            )
             if len(ia) == 0:
                 continue
             # dedup against existing landmarks (same rule as stereo init)
@@ -828,10 +991,10 @@ class VioEngine:
                 existing = self.window.hp_W[:, :3][lm_valid]
                 d = np.linalg.norm(pts[:, None, :] - existing[None, :, :], axis=-1)
                 keep = d.min(axis=1) > np.maximum(0.1, 0.04 * depth)
-                ia, ib, pts = ia[keep], ib[keep], pts[keep]
+                ia, ib, pts, cov = ia[keep], ib[keep], pts[keep], cov[keep]
                 if len(ia) == 0:
                     continue
-            slots = self._allocate_landmarks(pts, fd.kp_desc[ci][ia])
+            slots = self._allocate_landmarks(pts, fd.kp_desc[ci][ia], cov)
             for k, (a, b_) in enumerate(zip(ia, ib)):
                 if slots[k] < 0:
                     continue
@@ -856,20 +1019,30 @@ class VioEngine:
         if lm_valid.sum() == 0:
             return 0
         n_tracked = 0
-        # uncertainty-scaled gating (the reference's velocity-scaled UOplus,
-        # VioKeyframeWindowMatchingAlgorithm::doSetup): widen the projection
-        # gate progressively after tracking losses — a drifting IMU-only
-        # prediction pushes true matches outside a fixed gate
-        gate_px = 30.0 * (2.0 ** min(self._track_miss_streak, 2))
+        # uncertainty-propagated gating (the reference's velocity-scaled
+        # UOplus + projected landmark covariance,
+        # VioKeyframeWindowMatchingAlgorithm::doSetup:133-206): the pose
+        # translation variance is velocity-scaled and inflated by the
+        # tracking-miss streak (a drifting IMU-only prediction widens every
+        # gate), and each landmark contributes its own 3×3 covariance
+        slot_prev = self.last_kf_slot if self.last_kf_slot is not None else 0
+        pos_var = self._pose_var_temporal(slot_prev) * (
+            4.0 ** min(self._track_miss_streak, 2)
+        )
+        kp_sigma = 0.8 * np.stack(
+            [np.ldexp(1.0, fd.kp_octave[ci]) for ci in range(len(fd.kp_uv))]
+        )
         candidates = []  # (cam, kp_idx, lm_slot, uv, bearing_C)
         mv_d, midx_d, rays_d = self._gate_match_all(
             np.stack(fd.kp_uv), np.stack(fd.kp_desc), np.stack(fd.kp_valid),
             self.window.hp_W, self.window.lm_valid, self._lm_desc,
+            jnp.asarray(self._lm_cov, self.dtype),
             jnp.asarray(np.asarray(T_WS_pred.r), self.dtype),
             jnp.asarray(np.asarray(T_WS_pred.q), self.dtype),
             jnp.asarray(self.window.ext_r, self.dtype),
             jnp.asarray(self.window.ext_q, self.dtype),
-            gate_px=gate_px,
+            jnp.asarray(kp_sigma, self.dtype),
+            jnp.asarray(pos_var, self.dtype),
         )
         mv_all, midx_all, rays_all = jax.device_get((mv_d, midx_d, rays_d))
         for ci in range(self.rig.num_cameras):
@@ -1127,12 +1300,18 @@ class VioEngine:
 
         # ---- 6. optimize ----
         with Timer("3.1 optimization"):
-            win_h, cost_h, iters_h, pr_valid, pr_err = jax.device_get(
-                self._optimize_fn(self.window, self.factors)
+            win_h, cost_h, iters_h, lm_cov_h, pr_valid, pr_err = (
+                jax.device_get(self._optimize_fn(self.window, self.factors))
             )
         self.window = jax.tree_util.tree_map(np.array, win_h)
         self._cost_last = float(cost_h)
         self._lm_iterations_last = int(iters_h)
+        # refresh landmark covariances (pose-conditioned inv(Hll)) for the
+        # projected-covariance matching gate; landmarks without enough
+        # observations keep their creation-time triangulation covariance
+        lv = self.window.lm_valid & (self.window.lm_quality > 1e-6)
+        if lv.any():
+            self._lm_cov[lv] = np.asarray(lm_cov_h)[lv]
         bad = pr_valid & (pr_err > self._PRUNE_PX)
         if bad.any():
             self.factors.reproj.valid[bad] = False

@@ -16,6 +16,52 @@ from svin_tpu.kinematics import Transformation, oplus, quaternion as quat
 from svin_tpu.kinematics.transformation import random as random_T
 
 
+def test_triangulation_covariance_monte_carlo():
+    """The closed-form Schur covariance of ``triangulation_covariance``
+    (ProbabilisticStereoTriangulator::getUncertainty analog) must match the
+    Monte-Carlo scatter of midpoint triangulations under ray noise + camera
+    -center noise, and be depth-elongated for a narrow baseline."""
+    from svin_tpu.frontend import triangulation_covariance
+
+    rng = np.random.RandomState(0)
+    p = np.array([0.3, -0.2, 6.0])
+    c1 = np.zeros(3)
+    c2 = np.array([0.4, 0.0, 0.0])
+    sigma = 2e-3
+    pose_sigma = 5e-3
+    cov = np.asarray(
+        triangulation_covariance(
+            jnp.asarray(p), jnp.asarray(c1), jnp.asarray(c2),
+            jnp.asarray(sigma), jnp.asarray(sigma),
+            jnp.asarray(pose_sigma ** 2),
+        )
+    )
+    # depth (z) must dominate lateral for a 0.4 m baseline at 6 m
+    assert cov[2, 2] > 5 * cov[0, 0]
+    assert cov[2, 2] > 5 * cov[1, 1]
+
+    # Monte-Carlo: perturb rays (angular) and camera-2 center, re-triangulate
+    def unit(v):
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    N = 4000
+    pts = []
+    e1_0 = unit(p - c1)
+    for _ in range(N):
+        dc2 = c2 + pose_sigma * rng.randn(3)
+        e1 = unit(e1_0 + sigma * rng.randn(3))
+        e2 = unit(unit(p - dc2) + sigma * rng.randn(3))
+        res = triangulate_fast(
+            jnp.asarray(c1), jnp.asarray(e1), jnp.asarray(dc2),
+            jnp.asarray(e2), jnp.asarray(1e-3),
+        )
+        pts.append(np.asarray(point_from_homogeneous(res.hp)))
+    pts = np.stack(pts)
+    emp = np.cov((pts - p).T)
+    # factors ~2 agreement on the dominant (depth) axis
+    assert 0.3 < cov[2, 2] / emp[2, 2] < 3.0, (cov[2, 2], emp[2, 2])
+
+
 def test_triangulate_exact():
     key = jax.random.PRNGKey(0)
     pts = jax.random.uniform(key, (50, 3), minval=-2, maxval=2) + jnp.array([0, 0, 5.0])
@@ -98,6 +144,38 @@ def test_absolute_pose_ransac_degenerate_returns_prior():
     )
     assert not bool(res.success)
     np.testing.assert_allclose(res.T.r, prior.r)
+
+
+def test_p3p_ransac_seed_free_recovery():
+    """Closed-form P3P RANSAC (Grunert quartic via Durand–Kerner) recovers
+    an arbitrary pose with 30% outliers and NO prior — the property loop
+    verification needs under large drift (reference: unseeded
+    cv::solvePnPRansac, Keyframe.cpp:308-380)."""
+    from svin_tpu.frontend import absolute_pose_ransac_p3p
+
+    rng = np.random.RandomState(7)
+    N = 80
+    q = quat.normalize(jnp.asarray(rng.randn(4)))
+    t = jnp.asarray([3.0, -2.0, 1.0])
+    P = jnp.asarray(rng.randn(N, 3) * 3 + np.array([0, 0, 8.0]))
+    p_C = quat.rotate(quat.conjugate(q), P - t)
+    f = p_C / jnp.linalg.norm(p_C, axis=-1, keepdims=True)
+    f = f + 0.002 * rng.randn(N, 3)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    out = rng.randn(24, 3)
+    f = f.at[:24].set(
+        jnp.asarray(out / np.linalg.norm(out, axis=-1, keepdims=True))
+    )
+    rr = absolute_pose_ransac_p3p(
+        jax.random.PRNGKey(1), P, f, jnp.ones(N, bool), 450.0
+    )
+    assert bool(rr.success)
+    assert int(rr.num_inliers) >= 45
+    assert float(jnp.linalg.norm(rr.T.r - t)) < 0.05
+    dq = quat.log(quat.multiply(quat.conjugate(rr.T.q), q))
+    assert float(jnp.linalg.norm(dq)) < 0.01
+    # outliers must not be inliers of the recovered model
+    assert np.asarray(rr.inliers)[:24].sum() <= 2
 
 
 def test_rotation_only_ransac():

@@ -34,15 +34,22 @@ def small_config() -> VioConfig:
 
 
 def standard_run(duration=2.6, cam_rate=6.0, depth=False, sonar=False,
-                 sonar_T_SSo=None, seed=3, cfg=None, rig=None):
-    """One standard synthetic engine run; returns (engine, renderer, results)."""
+                 sonar_T_SSo=None, seed=3, cfg=None, rig=None, traj=None,
+                 sim_imu=None):
+    """One standard synthetic engine run; returns (engine, renderer, results).
+
+    ``sim_imu`` optionally gives the SIMULATOR different (e.g. noisier) IMU
+    noise than the engine's model — extra IMU drift without recompiling the
+    engine's device programs (ImuParameters are trace-time constants)."""
     rig = small_rig() if rig is None else rig
     cfg = small_config() if cfg is None else cfg
     engine = VioEngine(cfg, rig=rig)
-    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    if traj is None:
+        traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
     events, renderer = synthetic_sequence(
         rig, duration=duration, cam_rate=cam_rate, imu_rate=100.0,
-        imu_params=cfg.imu, seed=seed, n_points=300, traj=traj, spread=6.0,
+        imu_params=cfg.imu if sim_imu is None else sim_imu, seed=seed,
+        n_points=300, traj=traj, spread=6.0,
         depth_offset=3.0, t_first_frame=0.12, depth_enabled=depth,
         sonar_enabled=sonar, sonar_T_SSo=sonar_T_SSo,
     )
