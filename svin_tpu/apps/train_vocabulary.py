@@ -9,7 +9,11 @@ with each frame as one document, and save with ``save_vocabulary``.
 
 Usage:
   python -m svin_tpu.apps.train_vocabulary <euroc_folder> <out.npz> \
-      [--size 1024] [--stride 10] [--max-frames 200] [--iters 8]
+      [--size 1024] [--stride 10] [--max-frames 200] [--iters 8] [--product]
+
+``--product`` trains the two-level product-quantized vocabulary instead
+(256x256 = 65k effective words as two 128-bit half codebooks + joint idf —
+the DBoW2 tree-scale option); ``LoopCloser`` auto-detects the format.
 """
 from __future__ import annotations
 
@@ -28,6 +32,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max-frames", type=int, default=200)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--max-keypoints", type=int, default=400)
+    ap.add_argument(
+        "--product", action="store_true",
+        help="train the 65k-effective-word product vocabulary",
+    )
     args = ap.parse_args(argv)
 
     from ..loopclosure.retrieval import (
@@ -71,6 +79,18 @@ def main(argv=None) -> int:
 
     train = jnp.asarray(np.concatenate(pooled))
     print(f"training on {train.shape[0]} descriptors from {len(docs)} frames")
+    if args.product:
+        from ..loopclosure.retrieval import (
+            compute_idf_product,
+            save_product_vocabulary,
+            train_product_vocabulary,
+        )
+
+        pv = train_product_vocabulary(train, iters=args.iters)
+        pv = pv._replace(idf=compute_idf_product(docs, pv))
+        save_product_vocabulary(args.out, pv)
+        print(f"saved product (65k-effective-word) vocabulary to {args.out}")
+        return 0
     vocab = train_vocabulary(train, size=args.size, iters=args.iters)
     idf = compute_idf(docs, vocab)
     save_vocabulary(args.out, vocab, weights=idf)

@@ -100,8 +100,14 @@ def save_loop_closer(closer, path: str) -> None:
     out: dict = {}
     _flatten(closer.nodes, "nodes", out)
     _flatten(closer.edges, "edges", out)
-    out["db_vectors"] = np.asarray(closer.db.vectors[: closer.db.count])
-    out["db_vocab"] = np.asarray(closer.db.vocab)
+    if hasattr(closer.db, "word_ids"):  # product-quantized sparse DB
+        out["db_word_ids"] = np.asarray(closer.db.word_ids[: closer.db.count])
+        out["db_word_w"] = np.asarray(closer.db.word_w[: closer.db.count])
+        out["db_vocab1"] = np.asarray(closer.db.pv.vocab1)
+        out["db_vocab2"] = np.asarray(closer.db.pv.vocab2)
+    else:
+        out["db_vectors"] = np.asarray(closer.db.vectors[: closer.db.count])
+        out["db_vocab"] = np.asarray(closer.db.vocab)
     meta = {
         "n_edges": closer.n_edges,
         "earliest_loop_index": closer.earliest_loop_index,
@@ -146,9 +152,23 @@ def load_loop_closer(closer, path: str):
             (np.asarray(t), np.asarray(q))
             for t, q in zip(data["edges_full_t"], data["edges_full_q"])
         ]
-    n = int(data["db_vectors"].shape[0])
-    closer.db.vectors[:n] = data["db_vectors"]
-    closer.db.count = n
+    if "db_word_ids" in data:  # product-quantized sparse DB
+        n = int(data["db_word_ids"].shape[0])
+        while closer.db.capacity < n:
+            closer.db.word_ids = np.concatenate(
+                [closer.db.word_ids, np.zeros_like(closer.db.word_ids)]
+            )
+            closer.db.word_w = np.concatenate(
+                [closer.db.word_w, np.zeros_like(closer.db.word_w)]
+            )
+            closer.db.capacity *= 2
+        closer.db.word_ids[:n] = data["db_word_ids"]
+        closer.db.word_w[:n] = data["db_word_w"]
+        closer.db.count = n
+    else:
+        n = int(data["db_vectors"].shape[0])
+        closer.db.vectors[:n] = data["db_vectors"]
+        closer.db.count = n
     closer.keyframes = []
     if "kf_t" in data:
         empty_desc = jnp.zeros((0, 8), jnp.uint32)

@@ -1,0 +1,168 @@
+"""The long-sequence accuracy gauntlet — the Cave stand-in (VERDICT r1
+next #2, BASELINE protocol; no real datasets exist in this environment).
+
+One 63-second rendered sonar-visual-inertial-depth sequence with revisits
+(closed Lissajous trajectory — the platform re-passes its own path every
+~10 s) and an injected featureless stretch (t in [30, 32] — turbid-water
+analog) runs through the FULL CLI (``apps.run_synchronous`` — the
+``okvis_app_synchronous`` + pose_graph_node analog), exercising in one
+assertion chain: VIO with sonar+depth factors, loop detection/verification
+/pose-graph correction, the health gate + switching estimator against
+primitive odometry, and TUM/CSV/PLY outputs. Sim(3)-ATE and RPE are
+asserted for the VIO, loop-corrected, and robust trajectories.
+
+Calibration (CPU x64, seed-deterministic): VIO ATE≈0.35 m, loop-corrected
+≈0.13 m, robust ≈0.34 m; 92 keyframes, ~37 verified loops; the health gate
+switches to the primitive estimator inside the degraded stretch and back
+after it.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from vio_fixtures import IMG_W, IMG_H
+
+MAXKP = 150
+CONFIG_YAML = f"""%YAML:1.0
+cameras:
+  - T_SC: [1.0, 0.0, 0.0, 0.0,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+    image_dimension: [{IMG_W}, {IMG_H}]
+    focal_length: [160.0, 160.0]
+    principal_point: [100.0, 75.0]
+    distortion_coefficients: []
+    distortion_type: none
+  - T_SC: [1.0, 0.0, 0.0, 0.2,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+    image_dimension: [{IMG_W}, {IMG_H}]
+    focal_length: [160.0, 160.0]
+    principal_point: [100.0, 75.0]
+    distortion_coefficients: []
+    distortion_type: none
+
+camera_params:
+    camera_rate: 3
+
+imu_params:
+    imu_rate: 100
+
+numKeyframes: 4
+numImuFrames: 2
+
+ceres_options:
+    maxIterations: 5
+
+detection_options:
+    threshold: 40.0
+    octaves: 0
+    maxNoKeypoints: {MAXKP}
+
+isSonarUsed: 1
+isDepthUsed: 1
+sonar_params:
+    T_SSo: [1.0, 0.0, 0.0, 0.0,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+
+loop_closure_params:
+    enable: 1
+    min_correspondences: 12
+
+health:
+    enable: 1
+    min_keypoints: 12
+    consecutive_keyframes: 2
+    kps_per_quadrant: 1
+"""
+
+
+@pytest.fixture(scope="module")
+def gauntlet_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("gauntlet")
+    cfg_path = tmp / "rig.yaml"
+    cfg_path.write_text(CONFIG_YAML)
+    out_dir = tmp / "out"
+    env = {
+        "SVIN_SYNTH_DURATION": "63",
+        "SVIN_SYNTH_REVISIT": "1",
+        "SVIN_SYNTH_DEGRADE": "30:32",
+        "SVIN_SYNTH_PRIMITIVE": "1",
+    }
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        from svin_tpu.apps.run_synchronous import main
+
+        rc = main([str(cfg_path), "--synthetic", str(out_dir)])
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert rc == 0
+    return out_dir
+
+
+def _gt_traj():
+    import jax.numpy as jnp
+
+    from svin_tpu import sim
+
+    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    return traj._replace(r_lin=traj.r_lin * 0.0)
+
+
+def _eval(out_dir, name):
+    from svin_tpu import sim
+    from svin_tpu.evaluation import ate_rmse, load_tum, rpe
+
+    t, p, q = load_tum(str(out_dir / f"{name}.txt"))
+    traj = _gt_traj()
+    gt_p = np.stack([np.asarray(sim.position(traj, tt)) for tt in t])
+    gt_q = np.stack([np.asarray(sim.pose(traj, tt).q) for tt in t])
+    rmse, _ = ate_rmse(p, gt_p, with_scale=True)
+    r = rpe(t, p, q, gt_p, gt_q, delta_s=5.0)
+    return len(p), rmse, r
+
+
+def test_gauntlet_vio_accuracy(gauntlet_run):
+    n, rmse, r = _eval(gauntlet_run, "svin_vio")
+    assert n >= 180  # ~189 frames over 63 s at 3 Hz
+    assert rmse < 0.6, rmse  # calibrated ≈0.35
+    assert r["rpe_trans_rmse"] < 0.7, r  # calibrated ≈0.38 per 5 s
+
+
+def test_gauntlet_loop_correction_improves(gauntlet_run):
+    n_v, rmse_v, _ = _eval(gauntlet_run, "svin_vio")
+    n_l, rmse_l, r_l = _eval(gauntlet_run, "svin_loop")
+    assert n_l >= 50  # keyframe trajectory (≈92 keyframes)
+    assert rmse_l < 0.3, rmse_l  # calibrated ≈0.13
+    assert rmse_l < 0.75 * rmse_v, (rmse_l, rmse_v)
+
+
+def test_gauntlet_robust_trajectory_and_switching(gauntlet_run):
+    n, rmse, _ = _eval(gauntlet_run, "svin_robust")
+    assert n >= 50
+    assert rmse < 0.6, rmse
+    log = (gauntlet_run / "switch_info.txt").read_text()
+    # health gate trips INSIDE the degraded stretch and recovers after it
+    lines = [l for l in log.splitlines() if l.strip()]
+    to_prim = [l for l in lines if "VIO->PRIMITIVE" in l]
+    to_vio = [l for l in lines if "PRIMITIVE->VIO" in l]
+    assert to_prim and to_vio, log
+    t_switch = float(to_prim[0].split()[0])
+    assert 30.0 <= t_switch <= 34.0, log
+    t_back = float(to_vio[0].split()[0])
+    assert t_back > t_switch
+
+
+def test_gauntlet_outputs_complete(gauntlet_run):
+    files = set(os.listdir(gauntlet_run))
+    assert {
+        "svin_vio.txt", "svin_loop.txt", "svin_robust.txt",
+        "global_map.ply", "state.csv", "landmarks.csv", "switch_info.txt",
+    } <= files
+    # non-degenerate global map
+    ply = (gauntlet_run / "global_map.ply").read_text().splitlines()
+    n_pts = int(
+        next(l for l in ply if l.startswith("element vertex")).split()[-1]
+    )
+    assert n_pts > 50, n_pts
