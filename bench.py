@@ -219,10 +219,19 @@ def main():
     prob_big, _ = build_global_ba_problem(
         jax.random.PRNGKey(4), K=2048, L=65536, O=262144, dtype=jnp.float32
     )
-    bprob_big = dist_ba.bucket_problem(prob_big)
+    # R=8 bucket cap (keeps 99.6% of the 138k valid observations — the
+    # random tail would otherwise pad to R=16 at ~25% occupancy, doubling
+    # every matvec) + host-built pose-major index replacing every per-pose
+    # scatter with a gather (scatters were ~80% of the matvec)
+    from svin_tpu.parallel import pose_major_index
+
+    bprob_big = dist_ba.bucket_problem(prob_big, R=8)
+    perm = pose_major_index(bprob_big.obs_pose, bprob_big.obs_valid, 2048)
     PCG_GN = 2
     pcg_fn = jax.jit(
-        lambda p: ba_solve_pcg(p, ba_rig, iters=PCG_GN, cg_iters=32)[1]
+        lambda p: ba_solve_pcg(
+            p, ba_rig, iters=PCG_GN, cg_iters=32, pose_perm=perm
+        )[1]
     )
     t_pcg = time_fn(pcg_fn, bprob_big, iters=3, warmup=1) / PCG_GN
 

@@ -182,6 +182,27 @@ def eval_priors(window: WindowState, factors: Factors) -> PriorEval:
     )
 
 
+class LmPriorEval(NamedTuple):
+    res: jnp.ndarray  # (L,3) weighted residual
+    J: jnp.ndarray  # (L,3,3) weighted Jacobian
+    valid: jnp.ndarray  # (L,)
+
+
+def eval_lm_prior(window: WindowState, factors: Factors) -> LmPriorEval:
+    """3-dim landmark position prior (reference
+    ``HomogeneousPointError::EvaluateWithMinimalJacobians``,
+    HomogeneousPointError.cpp:120): e = p_W − p̄, J = sqrt_info (the
+    homogeneous-minimal lift is the identity on the Euclidean part)."""
+    p = factors.lm_prior
+    e = window.hp_W[:, :3] - p.mean
+    w = jnp.where(p.valid & window.lm_valid, 1.0, 0.0)[:, None]
+    return LmPriorEval(
+        res=w * jnp.einsum("lij,lj->li", p.sqrt_info, e),
+        J=w[..., None] * p.sqrt_info,
+        valid=p.valid & window.lm_valid,
+    )
+
+
 class ExtPriorEval(NamedTuple):
     res: jnp.ndarray  # (C,6) weighted residual
     J: jnp.ndarray  # (C,6,6) weighted Jacobian

@@ -23,6 +23,7 @@ from .factors import (
     eval_depth,
     eval_ext_prior,
     eval_imu,
+    eval_lm_prior,
     eval_priors,
     eval_reprojection,
     eval_sonar,
@@ -102,6 +103,12 @@ def assemble(
     b = b.at[:, :6].add(_segsum(bp_o, oh_s))
     Hll = _segsum(Hll_o, oh_l)  # (L,3,3)
     bl = _segsum(bl_o, oh_l)  # (L,3)
+    # landmark position priors (HomogeneousPointError analog) join the
+    # landmark blocks directly
+    lp = eval_lm_prior(window, factors)
+    Hll = Hll + jnp.einsum("lia,lib->lab", lp.J, lp.J)
+    bl = bl + jnp.einsum("lia,li->la", lp.J, lp.res)
+    cost = cost + 0.5 * jnp.sum(lp.res * lp.res)
     Wls = jnp.einsum(
         "ol,ok,os->lsk", oh_l, Wls_o.reshape(-1, 18), oh_s,
         precision=_EXACT,
@@ -213,6 +220,7 @@ def total_cost(
     m = factors.marg
     dm = marg_delta(window, factors)
     mw = jnp.where(m.valid, 1.0, 0.0)
+    lp = eval_lm_prior(window, factors)
     cost = (
         jnp.sum(re.rho_cost)
         + 0.5 * jnp.sum(im.res**2)
@@ -220,6 +228,7 @@ def total_cost(
         + 0.5 * jnp.sum(so.res**2)
         + 0.5 * jnp.sum(pr.pose_res**2)
         + 0.5 * jnp.sum(pr.sb_res**2)
+        + 0.5 * jnp.sum(lp.res**2)
         + mw * (0.5 * dm @ m.H @ dm + m.b @ dm)
     )
     if cfg.estimate_extrinsics:

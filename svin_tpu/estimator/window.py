@@ -137,6 +137,17 @@ class PriorFactors(NamedTuple):
     sb_valid: jnp.ndarray  # (S,) bool
 
 
+class LandmarkPrior(NamedTuple):
+    """3-dim landmark position prior (reference
+    ``HomogeneousPointError.cpp:120`` — constructed only by the reference's
+    tests at runtime, provided here for inventory parity and for anchoring
+    surveyed/known landmarks, e.g. georeferenced markers)."""
+
+    mean: jnp.ndarray  # (L,3)
+    sqrt_info: jnp.ndarray  # (L,3,3)
+    valid: jnp.ndarray  # (L,) bool
+
+
 class ExtrinsicsPrior(NamedTuple):
     """Absolute pose prior on each camera's T_SC — the reference's online
     extrinsics calibration (Estimator.cpp:332-345: PoseError with
@@ -175,6 +186,7 @@ class Factors(NamedTuple):
     priors: PriorFactors
     ext_prior: ExtrinsicsPrior
     marg: MarginalPrior
+    lm_prior: LandmarkPrior
 
 
 def empty_window(cfg: WindowConfig, dtype=jnp.float64, rig=None) -> WindowState:
@@ -274,5 +286,10 @@ def empty_factors(cfg: WindowConfig, dtype=jnp.float64) -> Factors:
             lin_ext_r=jnp.zeros((cfg.num_cameras, 3), dtype),
             lin_ext_q=jnp.zeros((cfg.num_cameras, 4), dtype).at[:, 3].set(1.0),
             valid=jnp.zeros((), bool),
+        ),
+        lm_prior=LandmarkPrior(
+            mean=jnp.zeros((L, 3), dtype),
+            sqrt_info=jnp.zeros((L, 3, 3), dtype),
+            valid=jnp.zeros(L, bool),
         ),
     )

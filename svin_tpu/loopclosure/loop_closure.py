@@ -538,12 +538,28 @@ class LoopCloser:
             nodes_s = jax.tree_util.tree_map(lambda a: a[:Np], self.nodes)
             edges_s = jax.tree_util.tree_map(lambda a: a[:Ep], self.edges)
             # edges referencing nodes beyond the slice are padding (invalid)
-            out = jax.tree_util.tree_map(
-                np.array,
-                jax.device_get(
-                    optimize_4dof(nodes_s, edges_s, fix_before, iters=30)
-                ),
-            )
+            if Np > 2048:
+                # Cave/Bus-joint scale: the dense (4N)² reduced solve stops
+                # being viable — switch to the matrix-free two-level-
+                # preconditioned CG (parallel/pcg.py)
+                from ..parallel.pcg import optimize_4dof_pcg
+
+                out = jax.tree_util.tree_map(
+                    np.array,
+                    jax.device_get(
+                        optimize_4dof_pcg(
+                            nodes_s, edges_s, fix_before, iters=30,
+                            cg_iters=96, coarse_group=32,
+                        )
+                    ),
+                )
+            else:
+                out = jax.tree_util.tree_map(
+                    np.array,
+                    jax.device_get(
+                        optimize_4dof(nodes_s, edges_s, fix_before, iters=30)
+                    ),
+                )
             self.nodes.p[:Np] = out.p
             self.nodes.yaw[:Np] = out.yaw
         # drift: newest node's optimized pose vs its raw VIO pose

@@ -15,6 +15,7 @@ from .pcg import (
     make_sharded_ba_pcg,
     make_sharded_posegraph_pcg,
     optimize_4dof_pcg,
+    pose_major_index,
 )
 from .runtime import (
     exchange_keyframe_payloads,
@@ -44,5 +45,6 @@ __all__ = [
     "optimize_4dof_pcg",
     "pack_keyframe",
     "pad_edges_for_mesh",
+    "pose_major_index",
     "partition_problem",
 ]

@@ -1,12 +1,16 @@
 """Distributed pose-graph optimization: edges sharded over the mesh.
 
-The "sequence-dimension sharding" of SURVEY.md §5 applied to the pose graph:
-for city/multi-session scale graphs (tens of thousands of keyframes) the
-edge set is block-partitioned across devices; every device evaluates its
-edge residuals/Jacobians and builds a partial (4N)² system; one ``psum``
-merges them; the dense solve is replicated. Nodes are replicated (a pose
-graph's state is tiny next to its edge set — the BA decomposition's logic,
-applied one level up).
+The "sequence-dimension sharding" of SURVEY.md §5 applied to the pose
+graph: the edge set is block-partitioned across devices; every device
+evaluates its edge residuals/Jacobians and builds a partial (4N)² system;
+one ``psum`` merges them; the dense solve is replicated. Nodes are
+replicated (a pose graph's state is tiny next to its edge set — the BA
+decomposition's logic, applied one level up).
+
+CAPACITY NOTE: the replicated DENSE (4N)² solve bounds this variant to
+N ≲ 2000 nodes. For Cave/Bus-joint scale (10⁴+ keyframes) use
+``pcg.make_sharded_posegraph_pcg`` — same sharding, matrix-free two-level-
+preconditioned CG, nothing quadratic in N.
 """
 from __future__ import annotations
 

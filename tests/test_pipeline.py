@@ -92,6 +92,39 @@ def test_trajectory_save_tum(tmp_path, vio_run):
     assert rows.shape[0] == len(engine.trajectory)
 
 
+def test_tracking_survives_fast_rotation():
+    """Aggressive-rotation stress (the regime VERDICT r1 flagged for the
+    fixed 30 px gate): under fast yaw/pitch/roll oscillation the IMU-only
+    projection prediction sweeps tens of pixels between frames, so a fixed
+    gate either loses true matches (too tight) or admits mismatches (too
+    wide). The projected-covariance gate (landmark 3×3 covariance +
+    velocity-scaled pose variance, VioKeyframeWindowMatchingAlgorithm's
+    UOplus) adapts per landmark; tracking must survive."""
+    from svin_tpu import sim
+    import jax.numpy as jnp
+
+    traj = sim.Trajectory(
+        r_amp=jnp.array([0.25, 0.2, 0.1]),
+        r_freq=jnp.array([0.4, 0.3, 0.5]) * 2 * jnp.pi,
+        r_lin=jnp.zeros(3),
+        w_amp=jnp.array([0.5, 0.55, 0.4]),  # ≈2.5× the standard excitation
+        w_freq=jnp.array([0.5, 0.6, 0.4]) * 2 * jnp.pi,
+        ramp_tau=0.6,
+    )
+    engine, renderer, results = standard_run(
+        duration=2.6, cam_rate=6.0, traj=traj, seed=5
+    )
+    tracked = [r.num_tracked for r in results[2:]]
+    assert np.median(tracked[-6:]) >= 8, tracked
+    # and the estimate stays sane
+    from svin_tpu.evaluation import ate_rmse
+
+    est = np.stack([np.asarray(r.T_WS.r) for r in results])
+    gt = np.stack([np.asarray(renderer.pose(r.timestamp).r) for r in results])
+    rmse, _ = ate_rmse(est, gt, with_scale=False)
+    assert rmse < 0.25, rmse
+
+
 def test_engine_from_reference_config():
     """The engine must construct directly from the reference's shipped rig
     configs (EuRoC + stereorig_v2 with resizeFactor 0.5)."""

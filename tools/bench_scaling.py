@@ -85,10 +85,21 @@ def main():
         "--virtual", action="store_true",
         help="force an 8-device virtual CPU mesh (handled pre-import)",
     )
+    ap.add_argument(
+        "--pcg", action="store_true",
+        help="use the matrix-free PCG solver (Cave/Bus-scale path) instead "
+        "of the dense reduced solve — communication per CG iteration is one "
+        "(K,6) psum instead of a (K·6)² psum per GN iteration",
+    )
+    ap.add_argument("--cg-iters", type=int, default=32)
     args = ap.parse_args()
 
     from svin_tpu.estimator import rig_params
-    from svin_tpu.parallel import bucket_problem, make_sharded_ba_bucketed
+    from svin_tpu.parallel import (
+        bucket_problem,
+        make_sharded_ba_bucketed,
+        make_sharded_ba_pcg,
+    )
     from svin_tpu.problems import euroc_like_rig
 
     dtype = jnp.float32
@@ -103,9 +114,14 @@ def main():
         mesh = Mesh(np.array(devs[:n]), ("data",))
         prob = build_problem(jax.random.PRNGKey(0), K, L, O, dtype)
         bprob = bucket_problem(prob)  # scatter-free (L,R) layout
-        step, shardings = make_sharded_ba_bucketed(
-            mesh, rig_p, K, L, iters=args.iters
-        )
+        if args.pcg:
+            step, shardings = make_sharded_ba_pcg(
+                mesh, rig_p, K, L, iters=args.iters, cg_iters=args.cg_iters
+            )
+        else:
+            step, shardings = make_sharded_ba_bucketed(
+                mesh, rig_p, K, L, iters=args.iters
+            )
         prob_dev = jax.device_put(bprob, shardings)
         out = step(prob_dev)  # compile + warm
         jax.block_until_ready(out)
@@ -115,7 +131,11 @@ def main():
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.reps / args.iters
         results.append((n, dt))
-        comm_floats = K * K * 36 + K * 6
+        if args.pcg:
+            # assembly psum (K,6,6)+(K,6)·2 + one (K,6) psum per CG iter
+            comm_floats = K * 36 + 2 * K * 6 + args.cg_iters * K * 6
+        else:
+            comm_floats = K * K * 36 + K * 6
         print(
             json.dumps(
                 {
