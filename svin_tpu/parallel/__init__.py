@@ -16,6 +16,7 @@ from .pcg import (
     make_sharded_posegraph_pcg,
     optimize_4dof_pcg,
     pose_major_index,
+    sharded_pose_major_index,
 )
 from .runtime import (
     exchange_keyframe_payloads,
@@ -46,5 +47,6 @@ __all__ = [
     "pack_keyframe",
     "pad_edges_for_mesh",
     "pose_major_index",
+    "sharded_pose_major_index",
     "partition_problem",
 ]

@@ -244,31 +244,66 @@ def ba_solve_pcg(
     return prob, cost
 
 
+def sharded_pose_major_index(
+    prob: BucketedProblem, K: int, n_shards: int, pad_mult: int = 8
+):
+    """Per-shard pose-major indices for the SHARDED PCG path: the landmark
+    axis splits into ``n_shards`` blocks; each block gets its own (K, Rp)
+    index into ITS flattened (Lloc·R) slot space (all blocks padded to a
+    common Rp). Returns an (n_shards, K, Rp) array to shard along axis 0."""
+    L, R = prob.obs_pose.shape
+    assert L % n_shards == 0
+    Lloc = L // n_shards
+    perms = [
+        np.asarray(
+            pose_major_index(
+                prob.obs_pose[s * Lloc : (s + 1) * Lloc],
+                prob.obs_valid[s * Lloc : (s + 1) * Lloc],
+                K, pad_mult,
+            )
+        )
+        for s in range(n_shards)
+    ]
+    Rp = max(p.shape[1] for p in perms)
+    out = np.full((n_shards, K, Rp), Lloc * R, np.int32)
+    for s, p in enumerate(perms):
+        # re-sentinel: each block's sentinel is ITS slot count
+        p = np.where(p >= Lloc * R, Lloc * R, p)
+        out[s, :, : p.shape[1]] = p
+    return jnp.asarray(out)
+
+
 def make_sharded_ba_pcg(
     mesh: Mesh, rig: RigParams, K: int, L: int,
     iters: int = 10, cg_iters: int = 48, lam: float = 1e-3,
-    axis: str = "data",
+    axis: str = "data", use_pose_perm: bool = False,
 ):
     """Distributed matrix-free BA: landmark-axis sharding as in
     ``make_sharded_ba_bucketed`` but with the PCG reduced solve — the
     per-iteration collective volume drops from one (K·6)² psum to
     (K,6,6)+(K,6) at assembly plus one (K,6) psum per CG iteration, so the
-    solver scales to Cave/Bus-size pose counts."""
+    solver scales to Cave/Bus-size pose counts.
+
+    With ``use_pose_perm`` the step takes a second argument (the
+    ``sharded_pose_major_index`` array, sharded along axis 0) and performs
+    the per-pose reductions as gathers instead of scatters."""
     n = mesh.shape[axis]
     assert L % n == 0, "landmark count must divide the mesh"
 
-    def shard_body(prob: BucketedProblem):
+    def shard_body(prob: BucketedProblem, *perm_arg):
+        perm = perm_arg[0][0] if perm_arg else None  # (1,K,Rp) → (K,Rp)
+
         def body(i, p):
             dxk, dl, _ = _ba_gn_step_pcg(
                 p, rig, K, jnp.asarray(lam, p.pose_r.dtype), cg_iters,
-                axis_name=axis,
+                axis_name=axis, pose_perm=perm,
             )
             return _apply_bucketed(p, dxk, dl)
 
         prob = jax.lax.fori_loop(0, iters, body, prob)
         _, _, cost = _ba_gn_step_pcg(
             prob, rig, K, jnp.asarray(lam, prob.pose_r.dtype), cg_iters,
-            axis_name=axis,
+            axis_name=axis, pose_perm=perm,
         )
         return prob, cost
 
@@ -279,15 +314,18 @@ def make_sharded_ba_pcg(
         lm=sharded, lm_valid=sharded,
         obs_uv=sharded, obs_pose=sharded, obs_cam=sharded, obs_valid=sharded,
     )
+    specs = (in_specs, P(axis)) if use_pose_perm else (in_specs,)
     step = jax.jit(
         jax.shard_map(
-            shard_body, mesh=mesh, in_specs=(in_specs,),
+            shard_body, mesh=mesh, in_specs=specs,
             out_specs=(in_specs, replicated),
         )
     )
     shardings = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), in_specs
     )
+    if use_pose_perm:
+        return step, (shardings, NamedSharding(mesh, P(axis)))
     return step, shardings
 
 

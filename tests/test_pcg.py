@@ -139,6 +139,63 @@ def test_pcg_pose_major_index_equivalent():
     )
 
 
+def test_pcg_ba_sharded_pose_major_matches():
+    """Sharded PCG with per-shard pose-major gathers == sharded PCG with
+    scatters == local PCG."""
+    from svin_tpu.parallel import sharded_pose_major_index
+
+    n = 8
+    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+    prob, rig_p, truth = build_global_problem(jax.random.PRNGKey(4))
+    bprob = bucket_problem(prob)
+    K, L = prob.pose_r.shape[0], prob.lm.shape[0]
+    perm = sharded_pose_major_index(bprob, K, n)
+    step, (sh, perm_sh) = make_sharded_ba_pcg(
+        mesh, rig_p, K, L, iters=8, cg_iters=40, use_pose_perm=True
+    )
+    out_s, cost_s = step(
+        jax.device_put(bprob, sh), jax.device_put(perm, perm_sh)
+    )
+    out_l, cost_l = ba_solve_pcg(bprob, rig_p, iters=8, cg_iters=40)
+    np.testing.assert_allclose(float(cost_s), float(cost_l), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_s.pose_r), np.asarray(out_l.pose_r), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.lm), np.asarray(out_l.lm), atol=1e-7
+    )
+
+
+def test_multisession_joint_pcg():
+    """Cave+Bus-style joint mapping through the SCALABLE solver: two
+    sessions with inter-session drift merged by ``merge_sessions``, solved
+    with matrix-free PCG (the path that keeps working when the joint
+    problem is 5k+ poses)."""
+    from svin_tpu.parallel import merge_sessions, pose_major_index
+
+    prob_a, rig_p, truth = build_global_problem(
+        jax.random.PRNGKey(4), K=8, L=48, perturb=0.0
+    )
+    prob_b, _, _ = build_global_problem(
+        jax.random.PRNGKey(4), K=8, L=48, perturb=0.0
+    )
+    off = jnp.array([0.3, -0.2, 0.15])
+    prob_b = prob_b._replace(pose_r=prob_b.pose_r + off, lm=prob_b.lm + off)
+    shared = [(0, l, 1, l) for l in range(48)]
+    joint, pose_maps, lm_maps = merge_sessions(
+        [prob_a, prob_b], shared, anchor=0
+    )
+    bjoint = bucket_problem(joint)
+    K = joint.pose_r.shape[0]
+    perm = pose_major_index(bjoint.obs_pose, bjoint.obs_valid, K)
+    out, cost = ba_solve_pcg(
+        bjoint, rig_p, iters=12, cg_iters=48, pose_perm=perm
+    )
+    pb = np.asarray(out.pose_r)[pose_maps[1]]
+    err = np.linalg.norm(pb - np.asarray(truth["r"]), axis=1)
+    assert err.max() < 0.02, err
+
+
 def test_pcg_posegraph_matches_dense():
     nodes, edges, t_gt, yaw_gt, N = _make_drifted_graph()
     out_d = optimize_4dof(nodes, edges, jnp.int32(1), iters=10)
