@@ -235,6 +235,23 @@ def main():
     )
     t_pcg = time_fn(pcg_fn, bprob_big, iters=3, warmup=1) / PCG_GN
 
+    #  (c) track-structured Cave-scale solver (realistic contiguous-track
+    #      observations + loop-closure revisits via the overflow path):
+    #      banded one-hot-matmul data movement, channel-unrolled eval —
+    #      measured ~20x over (b) at identical GN/PCG math
+    from svin_tpu.parallel.tracks import ba_solve_tracks, tracks_from_problem
+    from svin_tpu.problems import build_global_ba_tracks
+
+    prob_tr, tr_rig = build_global_ba_tracks(
+        jax.random.PRNGKey(5), K=2048, L=65536, span=8
+    )
+    n_obs_tr = int(np.asarray(prob_tr.obs_valid).sum())
+    tprob, tmeta, _ = tracks_from_problem(prob_tr, span=8, block=1024)
+    tracks_fn = jax.jit(
+        lambda p: ba_solve_tracks(p, tr_rig, tmeta, iters=PCG_GN, cg_iters=32)[1]
+    )
+    t_tracks = time_fn(tracks_fn, tprob, iters=5, warmup=1) / PCG_GN
+
     # 20k-node pose graph (Cave+Bus joint scale) — matrix-free PCG with the
     # two-level coarse preconditioner
     from svin_tpu.parallel import optimize_4dof_pcg
@@ -262,6 +279,8 @@ def main():
         f"sustains 20 Hz stereo), "
         f"global BA (64 kf, 4096 lm, dense Schur) {1.0/t_ba:.0f} GN iters/s, "
         f"global BA PCG (2048 kf, 65536 lm) {1.0/t_pcg:.2f} GN iters/s, "
+        f"global BA tracks (2048 kf, 65536 lm, {n_obs_tr} obs) "
+        f"{1.0/t_tracks:.2f} GN iters/s, "
         f"pose graph PCG ({N_pg} nodes) {1.0/t_pg:.2f} GN iters/s, "
         f"pallas on-chip: [{pallas_note}], "
         f"device {jax.devices()[0].platform}",

@@ -18,6 +18,13 @@ from .pcg import (
     pose_major_index,
     sharded_pose_major_index,
 )
+from .tracks import (
+    TrackMeta,
+    TrackProblem,
+    ba_solve_tracks,
+    make_sharded_ba_tracks,
+    tracks_from_problem,
+)
 from .runtime import (
     exchange_keyframe_payloads,
     exchange_loop_edges,
@@ -29,6 +36,11 @@ from .runtime import (
 __all__ = [
     "BucketedProblem",
     "GlobalMapProblem",
+    "TrackMeta",
+    "TrackProblem",
+    "ba_solve_tracks",
+    "make_sharded_ba_tracks",
+    "tracks_from_problem",
     "ba_solve_bucketed",
     "ba_solve_local",
     "ba_solve_pcg",

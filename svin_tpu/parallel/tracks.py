@@ -1,0 +1,792 @@
+"""Track-structured global BA: the Cave/Bus-scale solver shaped by how SLAM
+data actually looks and how the TPU actually moves data.
+
+Why this module exists
+----------------------
+The matrix-free PCG solver (``pcg.py``) is algorithmically right for
+Cave-scale problems, but on-chip profiling shows its Gauss-Newton step is
+~95% *permutations*: the ``v[obs_pose]`` row-gather and the per-pose
+reduction each cost milliseconds because TPU gathers/scatters of
+small-minor-dim rows scalarize (measured ~20 GB/s effective vs 819 GB/s
+HBM), and the (L,R,2,6) Jacobian einsum intermediates tile-pad their tiny
+trailing dims to (8,128) lanes.
+
+SLAM observations are not random: a landmark is observed by a *contiguous
+run of consecutive keyframes* (its track). Sorting landmarks by the first
+observing pose ("base") makes every pose<->landmark data movement *narrow
+banded*: a block of B consecutive landmarks only touches a window of ~S
+consecutive poses. Every gather/scatter then becomes a tiny local one-hot
+matmul against a dynamic slice — MXU work with zero HBM-resident one-hots,
+zero scatters, zero big gathers:
+
+- broadcast (K,D) -> (L,D):   per block  onehot(B,S) @ slice(S,D)
+- reduce    (L,D) -> (K,D):   per block  onehot(B,S)^T @ rows(B,D), then a
+  shift-add folds per-slot pose offsets (slot j of landmark l observes pose
+  ``base_l + j//C``).
+
+The factor evaluation is hand-unrolled into *channel* arrays shaped
+(slots, L) — the long landmark axis minor, every intermediate a dense
+vector — so XLA fuses the whole projection/Jacobian chain into a few
+vector passes instead of materializing tile-padded (L,R,3,3) temporaries.
+Observations that do not fit the contiguous-track window (loop-closure
+re-observations, slot collisions) go to a small COO *overflow* set handled
+with plain segment-sums, so the solver stays exact for arbitrary problems.
+
+Reference counterpart: Ceres SPARSE_SCHUR on the same reduced camera
+system (``Estimator.cpp:876-929``); the banded structure exploited here is
+the same one Ceres' sparse Cholesky exploits via fill-reducing orderings —
+re-derived for a machine that wants matmuls instead of pointer chasing.
+
+Math matches ``pcg.py``/``dist_ba.py`` exactly: Schur-complement PCG with
+block-Jacobi preconditioning, robust weight sqrt(min(1, 3/|r|)), depth>0.2
+validity, fixed poses by Jacobian zeroing + unit damping.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..estimator.rig import RigParams
+from .dist_ba import GlobalMapProblem
+from .pcg import _pcg, _inv_blocks
+
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+class TrackMeta(NamedTuple):
+    """Static (trace-time) layout constants."""
+
+    span: int      # consecutive poses covered per landmark track window
+    C: int         # cameras (slots per landmark = span * C)
+    B: int         # landmarks per reduction block
+    S: int         # pose-window size per block (>= span + base spread)
+    K: int         # poses
+    n_blocks: int  # L // B (per shard)
+    M: int         # overflow capacity (per shard)
+
+    @property
+    def slots(self) -> int:
+        return self.span * self.C
+
+
+class TrackProblem(NamedTuple):
+    """Device arrays. All landmark-axis arrays are sorted by track base."""
+
+    pose_r: jnp.ndarray     # (K,3)
+    pose_q: jnp.ndarray     # (K,4)
+    pose_fixed: jnp.ndarray  # (K,) float (1 = fixed)
+    lm: jnp.ndarray         # (L,3)
+    lm_valid: jnp.ndarray   # (L,) bool
+    base: jnp.ndarray       # (L,) int32 in [0, K - span]
+    lo: jnp.ndarray         # (NB,) int32 block pose-window starts
+    obs_uv: jnp.ndarray     # (2, slots, L)
+    obs_valid: jnp.ndarray  # (slots, L) bool
+    ov_uv: jnp.ndarray      # (M,2)
+    ov_pose: jnp.ndarray    # (M,) int32
+    ov_lm: jnp.ndarray      # (M,) int32 (shard-local landmark index)
+    ov_cam: jnp.ndarray     # (M,) int32
+    ov_valid: jnp.ndarray   # (M,) bool
+
+
+# --------------------------------------------------------------- host build
+def tracks_from_problem(
+    prob: GlobalMapProblem, span: int = 8, block: int = 1024,
+    n_shards: int = 1, max_overflow: int = 0,
+) -> Tuple[TrackProblem, TrackMeta, np.ndarray]:
+    """Host-side relayout of a generic BA problem into track structure.
+
+    Observations within ``span`` consecutive poses of a landmark's first
+    observation go to dense track slots (slot = (pose-base)*C + cam); the
+    rest (loop re-observations, collisions) go to the COO overflow set.
+    With ``n_shards`` > 1 the landmark axis is padded to a multiple of
+    ``n_shards*block`` and overflow entries are grouped per shard with
+    shard-local landmark indices (ready for `jax.shard_map`).
+
+    Returns ``(problem, meta, order)`` where ``order[i]`` is the ORIGINAL
+    landmark index of sorted slot i (``tp.lm[i] == prob.lm[order[i]]``;
+    entries beyond the original L are padding)."""
+    K = int(prob.pose_r.shape[0])
+    L0 = int(prob.lm.shape[0])
+    # infer camera count from the rig usage: max cam index + 1
+    valid = np.asarray(prob.obs_valid)
+    cam = np.asarray(prob.obs_cam)[valid]
+    pose = np.asarray(prob.obs_pose)[valid]
+    lmi = np.asarray(prob.obs_lm)[valid]
+    uv = np.asarray(prob.obs_uv)[valid]
+    C = int(cam.max()) + 1 if cam.size else 1
+    span = min(span, K)
+    slots = span * C
+
+    # landmark base = first observing pose, clipped so base+span <= K
+    base0 = np.full(L0, K - span, np.int64)
+    np.minimum.at(base0, lmi, pose)
+    base0 = np.minimum(base0, K - span)
+    has_obs = np.zeros(L0, bool)
+    has_obs[lmi] = True
+
+    # pad L to a multiple of n_shards*block
+    mult = n_shards * block
+    L = -(-L0 // mult) * mult
+    lm_valid = np.zeros(L, bool)
+    lm_valid[:L0] = np.asarray(prob.lm_valid) & has_obs
+    lm = np.zeros((L, 3), np.asarray(prob.lm).dtype)
+    lm[:L0] = np.asarray(prob.lm)
+    base = np.full(L, K - span, np.int64)
+    base[:L0] = base0
+
+    order = np.argsort(base, kind="stable")
+    lm = lm[order]
+    lm_valid = lm_valid[order]
+    base = base[order]
+    inv_order = np.empty(L, np.int64)
+    inv_order[order] = np.arange(L)
+
+    # slot assignment
+    r_off = pose - base[inv_order[lmi]]
+    slot = r_off * C + cam
+    in_track = (r_off >= 0) & (r_off < span)
+    uv_slots = np.zeros((2, slots, L), uv.dtype)
+    ok_slots = np.zeros((slots, L), bool)
+    li = inv_order[lmi]
+    tsel = in_track.copy()
+    # collision detection: first obs wins, duplicates overflow
+    key = slot[tsel] * L + li[tsel]
+    uniq, uniq_pos = np.unique(key, return_index=True)
+    first_mask = np.zeros(key.shape[0], bool)
+    first_mask[uniq_pos] = True
+    track_rows = np.nonzero(tsel)[0][first_mask]
+    ov_rows = np.concatenate([
+        np.nonzero(~in_track)[0], np.nonzero(tsel)[0][~first_mask]
+    ])
+    uv_slots[0, slot[track_rows], li[track_rows]] = uv[track_rows, 0]
+    uv_slots[1, slot[track_rows], li[track_rows]] = uv[track_rows, 1]
+    ok_slots[slot[track_rows], li[track_rows]] = True
+
+    # overflow, grouped per shard of the SORTED landmark axis
+    Lloc = L // n_shards
+    ov_l = li[ov_rows]
+    ov_shard = ov_l // Lloc
+    n_ov = np.bincount(ov_shard, minlength=n_shards) if ov_rows.size else (
+        np.zeros(n_shards, np.int64))
+    Mloc = int(n_ov.max()) if ov_rows.size else 0
+    Mloc = max(Mloc, max_overflow)
+    Mloc = -(-max(Mloc, 1) // 8) * 8
+    ov_uv = np.zeros((n_shards, Mloc, 2), uv.dtype)
+    ov_pose_a = np.zeros((n_shards, Mloc), np.int32)
+    ov_lm_a = np.zeros((n_shards, Mloc), np.int32)
+    ov_cam_a = np.zeros((n_shards, Mloc), np.int32)
+    ov_ok_a = np.zeros((n_shards, Mloc), bool)
+    for s in range(n_shards):
+        rows = ov_rows[ov_shard == s][:Mloc]
+        n = rows.shape[0]
+        ov_uv[s, :n] = uv[rows]
+        ov_pose_a[s, :n] = pose[rows]
+        ov_lm_a[s, :n] = ov_l[ov_shard == s][:Mloc] - s * Lloc
+        ov_cam_a[s, :n] = cam[rows]
+        ov_ok_a[s, :n] = True
+
+    # per-block pose windows (over the per-shard block grid)
+    NB = L // block
+    lo = base[np.arange(NB) * block]
+    hi = base[np.arange(1, NB + 1) * block - 1]
+    S = int((hi - lo).max()) + span
+    S = min(-(-S // 8) * 8, K)
+    lo = np.minimum(lo, K - S)
+
+    dtype = np.asarray(prob.pose_r).dtype
+    tp = TrackProblem(
+        pose_r=jnp.asarray(prob.pose_r),
+        pose_q=jnp.asarray(prob.pose_q),
+        pose_fixed=jnp.asarray(prob.pose_fixed, dtype),
+        lm=jnp.asarray(lm),
+        lm_valid=jnp.asarray(lm_valid),
+        base=jnp.asarray(base, jnp.int32),
+        lo=jnp.asarray(lo, jnp.int32),
+        obs_uv=jnp.asarray(uv_slots),
+        obs_valid=jnp.asarray(ok_slots),
+        ov_uv=jnp.asarray(ov_uv.reshape(n_shards * Mloc, 2)),
+        ov_pose=jnp.asarray(ov_pose_a.reshape(-1)),
+        ov_lm=jnp.asarray(ov_lm_a.reshape(-1)),
+        ov_cam=jnp.asarray(ov_cam_a.reshape(-1)),
+        ov_valid=jnp.asarray(ov_ok_a.reshape(-1)),
+    )
+    meta = TrackMeta(span=span, C=C, B=block, S=S, K=K,
+                     n_blocks=NB // n_shards, M=Mloc)
+    return tp, meta, order
+
+
+# ------------------------------------------------------- channel-unrolled eval
+def _rot_channels(qx, qy, qz, qw):
+    """Rotation matrix C(q) as 9 channel arrays (row-major R00..R22);
+    same formula as ``kinematics.quaternion.to_rotation_matrix``."""
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    return (
+        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+    )
+
+
+def _distort_channels(model: str, x, y, d):
+    """Distorted normalized coords + analytic 2x2 Jacobian as channels.
+
+    ``d`` is a sequence of per-slot parameter arrays (broadcastable).
+    Mirrors ``cameras.distortion`` models; Jacobians hand-derived (checked
+    against the AD Jacobian in tests)."""
+    if model == "none":
+        one = jnp.ones_like(x)
+        zero = jnp.zeros_like(x)
+        return x, y, one, zero, zero, one
+    if model in ("radialtangential", "radialtangential8"):
+        r2 = x * x + y * y
+        if model == "radialtangential":
+            k1, k2, p1, p2 = d[0], d[1], d[2], d[3]
+            radial = 1.0 + k1 * r2 + k2 * r2 * r2
+            drad = k1 + 2.0 * k2 * r2  # d(radial)/d(r2)
+        else:
+            k1, k2, p1, p2, k3, k4, k5, k6 = (d[i] for i in range(8))
+            r4 = r2 * r2
+            r6 = r4 * r2
+            num = 1.0 + k1 * r2 + k2 * r4 + k3 * r6
+            den = 1.0 + k4 * r2 + k5 * r4 + k6 * r6
+            radial = num / den
+            dnum = k1 + 2.0 * k2 * r2 + 3.0 * k3 * r4
+            dden = k4 + 2.0 * k5 * r2 + 3.0 * k6 * r4
+            drad = (dnum * den - num * dden) / (den * den)
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        g = 2.0 * drad
+        j00 = radial + x * x * g + 2.0 * p1 * y + 6.0 * p2 * x
+        j01 = x * y * g + 2.0 * p1 * x + 2.0 * p2 * y
+        j10 = x * y * g + 2.0 * p1 * x + 2.0 * p2 * y
+        j11 = radial + y * y * g + 6.0 * p1 * y + 2.0 * p2 * x
+        return xd, yd, j00, j01, j10, j11
+    if model == "equidistant":
+        k1, k2, k3, k4 = d[0], d[1], d[2], d[3]
+        r2 = x * x + y * y
+        r = jnp.sqrt(jnp.maximum(r2, 1e-16))
+        theta = jnp.arctan(r)
+        t2 = theta * theta
+        poly = 1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))
+        theta_d = theta * poly
+        scale = theta_d / r
+        dpoly = 1.0 + t2 * (3.0 * k1 + t2 * (5.0 * k2 + t2 * (
+            7.0 * k3 + t2 * 9.0 * k4)))
+        dtheta_dr = 1.0 / (1.0 + r2)
+        dscale_dr = (dpoly * dtheta_dr * r - theta_d) / r2
+        g = dscale_dr / r
+        xd = x * scale
+        yd = y * scale
+        j00 = scale + x * x * g
+        j01 = x * y * g
+        j10 = x * y * g
+        j11 = scale + y * y * g
+        return xd, yd, j00, j01, j10, j11
+    raise ValueError(f"unknown distortion model {model}")
+
+
+def _eval_core(rig: RigParams, u_obs, v_obs, ok,
+               px, py, pz, qx, qy, qz, qw, fixedf,
+               lx, ly, lz, lm_ok,
+               cfu, cfv, ccu, ccv, ctx, cty, ctz, cqx, cqy, cqz, cqw, cdist):
+    """Per-observation channel evaluation. Every argument is a
+    broadcast-compatible array; every output is a tuple of channel arrays:
+
+    returns (W[18], Hpp[21], Hll[6], bl[3], bp[6], rsq)
+
+    with W[a*6+b] = sum_i Jl[i][a]*Jp[i][b], Hpp/Hll upper-triangular
+    row-major packed. Same math as ``dist_ba._reproj_eval_bucketed``'s
+    ``one`` (reference chain ``ReprojectionError.hpp:85-229``)."""
+    # C_WS = R(q); p_S = C_WS^T (p_W - p_r)
+    R = _rot_channels(qx, qy, qz, qw)
+    d0, d1, d2 = lx - px, ly - py, lz - pz
+    pS0 = R[0] * d0 + R[3] * d1 + R[6] * d2
+    pS1 = R[1] * d0 + R[4] * d1 + R[7] * d2
+    pS2 = R[2] * d0 + R[5] * d1 + R[8] * d2
+    # C_SC = R(tq); p_C = C_SC^T (p_S - t)
+    T = _rot_channels(cqx, cqy, cqz, cqw)
+    e0, e1, e2 = pS0 - ctx, pS1 - cty, pS2 - ctz
+    pC0 = T[0] * e0 + T[3] * e1 + T[6] * e2
+    pC1 = T[1] * e0 + T[4] * e1 + T[7] * e2
+    pC2 = T[2] * e0 + T[5] * e1 + T[8] * e2
+    # A = C_WS @ C_SC ; C_CW = A^T
+    A = [None] * 9
+    for i in range(3):
+        for j in range(3):
+            A[i * 3 + j] = (R[i * 3 + 0] * T[0 * 3 + j]
+                            + R[i * 3 + 1] * T[1 * 3 + j]
+                            + R[i * 3 + 2] * T[2 * 3 + j])
+    CW = [A[j * 3 + i] for i in range(3) for j in range(3)]  # C_CW row-major
+
+    z_safe = jnp.where(jnp.abs(pC2) < 1e-6, 1e-6, pC2)
+    rz = 1.0 / z_safe
+    x = pC0 * rz
+    y = pC1 * rz
+    xd, yd, j00, j01, j10, j11 = _distort_channels(rig.model, x, y, cdist)
+    uhat = cfu * xd + ccu
+    vhat = cfv * yd + ccv
+    ok = ok & (pC2 > 0.2) & lm_ok
+
+    # Juv = diag(fu,fv) @ Jd @ [[rz,0,-x rz],[0,rz,-y rz]]
+    Ju = [
+        cfu * j00 * rz, cfu * j01 * rz, cfu * (-(j00 * x + j01 * y) * rz),
+        cfv * j10 * rz, cfv * j11 * rz, cfv * (-(j10 * x + j11 * y) * rz),
+    ]
+    # Jl[i][a] = -sum_k Ju[i][k] * CW[k][a]
+    Jl = [None] * 6
+    for i in range(2):
+        for a in range(3):
+            Jl[i * 3 + a] = -(Ju[i * 3 + 0] * CW[0 + a]
+                              + Ju[i * 3 + 1] * CW[3 + a]
+                              + Ju[i * 3 + 2] * CW[6 + a])
+    # G = C_CW @ crossmx(d)
+    G = [None] * 9
+    for i in range(3):
+        c0, c1, c2 = CW[i * 3 + 0], CW[i * 3 + 1], CW[i * 3 + 2]
+        G[i * 3 + 0] = c1 * d2 - c2 * d1
+        G[i * 3 + 1] = -c0 * d2 + c2 * d0
+        G[i * 3 + 2] = c0 * d1 - c1 * d0
+    nf = 1.0 - fixedf
+    Jp = [None] * 12  # (2 rows) x (6 cols)
+    for i in range(2):
+        for a in range(3):
+            Jp[i * 6 + a] = -Jl[i * 3 + a] * nf  # translation part = -Jl
+            Jp[i * 6 + 3 + a] = -(Ju[i * 3 + 0] * G[0 + a]
+                                  + Ju[i * 3 + 1] * G[3 + a]
+                                  + Ju[i * 3 + 2] * G[6 + a]) * nf
+
+    r0 = u_obs - uhat
+    r1 = v_obs - vhat
+    n = jnp.sqrt(r0 * r0 + r1 * r1)
+    w = jnp.sqrt(jnp.where(n > 3.0, 3.0 / jnp.maximum(n, 1e-12), 1.0))
+    w = jnp.where(ok, w, jnp.zeros_like(w))
+    w2 = w * w
+    r0w, r1w = w * r0, w * r1
+
+    W = [w2 * (Jl[0 + a] * Jp[0 + b] + Jl[3 + a] * Jp[6 + b])
+         for a in range(3) for b in range(6)]
+    Hpp = [w2 * (Jp[0 + a] * Jp[0 + b] + Jp[6 + a] * Jp[6 + b])
+           for a in range(6) for b in range(a, 6)]
+    Hll = [w2 * (Jl[0 + a] * Jl[0 + b] + Jl[3 + a] * Jl[3 + b])
+           for a in range(3) for b in range(a, 3)]
+    bl = [w * (Jl[0 + a] * r0w + Jl[3 + a] * r1w) for a in range(3)]
+    bp = [w * (Jp[0 + b] * r0w + Jp[6 + b] * r1w) for b in range(6)]
+    rsq = r0w * r0w + r1w * r1w
+    return W, Hpp, Hll, bl, bp, rsq
+
+
+_TRI6 = [(a, b) for a in range(6) for b in range(a, 6)]
+_TRI3 = [(a, b) for a in range(3) for b in range(a, 3)]
+
+
+def _sym_from_tri(tri, n):
+    """Channel list (upper-tri packed) -> (..., n, n) symmetric stack."""
+    idx = {}
+    for t, (a, b) in enumerate(_TRI6 if n == 6 else _TRI3):
+        idx[(a, b)] = t
+        idx[(b, a)] = t
+    rows = [jnp.stack([tri[idx[(a, b)]] for b in range(n)], axis=-1)
+            for a in range(n)]
+    return jnp.stack(rows, axis=-2)
+
+
+def _slot_inputs(tp: TrackProblem, rig: RigParams, meta: TrackMeta):
+    """Per-slot channel inputs shaped (slots, L): pose params via one wide
+    row-gather of the pose-window table, camera params as static per-slot
+    columns, landmarks broadcast along slots."""
+    span, C, slots = meta.span, meta.C, meta.slots
+    dtype = tp.pose_r.dtype
+    # P (K,8): [r(3) q(4) fixed(1)]; Pwide (K, span*8) rows k..k+span-1.
+    # base <= K - span, so the roll wrap-around rows are never gathered.
+    Pk = jnp.concatenate(
+        [tp.pose_r, tp.pose_q, tp.pose_fixed[:, None].astype(dtype)], axis=1)
+    Pwide = jnp.concatenate(
+        [jnp.roll(Pk, -r, axis=0) for r in range(span)], axis=1)
+    g = Pwide[tp.base]                       # (L, span*8)
+    g = g.reshape(-1, span, 8)
+    g = jnp.transpose(g, (2, 1, 0))          # (8, span, L)
+    g = jnp.repeat(g, C, axis=1)             # (8, slots, L)
+    px, py, pz, qx, qy, qz, qw, fixedf = [g[i] for i in range(8)]
+
+    cam_of_slot = jnp.asarray(np.arange(slots) % C)
+    def cc(arr):  # (NC,) -> (slots,1) per-column constant (trace-safe)
+        return jnp.asarray(arr)[cam_of_slot][:, None]
+    cdist = [cc(rig.dist[:, i]) for i in range(rig.dist.shape[1])]
+    lm = tp.lm
+    return dict(
+        u_obs=tp.obs_uv[0], v_obs=tp.obs_uv[1], ok=tp.obs_valid,
+        px=px, py=py, pz=pz, qx=qx, qy=qy, qz=qz, qw=qw, fixedf=fixedf,
+        lx=lm[:, 0][None, :], ly=lm[:, 1][None, :], lz=lm[:, 2][None, :],
+        lm_ok=tp.lm_valid[None, :],
+        cfu=cc(rig.fu), cfv=cc(rig.fv), ccu=cc(rig.cu), ccv=cc(rig.cv),
+        ctx=cc(rig.T_SC_r[:, 0]), cty=cc(rig.T_SC_r[:, 1]),
+        ctz=cc(rig.T_SC_r[:, 2]),
+        cqx=cc(rig.T_SC_q[:, 0]), cqy=cc(rig.T_SC_q[:, 1]),
+        cqz=cc(rig.T_SC_q[:, 2]), cqw=cc(rig.T_SC_q[:, 3]),
+        cdist=cdist,
+    )
+
+
+def _ov_inputs(tp: TrackProblem, rig: RigParams):
+    """Overflow COO channel inputs, shape (M,)."""
+    pr = tp.pose_r[tp.ov_pose]
+    pq = tp.pose_q[tp.ov_pose]
+    lm = tp.lm[tp.ov_lm]
+    ci = tp.ov_cam
+    def sel(arr):
+        return jnp.asarray(arr)[ci]
+    cdist = [sel(rig.dist[:, i]) for i in range(rig.dist.shape[1])]
+    return dict(
+        u_obs=tp.ov_uv[:, 0], v_obs=tp.ov_uv[:, 1], ok=tp.ov_valid,
+        px=pr[:, 0], py=pr[:, 1], pz=pr[:, 2],
+        qx=pq[:, 0], qy=pq[:, 1], qz=pq[:, 2], qw=pq[:, 3],
+        fixedf=tp.pose_fixed[tp.ov_pose].astype(tp.pose_r.dtype),
+        lx=lm[:, 0], ly=lm[:, 1], lz=lm[:, 2],
+        lm_ok=tp.lm_valid[tp.ov_lm],
+        cfu=sel(rig.fu), cfv=sel(rig.fv), ccu=sel(rig.cu), ccv=sel(rig.cv),
+        ctx=sel(rig.T_SC_r[:, 0]), cty=sel(rig.T_SC_r[:, 1]),
+        ctz=sel(rig.T_SC_r[:, 2]),
+        cqx=sel(rig.T_SC_q[:, 0]), cqy=sel(rig.T_SC_q[:, 1]),
+        cqz=sel(rig.T_SC_q[:, 2]), cqw=sel(rig.T_SC_q[:, 3]),
+        cdist=cdist,
+    )
+
+
+# ----------------------------------------------- blocked banded reduction
+def _block_onehot(base_block, lo_i, S, dtype):
+    """(B,S) one-hot of base offsets within the block's pose window."""
+    local = base_block - lo_i
+    return (local[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (base_block.shape[0], S), 1)).astype(dtype)
+
+
+def _varying_zeros(shape, dtype, axis_name):
+    """Zeros usable as a scan carry inside shard_map: the accumulator mixes
+    with shard-varying data, so its manual-axes type must be 'varying'."""
+    z = jnp.zeros(shape, dtype)
+    if axis_name is not None:
+        z = jax.lax.pcast(z, (axis_name,), to="varying")
+    return z
+
+
+def _banded_reduce(rows, base, lo, meta: TrackMeta, axis_name=None):
+    """(L, D) -> (K, D) summing rows by their landmark's base pose.
+    Narrow-window blocked one-hot matmuls; no scatters."""
+    B, S, K, NB = meta.B, meta.S, meta.K, meta.n_blocks
+    L, D = rows.shape
+    dtype = rows.dtype
+
+    def step(acc, inp):
+        rb, bb, lo_i = inp
+        oh = _block_onehot(bb, lo_i, S, dtype)
+        z = jax.lax.dot_general(oh, rb, (((0,), (0,)), ((), ())),
+                                precision=_EXACT)  # (S, D)
+        z0 = jnp.zeros((), lo_i.dtype)
+        cur = jax.lax.dynamic_slice(acc, (lo_i, z0), (S, D))
+        return jax.lax.dynamic_update_slice(acc, cur + z, (lo_i, z0)), None
+
+    acc, _ = jax.lax.scan(
+        step, _varying_zeros((K, D), dtype, axis_name),
+        (rows.reshape(NB, B, D), base.reshape(NB, B), lo), unroll=2)
+    return acc
+
+
+def _shift_add(Z, meta: TrackMeta, ch: int):
+    """(K, slots*ch) base-indexed sums -> (K, ch) pose-indexed sums:
+    slot j contributes to pose base + j//C."""
+    K, C = meta.K, meta.C
+    out = jnp.zeros((K, ch), Z.dtype)
+    for j in range(meta.slots):
+        r = j // C
+        zj = Z[:, j * ch:(j + 1) * ch]
+        out = out + jnp.pad(zj, ((r, 0), (0, 0)))[:K]
+    return out
+
+
+# -------------------------------------------------------------- assembly
+class _Assembled(NamedTuple):
+    Wrm: jnp.ndarray       # (L, slots*18) row-major per-slot W blocks
+    Wov: jnp.ndarray       # (M, 18)
+    Hll_inv: jnp.ndarray   # (9, L) channel-major inverse
+    bl: jnp.ndarray        # (3, L)
+    Hpp_d: jnp.ndarray     # (K,6,6) damped
+    Minv: jnp.ndarray      # (K,6,6) block-Jacobi preconditioner
+    b_red: jnp.ndarray     # (K,6) reduced RHS
+    cost: jnp.ndarray      # scalar
+
+
+def _inv3_channels(h, damp):
+    """Symmetric 3x3 inverse from 6 upper-tri channels + diagonal damping,
+    returned as 9 row-major channels. Closed-form adjugate (no (L,3,3))."""
+    a, b, c = h[0] + damp[0], h[1], h[2]
+    dd, e = h[3] + damp[1], h[4]
+    f = h[5] + damp[2]
+    A = dd * f - e * e
+    Bc = c * e - b * f
+    Cc = b * e - c * dd
+    det = a * A + b * Bc + c * Cc
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    rd = 1.0 / det
+    i00 = A * rd
+    i01 = Bc * rd
+    i02 = Cc * rd
+    i11 = (a * f - c * c) * rd
+    i12 = (b * c - a * e) * rd
+    i22 = (a * dd - b * b) * rd
+    return (i00, i01, i02, i01, i11, i12, i02, i12, i22)
+
+
+def _assemble_tracks(tp: TrackProblem, rig: RigParams, meta: TrackMeta,
+                     lam, axis_name=None) -> _Assembled:
+    slots, K, L = meta.slots, meta.K, tp.lm.shape[0]
+    dtype = tp.pose_r.dtype
+    W, Hpp, Hll, bl, bp, rsq = _eval_core(rig, **_slot_inputs(tp, rig, meta))
+    Wo, Hppo, Hllo, blo, bpo, rsqo = _eval_core(rig, **_ov_inputs(tp, rig))
+
+    # landmark-side sums (slots axis = sublanes; cheap) + overflow scatter
+    def lsum(chs):
+        s = jnp.stack([jnp.sum(c, axis=0) for c in chs])  # (n, L)
+        return s
+    Hll_s = lsum(Hll) + jnp.stack(
+        [jax.ops.segment_sum(c, tp.ov_lm, num_segments=L) for c in Hllo])
+    bl_s = lsum(bl) + jnp.stack(
+        [jax.ops.segment_sum(c, tp.ov_lm, num_segments=L) for c in blo])
+
+    damp_diag = [
+        lam * jnp.maximum(Hll_s[0], 1e-6) + jnp.where(tp.lm_valid, 0.0, 1.0),
+        lam * jnp.maximum(Hll_s[3], 1e-6) + jnp.where(tp.lm_valid, 0.0, 1.0),
+        lam * jnp.maximum(Hll_s[5], 1e-6) + jnp.where(tp.lm_valid, 0.0, 1.0),
+    ]
+    Hinv = jnp.stack(_inv3_channels(Hll_s, damp_diag))  # (9, L)
+    u = jnp.stack([
+        Hinv[0] * bl_s[0] + Hinv[1] * bl_s[1] + Hinv[2] * bl_s[2],
+        Hinv[3] * bl_s[0] + Hinv[4] * bl_s[1] + Hinv[5] * bl_s[2],
+        Hinv[6] * bl_s[0] + Hinv[7] * bl_s[1] + Hinv[8] * bl_s[2],
+    ])  # (3, L)
+
+    # corr channels per slot: g_b = sum_a W[a*6+b] * u_a
+    corr = [W[0 + b] * u[0][None] + W[6 + b] * u[1][None]
+            + W[12 + b] * u[2][None] for b in range(6)]
+    corr_ov = [Wo[0 + b] * u[0][tp.ov_lm] + Wo[6 + b] * u[1][tp.ov_lm]
+               + Wo[12 + b] * u[2][tp.ov_lm] for b in range(6)]
+
+    # pose-side banded reduce: pack [Hpp(21), bp(6), corr(6)] row-major
+    CH = 33
+    packed = jnp.stack(Hpp + bp + corr)              # (33, slots, L)
+    rows = jnp.transpose(packed, (2, 1, 0)).reshape(L, slots * CH)
+    Z = _banded_reduce(rows, tp.base, tp.lo, meta, axis_name)
+    red = _shift_add(Z, meta, CH)                     # (K, 33)
+    ov_packed = jnp.stack(Hppo + bpo + corr_ov, axis=1)  # (M, 33)
+    red = red + jax.ops.segment_sum(ov_packed, tp.ov_pose, num_segments=K)
+    cost = 0.5 * (jnp.sum(rsq) + jnp.sum(rsqo))
+
+    if axis_name is not None:
+        red = jax.lax.psum(red, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+
+    Hpp_m = _sym_from_tri([red[:, i] for i in range(21)], 6)  # (K,6,6)
+    bp_v = red[:, 21:27]
+    corr_v = red[:, 27:33]
+
+    dHpp = jnp.einsum("kii->ki", Hpp_m)
+    fixed = tp.pose_fixed[:, None]
+    damp = lam * jnp.maximum(dHpp, 1e-6)
+    damp = damp + jnp.where(fixed > 0, 1.0, 0.0)
+    damp = damp + jnp.where(dHpp < 1e-9, 1.0, 0.0)
+    Hpp_d = Hpp_m + jax.vmap(jnp.diag)(damp)
+    Minv = _inv_blocks(Hpp_d)
+    b_red = bp_v - corr_v
+
+    Wrm = jnp.transpose(jnp.stack(W), (2, 1, 0)).reshape(L, slots * 18)
+    Wov = jnp.stack(Wo, axis=1)  # (M, 18)
+    return _Assembled(Wrm=Wrm, Wov=Wov, Hll_inv=Hinv, bl=bl_s,
+                      Hpp_d=Hpp_d, Minv=Minv, b_red=b_red, cost=cost)
+
+
+# ---------------------------------------------------------------- matvec
+def _vwide(v, span):
+    """(K,6) -> (K, span*6) rows [v[k], v[k+1], ..., v[k+span-1]]."""
+    return jnp.concatenate([jnp.roll(v, -r, axis=0) for r in range(span)],
+                           axis=1)
+
+
+def _phase1_z(asm: _Assembled, tp: TrackProblem, meta: TrackMeta, v):
+    """z = W vg summed per landmark: (3, L). One banded scan over W."""
+    B, S, NB = meta.B, meta.S, meta.n_blocks
+    span, C, slots = meta.span, meta.C, meta.slots
+    L = tp.lm.shape[0]
+    dtype = v.dtype
+    Vw = _vwide(v, span)  # (K, span*6)
+
+    def step(_, inp):
+        wb, bb, lo_i = inp        # (B, slots*18), (B,), ()
+        oh = _block_onehot(bb, lo_i, S, dtype)
+        vs = jax.lax.dynamic_slice(
+            Vw, (lo_i, jnp.zeros((), lo_i.dtype)), (S, span * 6))
+        vg = jax.lax.dot_general(oh, vs, (((1,), (0,)), ((), ())),
+                                 precision=_EXACT)   # (B, span*6)
+        vg = vg.reshape(B, span, 1, 6)
+        vg = jnp.broadcast_to(vg, (B, span, C, 6)).reshape(B, slots, 6)
+        Wb = wb.reshape(B, slots, 3, 6)
+        zb = jnp.einsum("bsac,bsc->ab", Wb, vg)      # (3, B)
+        return None, zb
+
+    _, z = jax.lax.scan(
+        step, None,
+        (asm.Wrm.reshape(NB, B, slots * 18), tp.base.reshape(NB, B), tp.lo),
+        unroll=2)
+    z = jnp.transpose(z, (1, 0, 2)).reshape(3, L)
+    # overflow
+    vg_ov = v[tp.ov_pose]  # (M,6)
+    z_ov = jnp.einsum("mc,mc->m", asm.Wov[:, 0:6], vg_ov), \
+        jnp.einsum("mc,mc->m", asm.Wov[:, 6:12], vg_ov), \
+        jnp.einsum("mc,mc->m", asm.Wov[:, 12:18], vg_ov)
+    z = z + jnp.stack([
+        jax.ops.segment_sum(z_ov[a], tp.ov_lm, num_segments=L)
+        for a in range(3)])
+    return z
+
+
+def _phase2_y(asm: _Assembled, tp: TrackProblem, meta: TrackMeta, u,
+              axis_name=None):
+    """y2 = W^T u reduced per pose: (K,6). u is (3, L)."""
+    B, S, K, NB = meta.B, meta.S, meta.K, meta.n_blocks
+    span, C, slots = meta.span, meta.C, meta.slots
+    dtype = u.dtype
+    uT = u.T  # (L,3)
+
+    def step(acc, inp):
+        wb, ub, bb, lo_i = inp
+        Wb = wb.reshape(B, slots, 3, 6)
+        gb = jnp.einsum("bsac,ba->bsc", Wb, ub).reshape(
+            B, span, C, 6).sum(axis=2).reshape(B, span * 6)
+        oh = _block_onehot(bb, lo_i, S, dtype)
+        z = jax.lax.dot_general(oh, gb, (((0,), (0,)), ((), ())),
+                                precision=_EXACT)  # (S, span*6)
+        z0 = jnp.zeros((), lo_i.dtype)
+        cur = jax.lax.dynamic_slice(acc, (lo_i, z0), (S, span * 6))
+        return jax.lax.dynamic_update_slice(acc, cur + z, (lo_i, z0)), None
+
+    Z, _ = jax.lax.scan(
+        step, _varying_zeros((K, span * 6), dtype, axis_name),
+        (asm.Wrm.reshape(NB, B, slots * 18), uT.reshape(NB, B, 3),
+         tp.base.reshape(NB, B), tp.lo), unroll=2)
+    # shift-add over span offsets
+    y2 = jnp.zeros((K, 6), dtype)
+    for r in range(span):
+        y2 = y2 + jnp.pad(Z[:, r * 6:(r + 1) * 6], ((r, 0), (0, 0)))[:K]
+    # overflow
+    uo = u[:, tp.ov_lm]  # (3, M)
+    g_ov = jnp.stack([
+        asm.Wov[:, 0 + b] * uo[0] + asm.Wov[:, 6 + b] * uo[1]
+        + asm.Wov[:, 12 + b] * uo[2] for b in range(6)], axis=1)  # (M,6)
+    y2 = y2 + jax.ops.segment_sum(g_ov, tp.ov_pose, num_segments=K)
+    return y2
+
+
+def _apply_hinv(Hinv, z):
+    return jnp.stack([
+        Hinv[0] * z[0] + Hinv[1] * z[1] + Hinv[2] * z[2],
+        Hinv[3] * z[0] + Hinv[4] * z[1] + Hinv[5] * z[2],
+        Hinv[6] * z[0] + Hinv[7] * z[1] + Hinv[8] * z[2],
+    ])
+
+
+def _gn_step_tracks(tp: TrackProblem, rig: RigParams, meta: TrackMeta,
+                    lam, cg_iters: int, axis_name=None):
+    asm = _assemble_tracks(tp, rig, meta, lam, axis_name)
+
+    def matvec(v):
+        z = _phase1_z(asm, tp, meta, v)       # (3, L) local
+        uu = _apply_hinv(asm.Hll_inv, z)
+        y2 = _phase2_y(asm, tp, meta, uu, axis_name)  # (K, 6)
+        if axis_name is not None:
+            y2 = jax.lax.psum(y2, axis_name)
+        return jnp.einsum("kab,kb->ka", asm.Hpp_d, v) - y2
+
+    def precond(v):
+        return jnp.einsum("kab,kb->ka", asm.Minv, v)
+
+    dx = _pcg(matvec, -asm.b_red, precond, cg_iters)  # (K,6)
+    zdx = _phase1_z(asm, tp, meta, dx)
+    dl = -_apply_hinv(asm.Hll_inv, asm.bl + zdx)      # (3, L)
+    return dx, dl.T, asm.cost
+
+
+def _apply_tracks(tp: TrackProblem, dxk, dl) -> TrackProblem:
+    from ..kinematics import quaternion as quat
+
+    fixed = tp.pose_fixed[:, None]
+    r_new = jnp.where(fixed > 0, tp.pose_r, tp.pose_r + dxk[:, :3])
+    q_new = jnp.where(
+        fixed > 0, tp.pose_q,
+        quat.normalize(quat.multiply(quat.exp(dxk[:, 3:6]), tp.pose_q)),
+    )
+    lm_new = jnp.where(tp.lm_valid[:, None], tp.lm + dl, tp.lm)
+    return tp._replace(pose_r=r_new, pose_q=q_new, lm=lm_new)
+
+
+def ba_solve_tracks(
+    tp: TrackProblem, rig: RigParams, meta: TrackMeta,
+    iters: int = 10, cg_iters: int = 32, lam: float = 1e-3,
+) -> Tuple[TrackProblem, jnp.ndarray]:
+    """Single-device track-structured GN+PCG. Same semantics as
+    ``pcg.ba_solve_pcg`` at a fraction of the per-iteration cost. Jit with
+    ``rig``/``meta`` closed over (``rig.model`` is a static string), e.g.
+    ``jax.jit(lambda p: ba_solve_tracks(p, rig, meta))``."""
+
+    def body(i, p):
+        dxk, dl, _ = _gn_step_tracks(
+            p, rig, meta, jnp.asarray(lam, p.pose_r.dtype), cg_iters)
+        return _apply_tracks(p, dxk, dl)
+
+    tp = jax.lax.fori_loop(0, iters, body, tp)
+    _, _, cost = _gn_step_tracks(
+        tp, rig, meta, jnp.asarray(lam, tp.pose_r.dtype), cg_iters)
+    return tp, cost
+
+
+def make_sharded_ba_tracks(
+    mesh: Mesh, rig: RigParams, meta: TrackMeta,
+    iters: int = 10, cg_iters: int = 32, lam: float = 1e-3,
+    axis: str = "data",
+):
+    """Distributed track-structured BA: landmark blocks (sorted by base)
+    shard contiguously; poses + CG state replicated; per CG iteration one
+    (K,6) psum; per GN step one (K,33) psum. Build the problem with
+    ``tracks_from_problem(..., n_shards=mesh.shape[axis])``."""
+    n = mesh.shape[axis]
+
+    def shard_body(tp: TrackProblem):
+        def body(i, p):
+            dxk, dl, _ = _gn_step_tracks(
+                p, rig, meta, jnp.asarray(lam, p.pose_r.dtype), cg_iters,
+                axis_name=axis)
+            return _apply_tracks(p, dxk, dl)
+
+        tp = jax.lax.fori_loop(0, iters, body, tp)
+        _, _, cost = _gn_step_tracks(
+            tp, rig, meta, jnp.asarray(lam, tp.pose_r.dtype), cg_iters,
+            axis_name=axis)
+        return tp, cost
+
+    rep = P()
+    sh = P(axis)
+    in_specs = TrackProblem(
+        pose_r=rep, pose_q=rep, pose_fixed=rep,
+        lm=sh, lm_valid=sh, base=sh, lo=sh,
+        obs_uv=P(None, None, axis), obs_valid=P(None, axis),
+        ov_uv=sh, ov_pose=sh, ov_lm=sh, ov_cam=sh, ov_valid=sh,
+    )
+    step = jax.jit(jax.shard_map(
+        shard_body, mesh=mesh, in_specs=(in_specs,),
+        out_specs=(in_specs, rep)))
+    shardings = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), in_specs)
+    return step, shardings

@@ -215,3 +215,86 @@ def build_global_ba_problem(key, K: int = 64, L: int = 4096, O: int = 16384,
         obs_valid=obs_valid,
     )
     return prob, rig_p
+
+
+def build_global_ba_tracks(key, K: int = 2048, L: int = 65536,
+                           span: int = 8, revisit_frac: float = 0.02,
+                           dtype=jnp.float32):
+    """Synthetic global BA problem with REALISTIC track structure: each
+    landmark is born at a pose and observed by a contiguous run of up to
+    ``span`` consecutive keyframes from every camera (how SLAM tracks
+    actually look — the random-pose assignment of
+    ``build_global_ba_problem`` has no temporal locality). A
+    ``revisit_frac`` fraction of landmarks additionally gets one
+    loop-closure re-observation from a much later pose (exercising the
+    overflow path of ``parallel.tracks``). Observation count O =
+    L * span * C slots, masked by projection validity."""
+    from .parallel import GlobalMapProblem
+
+    rig = euroc_like_rig()
+    rig_p = rig_params(rig, dtype)
+    C = rig.num_cameras
+    traj = sim.default_trajectory()
+    times = jnp.arange(K) * (4.0 / K) + 0.1
+
+    def pose_at(t):
+        T = sim.pose(traj, t)
+        return T.r.astype(dtype), T.q.astype(dtype)
+
+    pose_r, pose_q = jax.vmap(pose_at)(times)
+    k1, k2, k3 = jax.random.split(
+        jax.random.PRNGKey(0) if key is None else key, 3)
+    lms = sim.landmark_grid(
+        k1, L, jnp.array([0.5, 0.5, 5.0]), jnp.array([10.0, 10.0, 4.0])
+    ).astype(dtype)
+
+    birth = jax.random.randint(k2, (L,), 0, K, dtype=jnp.int32)
+    length = jax.random.randint(k3, (L,), 2, span + 1, dtype=jnp.int32)
+
+    # slot grid (L, span, C)
+    r_off = jnp.arange(span, dtype=jnp.int32)
+    obs_pose = jnp.minimum(birth[:, None] + r_off[None, :], K - 1)  # (L,span)
+    obs_pose = jnp.broadcast_to(obs_pose[:, :, None], (L, span, C))
+    obs_lm = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[:, None, None], (L, span, C))
+    obs_cam = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[None, None, :], (L, span, C))
+    in_run = (r_off[None, :] < length[:, None]) & (
+        birth[:, None] + r_off[None, :] < K)
+    in_run = jnp.broadcast_to(in_run[:, :, None], (L, span, C))
+
+    def project_one(pi, li, ci):
+        T_WS = from_rq(pose_r[pi], pose_q[pi])
+        T_WC = compose(T_WS, from_rq(rig_p.T_SC_r[ci], rig_p.T_SC_q[ci]))
+        p_C = transform_point(inverse(T_WC), lms[li])
+        uv, ok = project(rig.cameras[0], p_C)
+        return uv.astype(dtype), ok & (p_C[2] > 0.5)
+
+    flat = lambda a: a.reshape(-1)
+    obs_uv, obs_valid = jax.vmap(project_one)(
+        flat(obs_pose), flat(obs_lm), flat(obs_cam))
+    obs_valid = obs_valid & flat(in_run)
+
+    # loop-closure revisits: a later pose re-observes the landmark (cam 0)
+    n_rev = max(1, int(L * revisit_frac))
+    kr1, kr2 = jax.random.split(k3)
+    rev_lm = jax.random.randint(kr1, (n_rev,), 0, L, dtype=jnp.int32)
+    rev_pose = jnp.minimum(
+        birth[rev_lm] + jax.random.randint(kr2, (n_rev,), K // 4, K // 2,
+                                           dtype=jnp.int32), K - 1)
+    rev_uv, rev_ok = jax.vmap(project_one)(
+        rev_pose, rev_lm, jnp.zeros(n_rev, jnp.int32))
+
+    prob = GlobalMapProblem(
+        pose_r=pose_r, pose_q=pose_q,
+        pose_fixed=jnp.arange(K) < 2,
+        lm=lms, lm_valid=jnp.ones(L, bool),
+        obs_uv=jnp.concatenate(
+            [jnp.where(obs_valid[:, None], obs_uv, 0.0),
+             jnp.where(rev_ok[:, None], rev_uv, 0.0)]),
+        obs_pose=jnp.concatenate([flat(obs_pose), rev_pose]),
+        obs_lm=jnp.concatenate([flat(obs_lm), rev_lm]),
+        obs_cam=jnp.concatenate([flat(obs_cam), jnp.zeros(n_rev, jnp.int32)]),
+        obs_valid=jnp.concatenate([obs_valid, rev_ok]),
+    )
+    return prob, rig_p
