@@ -57,7 +57,12 @@ def main(argv=None) -> int:
     cfg = load_config(config_path)
     engine = VioEngine(cfg)
     closer = LoopCloser(engine.rig.cameras[0], cfg)
-    acl = AsyncLoopCloser(closer, blocking=False)
+    # keyframe_queue: bounded loop-closure intake depth (the reference's
+    # named keyframe_tracking_queue_, LoopClosure.cpp:22)
+    acl = AsyncLoopCloser(
+        closer, queue_size=max(1, cfg.loop_closure.keyframe_queue),
+        blocking=False,
+    )
     live = AsyncVioEngine(engine, blocking=False)
     live.keyframe_callback = acl.add_keyframe
     n_results = [0]

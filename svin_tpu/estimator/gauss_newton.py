@@ -321,6 +321,7 @@ def optimize(
     imu_params: ImuParameters,
     cfg: WindowConfig,
     lam0: float = 1e-4,
+    n_iters=None,
 ) -> OptimizeResult:
     """LM loop with static iteration bound (jit-friendly accept/reject).
 
@@ -328,15 +329,25 @@ def optimize(
     provides both its acceptance cost and — if accepted — the next
     iteration's normal equations (no separate cost re-evaluation), and the
     accepted assembly's landmark Hessian provides the quality metric.
+
+    ``n_iters`` (traced int32, optional) masks LM updates past a dynamic
+    iteration budget without recompiling — the engine's analog of the
+    reference's CeresIterationCallback time limit (``timeLimit`` +
+    ``minIterations`` config keys, CeresIterationCallback.hpp:106): the
+    host picks the per-frame budget from measured per-iteration time and
+    the compiled program freezes the state after that many iterations.
     """
     dtype = window.r.dtype
+    bound = jnp.asarray(
+        cfg.max_iterations if n_iters is None else n_iters, jnp.int32
+    )
 
-    def body(carry, _):
+    def body(carry, i):
         win, eqs, lam, n_acc = carry
         dx, dl = _solve_step(eqs, win, lam, cfg)
         cand = apply_step(win, dx, dl)
         eqs_cand = assemble(cand, factors, rig, imu_params, cfg)
-        accept = eqs_cand.cost < eqs.cost
+        accept = (eqs_cand.cost < eqs.cost) & (i < bound)
         sel = lambda a, b_: jnp.where(accept, a, b_)
         win_new = jax.tree_util.tree_map(sel, cand, win)
         eqs_new = jax.tree_util.tree_map(sel, eqs_cand, eqs)
@@ -347,8 +358,8 @@ def optimize(
     eqs0 = assemble(window, factors, rig, imu_params, cfg)
     cost0 = eqs0.cost
     (win, eqs, lam, n_accepted), _ = jax.lax.scan(
-        body, (window, eqs0, jnp.asarray(lam0, dtype), jnp.int32(0)), None,
-        length=cfg.max_iterations, unroll=cfg.unroll,
+        body, (window, eqs0, jnp.asarray(lam0, dtype), jnp.int32(0)),
+        jnp.arange(cfg.max_iterations, dtype=jnp.int32), unroll=cfg.unroll,
     )
     cost = eqs.cost
     Hll = eqs.Hll

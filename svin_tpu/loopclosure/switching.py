@@ -74,16 +74,37 @@ class SwitchingEstimator:
     T_anchor: Optional[Transformation] = None
     last_vio: Optional[Transformation] = None
     last_primitive: Optional[Transformation] = None
+    last_vio_time: Optional[float] = None
     switch_log: List[Tuple[float, str]] = field(default_factory=list)
 
     def add_primitive_pose(self, t: float, T_WB: Transformation) -> None:
+        """Feed one dead-reckoning pose. If VIO keyframes have been silent
+        for longer than ``keyframe_wait_time`` while primitive odometry
+        keeps arriving, switch to the primitive estimator even without an
+        unhealthy keyframe (the reference's VIO-silence timeout,
+        SwitchingEstimator.cpp:196-214: switch when
+        last_primitive_time - last_vio_keyframe_time > kf_wait_time)."""
         self.last_primitive = T_WB
+        if (
+            self.cfg.enable
+            and self.state == TrackingState.TRACKING_VIO
+            and self.last_vio_time is not None
+            and t - self.last_vio_time > self.cfg.keyframe_wait_time
+            and self.last_vio is not None
+        ):
+            self.T_anchor = compose(self.last_vio, inverse(T_WB))
+            self.state = TrackingState.TRACKING_PRIMITIVE
+            self.switch_log.append(
+                (t, f"VIO->PRIMITIVE (no VIO keyframe for "
+                    f"{t - self.last_vio_time:.2f} s)")
+            )
 
     def add_keyframe(
         self, t: float, T_WS_vio: Transformation, health: HealthStatus
     ) -> Transformation:
         """Feed a VIO keyframe + its health; returns the robust pose."""
         self.last_vio = T_WS_vio
+        self.last_vio_time = t
         if not self.cfg.enable:
             return T_WS_vio
         if self.state == TrackingState.NOT_INITIALIZED:

@@ -152,8 +152,13 @@ def preprocess(
     use_median: bool = False,
     histogram_method: str = "NONE",
     clahe_clip_limit: float = 2.0,
+    clahe_tiles: int = 8,
 ) -> jnp.ndarray:
-    """The Subscriber.cpp preprocessing chain as one function."""
+    """The Subscriber.cpp:123-160 preprocessing chain as one function:
+    resize by ``resizeFactor`` → optional 3x3 median → CLAHE (clip limit +
+    tile grid, ``claheTilesGridSize``) or global hist-eq. The resize output
+    shape is static per (input shape, factor), matching the rescaled
+    intrinsics from ``VioParametersReader``-style config loading."""
     out = to_float(img)
     if resize_factor != 1.0:
         out = resize_bilinear(
@@ -167,5 +172,8 @@ def preprocess(
     if method == "HISTOGRAM":
         out = hist_equalize(out)
     elif method == "CLAHE":
-        out = clahe(out, clip_limit=clahe_clip_limit)
+        out = clahe(
+            out, clip_limit=clahe_clip_limit,
+            tiles_y=clahe_tiles, tiles_x=clahe_tiles,
+        )
     return out

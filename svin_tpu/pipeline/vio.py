@@ -24,6 +24,7 @@ every device call here is non-blocking until results are read.
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
@@ -74,11 +75,14 @@ from functools import partial as _partial
 @_partial(
     jax.jit,
     static_argnames=(
-        "max_keypoints", "octaves", "histogram_method", "clahe_clip_limit"
+        "max_keypoints", "octaves", "histogram_method", "clahe_clip_limit",
+        "resize_factor", "clahe_tiles",
     ),
 )
 def _frontend_batch(
-    imgs: jnp.ndarray,  # (C,H,W) raw images
+    imgs: jnp.ndarray,  # (C,H,W) raw images (full resolution — resized
+    # here by resize_factor to match the rescaled intrinsics,
+    # Subscriber.cpp:123-160)
     g_C: jnp.ndarray,  # (C,3) gravity direction per camera frame
     threshold: jnp.ndarray,  # () detector response threshold (traced —
     # changing the config key does not recompile)
@@ -87,6 +91,8 @@ def _frontend_batch(
     octaves: int,
     histogram_method: str,
     clahe_clip_limit: float,
+    resize_factor: float = 1.0,
+    clahe_tiles: int = 4,
 ):
     """Preprocess + detect + describe for ALL cameras in one compiled
     program (vmap over the camera axis)."""
@@ -94,9 +100,10 @@ def _frontend_batch(
     def one(img, g):
         im = image_ops.preprocess(
             img,
-            resize_factor=1.0,
+            resize_factor=resize_factor,
             histogram_method=histogram_method,
             clahe_clip_limit=clahe_clip_limit,
+            clahe_tiles=clahe_tiles,
         )
         kp = detection.detect(
             im, max_keypoints=max_keypoints, octaves=octaves,
@@ -106,9 +113,13 @@ def _frontend_batch(
         d = desc_ops.describe(
             im, kp.uv, ang, kp.valid, octave=kp.octave, max_octave=octaves
         )
-        return kp.uv, d, kp.valid, kp.score, kp.octave
+        im8 = jnp.clip(im * 255.0, 0.0, 255.0).astype(jnp.uint8)
+        return kp.uv, d, kp.valid, kp.score, kp.octave, im8
 
-    return jax.vmap(one)(imgs, g_C)
+    uv, d, valid, score, octv, im8 = jax.vmap(one)(imgs, g_C)
+    # only cam0's processed image leaves the device (keyframe export);
+    # the other cameras' uint8 conversions are DCE'd by XLA
+    return uv, d, valid, score, octv, im8[0]
 
 
 def _to_np(tree):
@@ -209,6 +220,12 @@ class _FrameData:
     kp_landmark: List[np.ndarray]  # (K,) landmark slot per keypoint or -1
     kp_score: List[jnp.ndarray]
     kp_octave: List[np.ndarray]  # (K,) pyramid level per keypoint
+    # preprocessed (resized/CLAHE'd) cam0 image, uint8 — what the keyframe
+    # export ships so loop-closure BRIEF recomputation sees pixels in the
+    # same coordinate frame as the exported keypoints (Subscriber.cpp
+    # preprocesses BEFORE addImage, so the reference pipeline only ever
+    # sees the processed image)
+    image0: Optional[np.ndarray] = None
 
 
 class VioEngine:
@@ -294,12 +311,18 @@ class VioEngine:
             err = jnp.linalg.norm(ev.res, axis=-1) / (VioEngine._KP_SQRT_INFO * wt)
             return ev.valid, err
 
-        def _opt_prune(w, f):
-            res = optimize(w, f, rig_p, imu_p, wcfg)
+        def _opt_prune(w, f, n_it):
+            res = optimize(w, f, rig_p, imu_p, wcfg, n_iters=n_it)
             pv, pe = _reproj_px_err(res.window, f)
             return res.window, res.cost, res.iterations, res.lm_cov, pv, pe
 
         self._optimize_fn = jax.jit(_opt_prune)
+        # real-time iteration governor (CeresIterationCallback analog,
+        # ThreadedKFVio.cpp:760-764): rolling per-LM-iteration wall time;
+        # the per-frame budget ``timeLimit`` caps iterations at
+        # clip(timeLimit / iter_time, minIterations, maxIterations)
+        self._opt_iter_ema: Optional[float] = None
+        self._opt_calls = 0
         self._marginalize_fn = jax.jit(
             lambda w, f, s: marginalize_slot(w, f, s, rig_p, imu_p, wcfg)
         )
@@ -523,7 +546,7 @@ class VioEngine:
             g_Cs.append(npq.rotate(npq.conjugate(q_WC), np.array([0.0, 0.0, -1.0])))
         shapes = {np.asarray(img).shape for img in images}
         if len(images) > 1 and len(shapes) == 1:
-            uv, d, valid, score, octv = _to_np(
+            uv, d, valid, score, octv, img0 = _to_np(
                 _frontend_batch(
                     jnp.asarray(np.stack([np.asarray(i) for i in images])),
                     jnp.asarray(np.stack(g_Cs), jnp.float32),
@@ -532,17 +555,20 @@ class VioEngine:
                     octaves=self.cfg.detection_octaves,
                     histogram_method=self.cfg.histogram_method,
                     clahe_clip_limit=self.cfg.clahe_clip_limit,
+                    resize_factor=self.cfg.resize_factor,
+                    clahe_tiles=self.cfg.clahe_tiles,
                 )
             )
             n = len(images)
             return (
                 [uv[c] for c in range(n)], [d[c] for c in range(n)],
                 [valid[c] for c in range(n)], [score[c] for c in range(n)],
-                [octv[c] for c in range(n)],
+                [octv[c] for c in range(n)], img0,
             )
         uvs, descs, valids, scores, octs = [], [], [], [], []
+        img0 = None
         for ci, img in enumerate(images):
-            uv, d, valid, score, octv = _to_np(
+            uv, d, valid, score, octv, im0 = _to_np(
                 _frontend_batch(
                     jnp.asarray(np.asarray(img))[None],
                     jnp.asarray(g_Cs[ci], jnp.float32)[None],
@@ -551,6 +577,8 @@ class VioEngine:
                     octaves=self.cfg.detection_octaves,
                     histogram_method=self.cfg.histogram_method,
                     clahe_clip_limit=self.cfg.clahe_clip_limit,
+                    resize_factor=self.cfg.resize_factor,
+                    clahe_tiles=self.cfg.clahe_tiles,
                 )
             )
             uvs.append(uv[0])
@@ -558,7 +586,9 @@ class VioEngine:
             valids.append(valid[0])
             scores.append(score[0])
             octs.append(octv[0])
-        return uvs, descs, valids, scores, octs
+            if ci == 0:
+                img0 = im0
+        return uvs, descs, valids, scores, octs, img0
 
     def _landmark_descriptors(self):
         """(L, 8) uint32 descriptor per landmark slot (latest observation)."""
@@ -640,13 +670,29 @@ class VioEngine:
 
     # ------------------------------------------------------------ main step
     def add_frame(self, t: float, images: List[np.ndarray]) -> Optional[FrameResult]:
-        """Feed one synchronized multi-camera frame (blocking mode)."""
-        t = float(t)
+        """Feed one synchronized multi-camera frame (blocking mode).
+
+        The image timestamp is shifted by ``imageDelay`` (camera-vs-IMU
+        latency, Subscriber.cpp:154-155: ``t -= imageDelay``) before the
+        frame enters the pipeline."""
+        t = float(t) - self.cfg.image_delay
         if self.n_states == 0:
             return self._initialize(t, images)
 
         with Timer("2.0 frame_total"):
             return self._track(t, images)
+
+    def _iteration_budget(self) -> int:
+        """Per-frame LM iteration budget from the config's real-time
+        envelope (``ceres_options: timeLimit/minIterations``) and the
+        measured per-iteration wall time — the reference's
+        CeresIterationCallback re-expressed for a compiled fixed-shape
+        solver: iterations past the budget are masked in-program."""
+        max_it = self.wcfg.max_iterations
+        if self.cfg.time_limit <= 0 or self._opt_iter_ema is None:
+            return max_it
+        fit = int(self.cfg.time_limit / max(self._opt_iter_ema, 1e-9))
+        return int(np.clip(fit, max(1, self.cfg.min_iterations), max_it))
 
     # The per-keypoint sqrt information: reference scales by keypoint size
     # (64/size²); sigma = 1 px at octave 0, doubling per octave.
@@ -720,12 +766,13 @@ class VioEngine:
         pr.sb_valid[slot] = True
         self._attach_depth_factor(slot, t)
 
-        uvs, descs, valids, scores, octs = self._detect_describe(images, T0)
+        uvs, descs, valids, scores, octs, img0 = self._detect_describe(images, T0)
         fd = _FrameData(
             timestamp=t, kp_uv=uvs, kp_desc=descs, kp_valid=valids,
             kp_landmark=[np.full(self.cfg.max_keypoints, -1, np.int64) for _ in images],
             kp_score=scores,
             kp_octave=[np.asarray(o) for o in octs],
+            image0=img0,
         )
         self.frames[slot] = fd
         n_new = self._stereo_initialize_landmarks(slot, fd, T0)
@@ -1249,12 +1296,15 @@ class VioEngine:
 
         # ---- 1. detection/description at predicted attitude ----
         with Timer("2.1 detect_describe"):
-            uvs, descs, valids, scores, octs = self._detect_describe(images, T_pred)
+            uvs, descs, valids, scores, octs, img0 = self._detect_describe(
+                images, T_pred
+            )
         fd = _FrameData(
             timestamp=t, kp_uv=uvs, kp_desc=descs, kp_valid=valids,
             kp_landmark=[np.full(self.cfg.max_keypoints, -1, np.int64) for _ in images],
             kp_score=scores,
             kp_octave=[np.asarray(o) for o in octs],
+            image0=img0,
         )
 
         # ---- marginalization BEFORE adding if window is full ----
@@ -1311,10 +1361,31 @@ class VioEngine:
             self._accumulate_scale_state(t)
 
         # ---- 6. optimize ----
+        n_it = self._iteration_budget()
         with Timer("3.1 optimization"):
+            t_opt0 = time.perf_counter()
             win_h, cost_h, iters_h, lm_cov_h, pr_valid, pr_err = (
-                jax.device_get(self._optimize_fn(self.window, self.factors))
+                jax.device_get(
+                    self._optimize_fn(
+                        self.window, self.factors, jnp.int32(n_it)
+                    )
+                )
             )
+            dt_opt = time.perf_counter() - t_opt0
+        # rolling per-iteration estimate: the compiled program always
+        # executes max_iterations of FLOPs (masked past the budget), so
+        # wall / max_iterations is the honest per-iteration cost. The very
+        # first call is compile-dominated — skip it, and reject >10x
+        # outliers (host hiccups) once an estimate exists.
+        per_it = dt_opt / max(self.wcfg.max_iterations, 1)
+        if self._opt_calls > 0 and (
+            self._opt_iter_ema is None or per_it < 10.0 * self._opt_iter_ema
+        ):
+            self._opt_iter_ema = (
+                per_it if self._opt_iter_ema is None
+                else 0.8 * self._opt_iter_ema + 0.2 * per_it
+            )
+        self._opt_calls += 1
         self.window = jax.tree_util.tree_map(np.array, win_h)
         self._cost_last = float(cost_h)
         self._lm_iterations_last = int(iters_h)
@@ -1443,7 +1514,12 @@ class VioEngine:
         return {
             "kf_index": self.kf_count,
             "timestamp": fd.timestamp,
-            "image": np.asarray(images[0]),
+            # the PREPROCESSED (resized/CLAHE'd) cam0 image — keypoint uv
+            # and pixel coordinates share one frame (Subscriber.cpp
+            # preprocesses before the pipeline ever sees the image)
+            "image": (
+                fd.image0 if fd.image0 is not None else np.asarray(images[0])
+            ),
             "T_WC_r": np.asarray(T_WC.r),
             "T_WC_q": np.asarray(T_WC.q),
             "points_W": pts,

@@ -242,8 +242,8 @@ def build_global_ba_tracks(key, K: int = 2048, L: int = 65536,
         return T.r.astype(dtype), T.q.astype(dtype)
 
     pose_r, pose_q = jax.vmap(pose_at)(times)
-    k1, k2, k3 = jax.random.split(
-        jax.random.PRNGKey(0) if key is None else key, 3)
+    k1, k2, k3, k4 = jax.random.split(
+        jax.random.PRNGKey(0) if key is None else key, 4)
     lms = sim.landmark_grid(
         k1, L, jnp.array([0.5, 0.5, 5.0]), jnp.array([10.0, 10.0, 4.0])
     ).astype(dtype)
@@ -277,7 +277,7 @@ def build_global_ba_tracks(key, K: int = 2048, L: int = 65536,
 
     # loop-closure revisits: a later pose re-observes the landmark (cam 0)
     n_rev = max(1, int(L * revisit_frac))
-    kr1, kr2 = jax.random.split(k3)
+    kr1, kr2 = jax.random.split(k4)
     rev_lm = jax.random.randint(kr1, (n_rev,), 0, L, dtype=jnp.int32)
     rev_pose = jnp.minimum(
         birth[rev_lm] + jax.random.randint(kr2, (n_rev,), K // 4, K // 2,

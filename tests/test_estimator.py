@@ -296,3 +296,34 @@ def test_marginalization_frees_orphaned_landmarks(problem):
     # landmarks with live observations elsewhere survive
     alive = np.asarray(f2.reproj.lm_idx)[np.asarray(f2.reproj.valid)]
     assert np.asarray(w2.lm_valid)[np.unique(alive)].all()
+
+
+def test_dynamic_iteration_budget_masks_updates(problem):
+    """n_iters (the CeresIterationCallback timeLimit analog): a traced
+    iteration budget must freeze the state after that many LM iterations —
+    identical to a shorter static loop — without recompilation."""
+    window, factors, rig_p, truth = problem
+    res_full = optimize(window, factors, rig_p, IMU_PARAMS, CFG)
+    res_b1 = optimize(
+        window, factors, rig_p, IMU_PARAMS, CFG, n_iters=jnp.int32(1)
+    )
+    cfg1 = CFG._replace(max_iterations=1)
+    res_static1 = optimize(window, factors, rig_p, IMU_PARAMS, cfg1)
+    assert int(res_b1.iterations) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res_b1.window.r), np.asarray(res_static1.window.r),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(float(res_b1.cost), float(res_static1.cost),
+                               rtol=1e-6)
+    # full budget (n_iters == max_iterations) reproduces the default path
+    res_bmax = optimize(
+        window, factors, rig_p, IMU_PARAMS, CFG,
+        n_iters=jnp.int32(CFG.max_iterations),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_bmax.window.r), np.asarray(res_full.window.r),
+        rtol=1e-6, atol=1e-8,
+    )
+    # and the budgeted solve really stopped early (full run improves more)
+    assert float(res_full.cost) <= float(res_b1.cost)

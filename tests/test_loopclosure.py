@@ -219,6 +219,35 @@ def test_switching_estimator_state_machine():
     assert sw.state == TrackingState.TRACKING_VIO
 
 
+def test_switching_on_vio_silence_timeout():
+    """keyframe_wait_time (SwitchingEstimator.cpp:196-214): VIO keyframes
+    going silent for longer than the wait time while primitive odometry
+    keeps arriving must trigger the switch WITHOUT any unhealthy keyframe."""
+    from svin_tpu.loopclosure.switching import HealthStatus
+
+    cfg = HealthConfig(enable=True, consecutive_keyframes=2,
+                       keyframe_wait_time=1.5)
+    sw = SwitchingEstimator(cfg=cfg)
+    T_vio = Transformation(r=jnp.array([1.0, 0, 0]), q=quat.identity())
+    T_prim = Transformation(r=jnp.array([5.0, 5, 0]), q=quat.identity())
+    sw.add_keyframe(0.0, T_vio, HealthStatus(True))
+    assert sw.state == TrackingState.TRACKING_VIO
+    # primitive poses within the wait window: no switch
+    sw.add_primitive_pose(1.0, T_prim)
+    assert sw.state == TrackingState.TRACKING_VIO
+    # silence exceeds keyframe_wait_time → primitive takes over, re-anchored
+    sw.add_primitive_pose(2.0, T_prim)
+    assert sw.state == TrackingState.TRACKING_PRIMITIVE
+    np.testing.assert_allclose(np.asarray(sw.robust_pose().r), [1, 0, 0],
+                               atol=1e-9)
+    # primitive moves; robust pose follows in the anchored frame
+    sw.add_primitive_pose(
+        2.5, Transformation(r=jnp.array([5.0, 6, 0]), q=quat.identity())
+    )
+    np.testing.assert_allclose(np.asarray(sw.robust_pose().r), [1, 1, 0],
+                               atol=1e-9)
+
+
 def test_global_map_update_after_loop():
     gm = GlobalMap()
     T0 = Transformation(r=jnp.zeros(3), q=quat.identity())

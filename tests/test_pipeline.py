@@ -145,6 +145,115 @@ def test_engine_from_reference_config():
         assert engine.rig.has_overlap(0, 1)
 
 
+def test_resize_factor_image_and_intrinsics_consistent():
+    """resizeFactor must resize the IMAGE, not just the intrinsics
+    (Subscriber.cpp:123-160; VioParametersReader.cpp:266-303 rescales
+    fx/fy/cx/cy — the reference's underwater configs all ship 0.5).
+
+    Render a bright corner blob into a FULL-resolution image at the
+    full-res projection of a known 3D point; run the engine frontend with
+    resize_factor=0.5; the detected keypoint must land at the point's
+    projection under the RESCALED intrinsics (i.e. half the full-res pixel
+    coordinate), proving detection coordinates and intrinsics share one
+    image frame. Round 2 hardcoded resize_factor=1.0 inside
+    ``_frontend_batch``: a silent 2x geometry error on those configs."""
+    from svin_tpu.cameras import project
+    from svin_tpu.ops import detection
+    from svin_tpu.pipeline.vio import _frontend_batch
+
+    W_full, H_full = 320, 240
+    rf = 0.5
+    cam_full = make_camera(W_full, H_full, 260.0, 260.0, 160.0, 120.0, model="none")
+    cam_half = make_camera(
+        int(W_full * rf), int(H_full * rf), 260.0 * rf, 260.0 * rf,
+        160.0 * rf, 120.0 * rf, model="none",
+    )
+    p_C = jnp.asarray([0.35, -0.2, 2.0])
+    uv_full, ok_full = project(cam_full, p_C[None])
+    uv_half, ok_half = project(cam_half, p_C[None])
+    assert bool(ok_full[0]) and bool(ok_half[0])
+    uv_full = np.asarray(uv_full[0])
+    uv_half = np.asarray(uv_half[0])
+    np.testing.assert_allclose(uv_half, uv_full * rf, atol=1e-5)
+
+    # full-res image: dark background, one bright square centered on the
+    # FULL-res projection (a strong Harris corner at every scale)
+    img = np.zeros((H_full, W_full), np.float32) + 0.08
+    cx, cy = int(round(uv_full[0])), int(round(uv_full[1]))
+    img[cy - 6 : cy + 6, cx - 6 : cx + 6] = 0.95
+
+    thr = jnp.asarray(1e-6, jnp.float32)
+    g = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    uv, _, valid, score, _, img0 = _frontend_batch(
+        jnp.asarray(img)[None], g, thr, max_keypoints=64, octaves=0,
+        histogram_method="NONE", clahe_clip_limit=1.0, resize_factor=rf,
+    )
+    # the processed image itself must be at the rescaled resolution
+    assert img0.shape == (int(H_full * rf), int(W_full * rf))
+    uv = np.asarray(uv[0])
+    valid = np.asarray(valid[0])
+    score = np.asarray(score[0])
+    assert valid.any()
+    best = np.argmax(np.where(valid, score, -np.inf))
+    # detected coordinate is consistent with the RESCALED intrinsics: the
+    # blob's corners sit ~4.2 resized px from the center; the strongest
+    # corner must be within that radius + NMS slack of uv_half
+    err = np.linalg.norm(uv[best] - uv_half)
+    assert err < 7.0, (uv[best], uv_half, err)
+    # and inconsistent with full-res coords (the round-2 failure mode):
+    err_full = np.linalg.norm(uv[best] - uv_full)
+    assert err_full > 20.0, (uv[best], uv_full)
+
+
+def test_image_delay_shifts_frame_timestamp():
+    """imageDelay (Subscriber.cpp:154-155): frame timestamps must be
+    shifted by the configured camera-vs-IMU latency before entering the
+    pipeline."""
+    from vio_fixtures import small_config, small_rig
+    from svin_tpu import sim
+    from svin_tpu.pipeline import VioEngine, synthetic_sequence
+
+    delay = 0.04
+    rig, cfg = small_rig(), small_config()
+    cfg.image_delay = delay
+    engine = VioEngine(cfg, rig=rig)
+    events, _ = synthetic_sequence(
+        rig, duration=0.8, cam_rate=6.0, imu_rate=100.0, imu_params=cfg.imu,
+        seed=3, n_points=300, traj=sim.default_trajectory(scale=0.4, ramp_tau=0.8),
+        spread=6.0, depth_offset=3.0, t_first_frame=0.12,
+    )
+    for ev in events:
+        if ev.kind == "imu":
+            engine.add_imu_measurement(ev.t, *ev.imu)
+        elif ev.kind == "frame":
+            r = engine.add_frame(ev.t, ev.images)
+            if r is not None:
+                assert abs(r.timestamp - (ev.t - delay)) < 1e-9
+                return
+    pytest.fail("no frame result produced")
+
+
+def test_clahe_tiles_wired_through():
+    """claheTilesGridSize must be observable in preprocess behavior
+    (round 2 parsed it into the config and then never passed it on)."""
+    from svin_tpu.ops.image import preprocess
+
+    rng = np.random.RandomState(0)
+    # spatially varying contrast so the tile grid matters
+    img = (rng.rand(96, 128) * np.linspace(0.2, 1.0, 128)[None, :]).astype(
+        np.float32
+    )
+    out2 = np.asarray(
+        preprocess(jnp.asarray(img), histogram_method="CLAHE",
+                   clahe_clip_limit=2.0, clahe_tiles=2)
+    )
+    out8 = np.asarray(
+        preprocess(jnp.asarray(img), histogram_method="CLAHE",
+                   clahe_clip_limit=2.0, clahe_tiles=8)
+    )
+    assert np.abs(out2 - out8).max() > 1e-3
+
+
 def test_extrinsics_random_walk_decay():
     """sigma_c_relative_* mode (reference per-state T_SC chain with
     RelativePoseError): the shared-block prior re-centers at the running

@@ -5,7 +5,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, ".")
 from bench import build_posegraph_20k
 from svin_tpu.parallel.pcg import _pg4_gn_step_pcg, _pg4_eval, optimize_4dof_pcg
