@@ -322,7 +322,11 @@ def detail_ba_tracks():
 
 
 def detail_posegraph():
-    from svin_tpu.parallel import optimize_4dof_pcg
+    from functools import partial
+
+    from svin_tpu.parallel import (
+        band_posegraph, optimize_4dof_banded, optimize_4dof_pcg,
+    )
 
     nodes, edges, N_pg = build_posegraph_20k()
     PG_GN = 2
@@ -333,7 +337,92 @@ def detail_posegraph():
     )
     t_pg = time_fn(pg_fn, nodes, edges, iters=3, warmup=1) / PG_GN
     emit(f"pose graph PCG ({N_pg} nodes, 4-DoF) {1.0/t_pg:.2f} GN iters/s")
+    # banded solver (the loop closer's in-situ Cave-scale branch)
+    prob, meta = band_posegraph(nodes, edges, block=1024, wmax=4,
+                                coarse_group=64)
+    band_fn = jax.jit(partial(
+        optimize_4dof_banded, meta=meta, fix_before=jnp.int32(1),
+        iters=PG_GN, cg_iters=64,
+    ))
+    t_band = time_fn(lambda p: band_fn(prob=p)[0].p, prob, iters=3, warmup=1) / PG_GN
+    emit(
+        f"pose graph BANDED ({N_pg} nodes, 4-DoF) {1.0/t_band:.2f} GN "
+        f"iters/s ({t_pg/t_band:.2f}x vs PCG)"
+    )
+    # 6-DoF (SE(3)) PCG at the same scale — the pgo_mode:6dof Cave branch
+    from svin_tpu.kinematics import npq
+    from svin_tpu.loopclosure import PoseGraph6Edges, PoseGraph6Nodes
+    from svin_tpu.loopclosure.posegraph import ypr_to_matrix_np
+    from svin_tpu.parallel import optimize_6dof_pcg
+
+    np_nodes = jax.device_get(nodes)
+    q6 = np.stack([
+        npq.from_rotation_matrix(ypr_to_matrix_np(y, 0.0, 0.0))
+        for y in np.asarray(np_nodes.yaw)
+    ])
+    nodes6 = PoseGraph6Nodes(
+        r=jnp.asarray(np.asarray(np_nodes.p), jnp.float32),
+        q=jnp.asarray(q6, jnp.float32), valid=nodes.valid,
+    )
+    ei, ej = np.asarray(edges.i), np.asarray(edges.j)
+    qij = np.stack([
+        npq.from_rotation_matrix(ypr_to_matrix_np(y, 0.0, 0.0))
+        for y in np.asarray(edges.yaw_ij)
+    ])
+    E6 = ei.shape[0]
+    W6 = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
+    edges6 = PoseGraph6Edges(
+        i=edges.i, j=edges.j, t_ij=edges.t_ij.astype(jnp.float32),
+        q_ij=jnp.asarray(qij, jnp.float32),
+        sqrt_info=jnp.broadcast_to(jnp.asarray(W6, jnp.float32), (E6, 6, 6)),
+        valid=edges.valid,
+    )
+    pg6_fn = jax.jit(
+        lambda nd, ed: optimize_6dof_pcg(
+            nd, ed, jnp.int32(1), iters=PG_GN, cg_iters=64, coarse_group=64
+        ).r
+    )
+    t_pg6 = time_fn(pg6_fn, nodes6, edges6, iters=3, warmup=1) / PG_GN
+    emit(f"pose graph PCG ({N_pg} nodes, 6-DoF SE(3)) {1.0/t_pg6:.2f} GN iters/s")
     return nodes, edges, N_pg
+
+
+def detail_retrieval():
+    """Place-recognition query cost at 10^4 keyframes: host numpy scan vs
+    the packed device path (one jitted gather/min/rowsum program) — the
+    loop closer switches to the device path past 1024 entries."""
+    from svin_tpu.loopclosure.retrieval import (
+        ProductKeyframeDatabase, score_packed_device,
+    )
+
+    rng = np.random.RandomState(0)
+    db = ProductKeyframeDatabase(capacity=16384)
+    N = 12288
+    # synthesize packed rows directly (BoW quantization is not under test)
+    db.word_ids[:N] = rng.randint(0, 65536, size=(N, db.M))
+    w = rng.rand(N, db.M).astype(np.float32)
+    db.word_w[:N] = w / w.sum(1, keepdims=True)
+    db.count = N
+    q = (db.word_ids[7].copy(), db.word_w[7].copy())
+
+    t0 = time.perf_counter()
+    for _ in range(20):
+        dense = np.zeros(65536, np.float32)
+        dense[q[0]] = q[1]
+        g = dense[db.word_ids[:N]]
+        s_host = np.sum(np.minimum(g, db.word_w[:N]) * (db.word_w[:N] > 0), 1)
+    t_host = (time.perf_counter() - t0) / 20
+
+    db._ensure_device_mirror()
+    qi, qw = jnp.asarray(q[0]), jnp.asarray(q[1])
+    fn = lambda: score_packed_device(qi, qw, db._dev_ids, db._dev_w)
+    t_dev = time_fn(fn, iters=50, warmup=3)
+    s_dev = np.asarray(fn())[:N]
+    assert np.allclose(s_host, s_dev, atol=1e-5), "device scores != host"
+    emit(
+        f"retrieval query @ {N} kf: host {t_host*1e3:.2f} ms, device "
+        f"{t_dev*1e3:.3f} ms ({t_host/t_dev:.1f}x), scores equal"
+    )
 
 
 def main():
@@ -402,6 +491,7 @@ def main():
     section("BA PCG Cave-scale", 100, detail_ba_pcg)
     section("BA tracks Cave-scale", 100, detail_ba_tracks)
     section("pose graph 20k", 80, detail_posegraph)
+    section("retrieval 12k", 30, detail_retrieval)
     section("pallas on-chip", 30, validate_pallas_on_chip)
     signal.alarm(0)
     emit(f"done in {time.monotonic() - T_START:.0f} s (budget {BUDGET_S:.0f} s)")

@@ -25,7 +25,9 @@ def normalize(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def conjugate(q: jnp.ndarray) -> jnp.ndarray:
-    return q * jnp.array([-1.0, -1.0, -1.0, 1.0])
+    # sign mask in q's own dtype: a bare jnp.array of Python floats is
+    # STRONGLY f64 under x64 and would silently upcast an f32 pipeline
+    return q * jnp.asarray([-1.0, -1.0, -1.0, 1.0], q.dtype)
 
 
 def multiply(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:

@@ -52,6 +52,8 @@ MIN_LOOP_SCORE = 0.015  # absolute floor on BoW score
 N_EXTRA_CORNERS = 500  # fresh FAST/Harris corners per loop keyframe
 DESC_DIST_LOOP = 80  # Hamming acceptance for loop matching (Keyframe.cpp:290-306)
 WINDOW_CAP = 512  # fixed window-keypoint capacity (static shapes → one jit)
+COVIS_WEIGHT_TH = 20  # shared-landmark covisibility edge threshold
+# (Keyframe::updateConnections th_weight, Keyframe.cpp:146-162)
 
 
 @dataclass
@@ -69,6 +71,11 @@ class LoopKeyframe:
     loop_index: int = -1
     loop_rel_t: Optional[np.ndarray] = None
     loop_rel_yaw: float = 0.0
+    # VIO session this keyframe belongs to (reference Keyframe::sequence)
+    sequence: int = 0
+    # covisibility-graph neighbours (internal indices, shared-landmark
+    # weight > COVIS_WEIGHT_TH — mConnectedKeyFrameWeights analog)
+    connected: List[int] = field(default_factory=list)
 
 
 @dataclass
@@ -164,6 +171,24 @@ class LoopCloser:
         # analog). Primitive odometry arrives via add_primitive_pose.
         self.switching = SwitchingEstimator(cfg=self.cfg.health)
         self.robust_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        # pose-graph solve budget (tests/benchmarks can lower these; the
+        # defaults match the reference's repeated 10-iteration re-solves)
+        self.pgo_gn_iters = 30
+        self.pgo_cg_iters = 96
+        self._banded_jit = None
+        # export kf_index → internal index (reference kfMapper_,
+        # LoopClosure.cpp:103-130: per-point covisibility lists reference
+        # export indices; unhealthy keyframes never enter, so the two
+        # numbering schemes drift apart)
+        self._kf_by_export: Dict[int, int] = {}
+        # sequence/base-frame state (PoseGraph.cpp:46-61): a VIO restart
+        # starts a new sequence — drift resets, sequential edges never
+        # cross the boundary, and the first cross-sequence loop aligns the
+        # whole new sequence into the world frame via a yaw-only shift
+        self.sequence_cnt = 0
+        self._seq_aligned: Dict[int, bool] = {0: True}
+        self._w_svin_R = np.eye(3)
+        self._w_svin_t = np.zeros(3)
 
     # ------------------------------------------------------------- intake
     def add_keyframe(self, kf_export: dict) -> Optional[LoopInfo]:
@@ -182,9 +207,32 @@ class LoopCloser:
         if self._pending_optimize:
             self._pending_optimize = False
             self._optimize_and_update_drift()
-        T_WC = Transformation(
+        # sequence boundary: VIO restarted — zero the drift and the base
+        # shift; the new sequence lives in its own frame until a
+        # cross-sequence loop aligns it (PoseGraph.cpp:50-61)
+        seq = int(kf_export.get("sequence", 0))
+        if seq != self.sequence_cnt:
+            self.sequence_cnt = seq
+            self._seq_aligned[seq] = False
+            self._w_svin_R = np.eye(3)
+            self._w_svin_t = np.zeros(3)
+            self.yaw_drift = 0.0
+            self.R_drift = np.eye(3)
+            self.t_drift = np.zeros(3)
+        T_raw = Transformation(
             r=np.asarray(kf_export["T_WC_r"], float),
             q=np.asarray(kf_export["T_WC_q"], float),
+        )
+        # base-frame shift (w_r_svin/w_t_svin): identity until this
+        # sequence's first cross-sequence loop re-anchors it
+        T_WC = Transformation(
+            r=self._w_svin_R @ np.asarray(T_raw.r) + self._w_svin_t,
+            q=npq.normalize(
+                npq.multiply(
+                    npq.from_rotation_matrix(self._w_svin_R),
+                    np.asarray(T_raw.q),
+                )
+            ),
         )
         # health gate + robust pose (LoopClosure.cpp:57-188: unhealthy
         # keyframes feed the switching estimator but are not processed)
@@ -206,27 +254,52 @@ class LoopCloser:
             )
         if self.cfg.health.enable and not health.healthy:
             return None
-        image = jnp.asarray(kf_export["image"], jnp.float32)
-        # window-keypoint descriptors (recomputed on the keyframe image like
-        # the reference's computeWindowBRIEFPoint) — padded to WINDOW_CAP so
-        # every downstream device call has one static shape
         uv_raw = np.asarray(kf_export["keypoints_uv"], np.float32).reshape(-1, 2)
         M = min(uv_raw.shape[0], WINDOW_CAP)
         uv_pad = np.zeros((WINDOW_CAP, 2), np.float32)
         uv_pad[:M] = uv_raw[:M]
-        uv_w = jnp.asarray(uv_pad)
         valid_w = np.arange(WINDOW_CAP) < M
-        desc_w_d = desc_ops.describe(
-            image, uv_w, jnp.zeros(WINDOW_CAP, jnp.float32), valid_w
-        )
-        # fresh corners (computeBRIEFPoint: FAST-20 + BRIEF)
-        kp_e = detection.detect(image, max_keypoints=N_EXTRA_CORNERS)
-        desc_e_d = desc_ops.describe(image, kp_e.uv, kp_e.angle, kp_e.valid)
-        # ONE batched device→host transfer (per-leaf fetches are RPCs on
-        # remote backends — see pipeline.vio._to_np)
-        desc_w, desc_e, kp_e_uv, kp_e_valid = jax.device_get(
-            (desc_w_d, desc_e_d, kp_e.uv, kp_e.valid)
-        )
+        if "window_desc" in kf_export:
+            # precomputed-descriptor intake (image-free): descriptor arrays
+            # replace on-image BRIEF recomputation — used by multi-session
+            # merge payloads and scale tests where rendering 10³-10⁴ real
+            # images is not the subject under test
+            desc_w = np.zeros((WINDOW_CAP, 8), np.uint32)
+            dw = np.asarray(kf_export["window_desc"], np.uint32)
+            desc_w[: min(M, dw.shape[0])] = dw[:M]
+            desc_e = np.asarray(kf_export["extra_desc"], np.uint32)
+            kp_e_uv = np.asarray(kf_export["extra_uv"], np.float32)
+            kp_e_valid = np.asarray(kf_export["extra_valid"], bool)
+        else:
+            image = jnp.asarray(kf_export["image"], jnp.float32)
+            # window-keypoint descriptors (recomputed on the keyframe image
+            # like the reference's computeWindowBRIEFPoint) — padded to
+            # WINDOW_CAP so every downstream device call has one static shape
+            uv_w = jnp.asarray(uv_pad)
+            desc_w_d = desc_ops.describe(
+                image, uv_w, jnp.zeros(WINDOW_CAP, jnp.float32), valid_w
+            )
+            # fresh corners (computeBRIEFPoint: FAST-20 + BRIEF)
+            kp_e = detection.detect(image, max_keypoints=N_EXTRA_CORNERS)
+            desc_e_d = desc_ops.describe(image, kp_e.uv, kp_e.angle, kp_e.valid)
+            # ONE batched device→host transfer (per-leaf fetches are RPCs on
+            # remote backends — see pipeline.vio._to_np)
+            desc_w, desc_e, kp_e_uv, kp_e_valid = jax.device_get(
+                (desc_w_d, desc_e_d, kp_e.uv, kp_e.valid)
+            )
+
+        # covisibility graph from the export's per-point covisibility lists
+        # (LoopClosure.cpp:103-114 KFcounter + Keyframe::updateConnections
+        # th_weight=20): count shared landmarks per referenced keyframe
+        kf_counter: Dict[int, int] = {}
+        for lst in kf_export.get("point_covisibilities", []) or []:
+            for ek in lst:
+                ik = self._kf_by_export.get(int(ek))
+                if ik is not None:
+                    kf_counter[ik] = kf_counter.get(ik, 0) + 1
+        connected = [
+            k for k, w in kf_counter.items() if w > COVIS_WEIGHT_TH
+        ]
 
         kf = LoopKeyframe(
             index=idx,
@@ -239,8 +312,11 @@ class LoopCloser:
             extra_uv=kp_e_uv,
             extra_desc=desc_e,
             extra_valid=kp_e_valid,
+            sequence=seq,
+            connected=connected,
         )
         self.keyframes.append(kf)
+        self._kf_by_export[int(kf_export.get("kf_index", idx))] = idx
 
         # pose-graph node from the drift-corrected VIO pose
         T_cor = self.apply_drift(T_WC)
@@ -250,9 +326,14 @@ class LoopCloser:
         self.nodes.pitch[idx] = pitch
         self.nodes.roll[idx] = roll
         self.nodes.valid[idx] = True
-        # sequential edges to the 1-2 previous keyframes (PoseGraph.cpp:252-335)
-        for back in (1, 2):
-            if idx - back >= 0:
+        # sequential edges to previous keyframes of the SAME sequence —
+        # j=1..2 in 4-DoF mode (PoseGraph.cpp:252-335), j=1..4 in 6-DoF
+        # mode (PoseGraph.cpp:387-543); a VIO relative across a sequence
+        # reset is meaningless, matching the reference's
+        # sequence_array[i]==sequence_array[i-j] guard
+        n_back = 4 if self.cfg.loop_closure.pgo_mode == "6dof" else 2
+        for back in range(1, n_back + 1):
+            if idx - back >= 0 and self.keyframes[idx - back].sequence == seq:
                 self._add_sequential_edge(idx - back, idx)
 
         # loop detection (db query BEFORE adding, excluding recent)
@@ -267,6 +348,15 @@ class LoopCloser:
             kf.loop_rel_t = loop.rel_t
             kf.loop_rel_yaw = loop.rel_yaw
             self.earliest_loop_index = min(self.earliest_loop_index, loop.match_index)
+            # first loop from a NEW sequence into an older one: align the
+            # whole new sequence into the world frame with a yaw-only shift
+            # (PoseGraph.cpp:95-119) before the graph solve
+            old_kf = self.keyframes[loop.match_index]
+            if (
+                old_kf.sequence != kf.sequence
+                and not self._seq_aligned.get(kf.sequence, True)
+            ):
+                self._align_sequence(kf, loop)
             self._add_loop_edge(loop)
             if self.cfg.fast_relocalization:
                 # immediate single-constraint re-anchor NOW; the full
@@ -377,6 +467,54 @@ class LoopCloser:
         e.valid[k] = True
         self.n_edges += 1
 
+    def _align_sequence(self, kf: LoopKeyframe, loop: LoopInfo) -> None:
+        """Shift every keyframe of ``kf``'s (new) sequence into the world
+        frame using the first cross-sequence loop (PoseGraph.cpp:95-119):
+        yaw-only rotation + translation mapping the current keyframe's VIO
+        pose onto the old keyframe's corrected pose composed with the loop
+        relative. Stored VIO poses AND their world points move together;
+        within-sequence relative edges are invariant under the rigid
+        shift."""
+        old = loop.match_index
+        R_old = ypr_to_matrix_np(
+            self.nodes.yaw[old], self.nodes.pitch[old], self.nodes.roll[old]
+        )
+        w_P_cur = R_old @ loop.rel_t + self.nodes.p[old]
+        w_yaw_cur = float(self.nodes.yaw[old]) + loop.rel_yaw
+        yaw_vio = float(
+            matrix_to_ypr_np(npq.to_rotation_matrix(np.asarray(kf.T_WC_vio.q)))[0]
+        )
+        shift_yaw = float(normalize_angle_np(w_yaw_cur - yaw_vio))
+        Rz = ypr_to_matrix_np(shift_yaw, 0.0, 0.0)
+        shift_t = w_P_cur - Rz @ np.asarray(kf.T_WC_vio.r)
+        dq = npq.from_rotation_matrix(Rz)
+        for k2 in self.keyframes:
+            if k2.sequence != kf.sequence:
+                continue
+            k2.T_WC_vio = Transformation(
+                r=Rz @ np.asarray(k2.T_WC_vio.r) + shift_t,
+                q=npq.normalize(npq.multiply(dq, np.asarray(k2.T_WC_vio.q))),
+            )
+            if k2.points_W.size:
+                k2.points_W = k2.points_W @ Rz.T + shift_t
+            # re-seed the node at the shifted (drift-free) pose; the solve
+            # that follows the loop edge refines it
+            j = k2.index
+            ypr_j = matrix_to_ypr_np(
+                npq.to_rotation_matrix(np.asarray(k2.T_WC_vio.q))
+            )
+            self.nodes.p[j] = np.asarray(k2.T_WC_vio.r)
+            self.nodes.yaw[j] = ypr_j[0]
+            self.nodes.pitch[j] = ypr_j[1]
+            self.nodes.roll[j] = ypr_j[2]
+        # future intake of this sequence arrives pre-shifted
+        self._w_svin_R = Rz @ self._w_svin_R
+        self._w_svin_t = Rz @ self._w_svin_t + shift_t
+        self.yaw_drift = 0.0
+        self.R_drift = np.eye(3)
+        self.t_drift = np.zeros(3)
+        self._seq_aligned[kf.sequence] = True
+
     def _detect_and_verify(self, kf: LoopKeyframe) -> Optional[LoopInfo]:
         lc = self.cfg.loop_closure
         if not lc.enable:
@@ -394,11 +532,18 @@ class LoopCloser:
         idxs, scores = self.db.query_vector(
             v, top_k=4, exclude_after=exclude_after
         )
-        # covisible-neighbor relative gate (PoseGraph::detectLoop min-score
-        # vs neighbour scores × 0.6): a candidate must score at least 0.6 of
-        # what the immediately preceding (covisible) keyframe scores
+        # covisible-neighbor relative gate (PoseGraph::detectLoop
+        # min_score over the query's ACTUAL covisible keyframes ×0.6,
+        # PoseGraph.cpp:180-191, mConnectedKeyFrameWeights from
+        # shared-landmark weights >20): a candidate must score at least
+        # 0.6 of the weakest covisible link. Fall back to the last-3
+        # database entries when no covisibility edges exist (first frames;
+        # precomputed intakes without per-point lists).
         neighbor_floor = 0.0
-        if self.db.count >= 1:
+        if kf.connected:
+            s_nb = self.db.scores_at(v, kf.connected)
+            neighbor_floor = 0.6 * float(np.min(s_nb))
+        elif self.db.count >= 1:
             lo = max(0, self.db.count - 3)
             s_nb = self.db.scores_range(v, lo, self.db.count)
             # the WEAKEST covisible link sets the bar (reference semantics)
@@ -540,24 +685,21 @@ class LoopCloser:
             # edges referencing nodes beyond the slice are padding (invalid)
             if Np > 2048:
                 # Cave/Bus-joint scale: the dense (4N)² reduced solve stops
-                # being viable — switch to the matrix-free two-level-
-                # preconditioned CG (parallel/pcg.py)
-                from ..parallel.pcg import optimize_4dof_pcg
-
-                out = jax.tree_util.tree_map(
-                    np.array,
-                    jax.device_get(
-                        optimize_4dof_pcg(
-                            nodes_s, edges_s, fix_before, iters=30,
-                            cg_iters=96, coarse_group=32,
-                        )
-                    ),
-                )
+                # being viable — switch to the BANDED matrix-free solver
+                # (parallel/pg_band.py: sequential edges as per-block
+                # one-hot matmuls over contiguous node windows, loop edges
+                # COO; 1.8x over the generic PCG at 20k nodes on one chip,
+                # identical math — parity vs optimize_4dof_pcg tested in
+                # tests/test_pcg.py)
+                out = self._solve_banded(nodes_s, edges_s, fix_before)
             else:
                 out = jax.tree_util.tree_map(
                     np.array,
                     jax.device_get(
-                        optimize_4dof(nodes_s, edges_s, fix_before, iters=30)
+                        optimize_4dof(
+                            nodes_s, edges_s, fix_before,
+                            iters=self.pgo_gn_iters,
+                        )
                     ),
                 )
             self.nodes.p[:Np] = out.p
@@ -583,6 +725,29 @@ class LoopCloser:
         self.t_drift = (
             self.nodes.p[last] - self.R_drift @ np.asarray(kf.T_WC_vio.r)
         )
+
+    def _solve_banded(self, nodes_s, edges_s, fix_before):
+        """Banded 4-DoF solve for the Cave-scale branch: host-side banding
+        (one O(E) pass) + the jitted block solver. The jit caches per
+        BandMeta — stable once the graph's edge density settles, so this
+        recompiles O(log N) times over a session like the dense path."""
+        from ..parallel.pg_band import band_posegraph, optimize_4dof_banded
+
+        prob, meta = band_posegraph(
+            nodes_s, edges_s, block=1024, wmax=4, coarse_group=32
+        )
+        if self._banded_jit is None:
+            self._banded_jit = jax.jit(
+                optimize_4dof_banded,
+                static_argnames=("meta", "iters", "cg_iters"),
+            )
+        out_nodes, _ = self._banded_jit(
+            prob, meta, fix_before,
+            iters=self.pgo_gn_iters, cg_iters=self.pgo_cg_iters,
+        )
+        N0 = nodes_s.p.shape[0]
+        out = jax.tree_util.tree_map(np.array, jax.device_get(out_nodes))
+        return jax.tree_util.tree_map(lambda a: a[:N0], out)
 
     def _optimize_6dof(self, fix_before: jnp.ndarray) -> None:
         """Full-SE(3) pose-graph solve (reference optimize6DoFPoseGraph,
@@ -614,9 +779,10 @@ class LoopCloser:
         t_full = np.zeros((E, 3))
         q_full = np.zeros((E, 4))
         q_full[:, 3] = 1.0
-        for k, (t, qr) in enumerate(self._edges_full[:E]):
-            t_full[k] = t
-            q_full[k] = qr
+        ne = min(len(self._edges_full), E)
+        if ne:
+            t_full[:ne] = np.stack([t for t, _ in self._edges_full[:ne]])
+            q_full[:ne] = np.stack([q for _, q in self._edges_full[:ne]])
         W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
         edges6 = PoseGraph6Edges(
             i=self.edges.i[:E],
@@ -628,7 +794,20 @@ class LoopCloser:
             ),
             valid=self.edges.valid[:E],
         )
-        out = optimize_6dof(nodes6, edges6, fix_before, iters=5)
+        if Np > 2048:
+            # Cave/Bus-joint scale: matrix-free SE(3) PCG (block-Jacobi
+            # 6×6 + two-level coarse Galerkin, parallel/pcg.py) replaces
+            # the (6N)² dense solve — the 6-DoF analog of the 4-DoF
+            # branch; equivalence-tested vs optimize_6dof
+            from ..parallel.pcg import optimize_6dof_pcg
+
+            out = optimize_6dof_pcg(
+                nodes6, edges6, fix_before,
+                iters=max(5, self.pgo_gn_iters // 3),
+                cg_iters=self.pgo_cg_iters, coarse_group=32,
+            )
+        else:
+            out = optimize_6dof(nodes6, edges6, fix_before, iters=5)
         ypr_d = jax.vmap(
             lambda qq: jnp.stack(matrix_to_ypr(quat.to_rotation_matrix(qq)))
         )(out.q)

@@ -247,6 +247,13 @@ class KeyframeDatabase:
             np.abs(self.vectors[lo:hi] - v[None, :]), axis=-1
         )
 
+    def scores_at(self, v, idxs) -> np.ndarray:
+        """L1 scores of v against specific entries (covisibility floor)."""
+        ii = np.asarray(idxs, np.int64)
+        return 1.0 - 0.5 * np.sum(
+            np.abs(self.vectors[ii] - v[None, :]), axis=-1
+        )
+
 
 # ---------------------------------------------------- product quantization
 # Two-level product vocabulary: the 256-bit descriptor splits into two
@@ -383,6 +390,11 @@ class ProductKeyframeDatabase:
     math in numpy)."""
 
     M = 512  # max unique words per keyframe (≥ keypoint budget)
+    # database size at which query scoring moves on-device: below this the
+    # (N, M) host gather is microseconds; above it the host scan becomes
+    # the serial per-keyframe cost (TemplatedDatabase::query at scale) and
+    # one jitted gather/min/rowsum over the packed table wins
+    DEVICE_QUERY_AT = 1024
 
     def __init__(self, pv: Optional[ProductVocabulary] = None,
                  capacity: int = 4096):
@@ -391,6 +403,11 @@ class ProductKeyframeDatabase:
         self.word_ids = np.zeros((capacity, self.M), np.int32)
         self.word_w = np.zeros((capacity, self.M), np.float32)
         self.count = 0
+        # incrementally grown device mirror of the packed table (pow2
+        # doubling like the pose-graph tables → O(log N) recompiles)
+        self._dev_ids: Optional[jnp.ndarray] = None
+        self._dev_w: Optional[jnp.ndarray] = None
+        self._dev_count = 0
 
     def _sparse_bow(self, desc, valid):
         w = np.asarray(product_words(desc, self.pv.vocab1, self.pv.vocab2))
@@ -435,6 +452,29 @@ class ProductKeyframeDatabase:
             exclude_after=exclude_after,
         )
 
+    def _ensure_device_mirror(self) -> None:
+        """Bring the device copy of the packed table up to date: full
+        re-upload on pow2 capacity growth, one contiguous row-slice update
+        otherwise."""
+        cap_needed = max(self.DEVICE_QUERY_AT, 1 << (self.count - 1).bit_length())
+        if self._dev_ids is None or self._dev_ids.shape[0] < cap_needed:
+            ids = np.zeros((cap_needed, self.M), np.int32)
+            w = np.zeros((cap_needed, self.M), np.float32)
+            ids[: self.count] = self.word_ids[: self.count]
+            w[: self.count] = self.word_w[: self.count]
+            self._dev_ids = jnp.asarray(ids)
+            self._dev_w = jnp.asarray(w)
+            self._dev_count = self.count
+        elif self._dev_count < self.count:
+            lo, hi = self._dev_count, self.count
+            self._dev_ids = jax.lax.dynamic_update_slice(
+                self._dev_ids, jnp.asarray(self.word_ids[lo:hi]), (lo, 0)
+            )
+            self._dev_w = jax.lax.dynamic_update_slice(
+                self._dev_w, jnp.asarray(self.word_w[lo:hi]), (lo, 0)
+            )
+            self._dev_count = self.count
+
     def query_vector(self, v, top_k: int = 4, exclude_after: int = None):
         q_ids, q_w = v
         n = (
@@ -443,13 +483,25 @@ class ProductKeyframeDatabase:
         )
         if n == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        dense = np.zeros(PQ_VOCAB, np.float32)
-        dense[q_ids] = q_w
-        gathered = dense[self.word_ids[:n]]  # (n, M)
-        s = np.sum(
-            np.minimum(gathered, self.word_w[:n]) * (self.word_w[:n] > 0),
-            axis=1,
-        )
+        if self.count >= self.DEVICE_QUERY_AT:
+            # device path: one jitted program over the whole packed table
+            # (rows past `count` carry zero weights → score 0); top-k and
+            # recency exclusion on the fetched score vector
+            self._ensure_device_mirror()
+            s = np.asarray(
+                score_packed_device(
+                    jnp.asarray(q_ids), jnp.asarray(q_w),
+                    self._dev_ids, self._dev_w,
+                )
+            )[:n]
+        else:
+            dense = np.zeros(PQ_VOCAB, np.float32)
+            dense[q_ids] = q_w
+            gathered = dense[self.word_ids[:n]]  # (n, M)
+            s = np.sum(
+                np.minimum(gathered, self.word_w[:n]) * (self.word_w[:n] > 0),
+                axis=1,
+            )
         k = min(top_k, n)
         idx = np.argpartition(-s, k - 1)[:k]
         idx = idx[np.argsort(-s[idx])]
@@ -466,6 +518,21 @@ class ProductKeyframeDatabase:
         return np.sum(
             np.minimum(gathered, self.word_w[lo:hi])
             * (self.word_w[lo:hi] > 0),
+            axis=1,
+        )
+
+    def scores_at(self, v, idxs) -> np.ndarray:
+        """L1 scores of a sparse query against specific entries (the
+        covisibility-floor scoring of detectLoop)."""
+        q_ids, q_w = v
+        ii = np.asarray(idxs, np.int64)
+        if ii.size == 0:
+            return np.empty(0, np.float32)
+        dense = np.zeros(PQ_VOCAB, np.float32)
+        dense[q_ids] = q_w
+        gathered = dense[self.word_ids[ii]]
+        return np.sum(
+            np.minimum(gathered, self.word_w[ii]) * (self.word_w[ii] > 0),
             axis=1,
         )
 

@@ -534,3 +534,153 @@ def make_sharded_posegraph_pcg(
         jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), edge_spec),
     )
     return step, shardings
+
+
+# ------------------------------------------------- 6-DoF pose graph (SE(3))
+def _pg6_eval(nd, edges, free):
+    """6-DoF edge residuals + Jacobians with fixed-node columns zeroed
+    (the SE(3) analog of ``_pg4_eval``; residual semantics identical to
+    ``loopclosure.posegraph.optimize_6dof`` / the reference's
+    PoseGraph3dErrorTerm, ``Pose3DError.h:155``)."""
+    from ..kinematics import quaternion as quat
+
+    dtype = nd.r.dtype
+
+    def one(ei, ej, t_ij, q_ij, W, ok):
+        def res_of(d12):
+            r_i = nd.r[ei] + d12[:3]
+            r_j = nd.r[ej] + d12[6:9]
+            q_i = quat.normalize(quat.multiply(quat.exp(d12[3:6]), nd.q[ei]))
+            q_j = quat.normalize(quat.multiply(quat.exp(d12[9:12]), nd.q[ej]))
+            C_iW = quat.to_rotation_matrix(q_i).T
+            r_t = C_iW @ (r_j - r_i) - t_ij
+            q_rel = quat.multiply(quat.conjugate(q_i), q_j)
+            r_q = quat.log(quat.multiply(quat.conjugate(q_ij), q_rel))
+            return W @ jnp.concatenate([r_t, r_q])
+
+        r = res_of(jnp.zeros(12, dtype))
+        J = jax.jacfwd(res_of)(jnp.zeros(12, dtype))
+        # typed casts (a jnp.where of two weak Python floats promotes to
+        # the x64 default dtype and would upcast the whole solve)
+        w = ok.astype(dtype)
+        Ji = J[:, :6] * free[ei].astype(dtype)
+        Jj = J[:, 6:] * free[ej].astype(dtype)
+        return w * r, w * Ji, w * Jj
+
+    return jax.vmap(one)(
+        edges.i, edges.j, edges.t_ij, edges.q_ij, edges.sqrt_info,
+        edges.valid,
+    )
+
+
+def _pg6_gn_step_pcg(nd, edges, fix_before, N: int, cg_iters: int,
+                     coarse_group: int = 16, axis_name=None):
+    """One SE(3) pose-graph GN step via the same two-level PCG as the
+    4-DoF path: block-Jacobi 6×6 + exact coarse Galerkin operator over
+    ``coarse_group``-node groups (the (6N)² dense solve of
+    ``optimize_6dof`` never materializes)."""
+    dtype = nd.r.dtype
+    free = nd.valid & (jnp.arange(N) >= fix_before)
+    r, Ji, Jj = _pg6_eval(nd, edges, free)  # (E,6), (E,6,6), (E,6,6)
+
+    Hd = jax.ops.segment_sum(
+        jnp.einsum("era,erb->eab", Ji, Ji), edges.i, num_segments=N
+    ) + jax.ops.segment_sum(
+        jnp.einsum("era,erb->eab", Jj, Jj), edges.j, num_segments=N
+    )
+    b = jax.ops.segment_sum(
+        jnp.einsum("era,er->ea", Ji, r), edges.i, num_segments=N
+    ) + jax.ops.segment_sum(
+        jnp.einsum("era,er->ea", Jj, r), edges.j, num_segments=N
+    )
+    cost = 0.5 * jnp.sum(r * r)
+
+    Nc = -(-N // coarse_group)
+    coarse = jnp.arange(N) // coarse_group
+    ci = coarse[edges.i]
+    cj = coarse[edges.j]
+    Hii = jnp.einsum("era,erb->eab", Ji, Ji)
+    Hjj = jnp.einsum("era,erb->eab", Jj, Jj)
+    Hij = jnp.einsum("era,erb->eab", Ji, Jj)
+    Hc = (
+        jax.ops.segment_sum(Hii, ci * Nc + ci, num_segments=Nc * Nc)
+        + jax.ops.segment_sum(Hjj, cj * Nc + cj, num_segments=Nc * Nc)
+        + jax.ops.segment_sum(Hij, ci * Nc + cj, num_segments=Nc * Nc)
+        + jax.ops.segment_sum(
+            jnp.swapaxes(Hij, -1, -2), cj * Nc + ci, num_segments=Nc * Nc
+        )
+    ).reshape(Nc, Nc, 6, 6)
+
+    if axis_name is not None:
+        Hd = jax.lax.psum(Hd, axis_name)
+        b = jax.lax.psum(b, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+        Hc = jax.lax.psum(Hc, axis_name)
+
+    dH = jnp.einsum("nii->ni", Hd)
+    damp = 1e-6 * jnp.maximum(dH, 1.0) + jnp.where(free, 0.0, 1.0)[:, None]
+    Hd = Hd + jax.vmap(jnp.diag)(damp)
+    Minv = _inv_blocks(Hd)
+    b = b * free[:, None]
+
+    damp_c = jax.ops.segment_sum(damp, coarse, num_segments=Nc)  # (Nc,6)
+    Dc = Nc * 6
+    Hc_flat = Hc.transpose(0, 2, 1, 3).reshape(Dc, Dc)
+    Hc_flat = Hc_flat + jnp.diag(damp_c.reshape(Dc))
+    Hc_cho = jax.scipy.linalg.cho_factor(
+        Hc_flat + 1e-9 * jnp.eye(Dc, dtype=dtype)
+    )
+    freef = free[:, None].astype(dtype)
+
+    def matvec(v):  # (N,6)
+        t = jnp.einsum("era,ea->er", Ji, v[edges.i]) + jnp.einsum(
+            "era,ea->er", Jj, v[edges.j]
+        )
+        y = jax.ops.segment_sum(
+            jnp.einsum("era,er->ea", Ji, t), edges.i, num_segments=N
+        ) + jax.ops.segment_sum(
+            jnp.einsum("era,er->ea", Jj, t), edges.j, num_segments=N
+        )
+        if axis_name is not None:
+            y = jax.lax.psum(y, axis_name)
+        return y + damp * v
+
+    def precond(v):
+        fine = jnp.einsum("nab,nb->na", Minv, v)
+        vr = jax.ops.segment_sum(v * freef, coarse, num_segments=Nc)
+        uc = jax.scipy.linalg.cho_solve(Hc_cho, vr.reshape(Dc)).reshape(Nc, 6)
+        return fine + uc[coarse] * freef
+
+    dx = _pcg(matvec, -b, precond, cg_iters)
+    return dx, cost
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "coarse_group"))
+def optimize_6dof_pcg(
+    nodes,
+    edges,
+    fix_before: jnp.ndarray,
+    iters: int = 5,
+    cg_iters: int = 96,
+    coarse_group: int = 16,
+):
+    """Matrix-free SE(3) pose-graph GN (reference
+    ``PoseGraph::optimize6DoFPoseGraph``, ``PoseGraph.cpp:387-543``) —
+    the 6-DoF mode's Cave/Bus-scale path; semantics match the dense
+    ``optimize_6dof`` (equivalence-tested)."""
+    from ..kinematics import quaternion as quat
+    from ..loopclosure.posegraph import PoseGraph6Nodes
+
+    N = nodes.r.shape[0]
+
+    def gn(_, nd):
+        dx, _ = _pg6_gn_step_pcg(
+            nd, edges, fix_before, N, cg_iters, coarse_group
+        )
+        return PoseGraph6Nodes(
+            r=nd.r + dx[:, :3],
+            q=quat.normalize(quat.multiply(quat.exp(dx[:, 3:6]), nd.q)),
+            valid=nd.valid,
+        )
+
+    return jax.lax.fori_loop(0, iters, gn, nodes)

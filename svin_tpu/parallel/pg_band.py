@@ -116,21 +116,29 @@ def band_posegraph(
     lo = np.minimum(lo, N - S)
 
     co_rows = np.nonzero(ok & ~banded)[0]
-    Ec = max(len(co_rows), 1)
+    nc = len(co_rows)
+    # pad COO edges to a pow2 ≥ 16 so occasional extra loop edges do not
+    # change the compiled shape (the loop closer re-bands per solve)
+    Ec = max(16, 1 << (max(nc, 1) - 1).bit_length())
+    tdt = np.asarray(edges.t_ij).dtype
+    co_i = np.zeros(Ec, np.int32)
+    co_j = np.ones(Ec, np.int32)
+    co_t = np.zeros((Ec, 3), tdt)
+    co_yaw = np.zeros(Ec, tdt)
+    co_w = np.zeros(Ec, tdt)
+    co_lp = np.zeros(Ec, bool)
+    co_ok = np.zeros(Ec, bool)
+    co_i[:nc] = ei[co_rows]
+    co_j[:nc] = ej[co_rows]
+    co_t[:nc] = np.asarray(edges.t_ij)[co_rows]
+    co_yaw[:nc] = np.asarray(edges.yaw_ij)[co_rows]
+    co_w[:nc] = np.asarray(edges.weight)[co_rows]
+    co_lp[:nc] = np.asarray(edges.is_loop)[co_rows]
+    co_ok[:nc] = True
     co = PoseGraphEdges(
-        i=jnp.zeros(Ec, jnp.int32).at[: len(co_rows)].set(
-            jnp.asarray(ei[co_rows], jnp.int32)),
-        j=jnp.ones(Ec, jnp.int32).at[: len(co_rows)].set(
-            jnp.asarray(ej[co_rows], jnp.int32)),
-        t_ij=jnp.zeros((Ec, 3), edges.t_ij.dtype).at[: len(co_rows)].set(
-            jnp.asarray(np.asarray(edges.t_ij)[co_rows])),
-        yaw_ij=jnp.zeros(Ec, edges.yaw_ij.dtype).at[: len(co_rows)].set(
-            jnp.asarray(np.asarray(edges.yaw_ij)[co_rows])),
-        weight=jnp.zeros(Ec, edges.weight.dtype).at[: len(co_rows)].set(
-            jnp.asarray(np.asarray(edges.weight)[co_rows])),
-        is_loop=jnp.zeros(Ec, bool).at[: len(co_rows)].set(
-            jnp.asarray(np.asarray(edges.is_loop)[co_rows])),
-        valid=jnp.zeros(Ec, bool).at[: len(co_rows)].set(True),
+        i=jnp.asarray(co_i), j=jnp.asarray(co_j), t_ij=jnp.asarray(co_t),
+        yaw_ij=jnp.asarray(co_yaw), weight=jnp.asarray(co_w),
+        is_loop=jnp.asarray(co_lp), valid=jnp.asarray(co_ok),
     )
     prob = BandedPoseGraph(
         nodes=nodes, be_i=jnp.asarray(be_i), be_j=jnp.asarray(be_j),

@@ -81,6 +81,9 @@ KEYFRAME_FIELDS = (
     ("points_W", np.float32, (-1, 3)),  # padded landmark positions
     ("point_valid", np.bool_, (-1,)),
     ("descriptors", np.uint32, (-1, 8)),
+    ("landmark_ids", np.int64, (-1,)),  # sender-local landmark ids
+    # (the reference's per-point lmId channel, ThreadedKFVio.cpp:1147+ —
+    # what cross-session association resolves back to the sender's map)
 )
 
 
@@ -96,6 +99,11 @@ def pack_keyframe(export: Dict, cap: int) -> Dict[str, np.ndarray]:
     if d is not None:
         m = min(len(d), cap)
         desc[:m] = np.asarray(d)[:m]
+    lm_ids = np.full(cap, -1, np.int64)
+    li = export.get("landmark_ids")
+    if li is not None:
+        m = min(len(li), cap)
+        lm_ids[:m] = np.asarray(li)[:m]
     return {
         "kf_index": np.int32(export["kf_index"]),
         "timestamp": np.float64(export["timestamp"]),
@@ -104,6 +112,7 @@ def pack_keyframe(export: Dict, cap: int) -> Dict[str, np.ndarray]:
         "points_W": pts,
         "point_valid": ok,
         "descriptors": desc,
+        "landmark_ids": lm_ids,
     }
 
 
@@ -137,6 +146,7 @@ def exchange_keyframe_payloads(
         "points_W": np.zeros((max_per_round, cap, 3), np.float32),
         "point_valid": np.zeros((max_per_round, cap), bool),
         "descriptors": np.zeros((max_per_round, cap, 8), np.uint32),
+        "landmark_ids": np.full((max_per_round, cap), -1, np.int64),
     }
     for i, kf in enumerate(local[:max_per_round]):
         for k in batch:
@@ -150,6 +160,39 @@ def exchange_keyframe_payloads(
                 continue
             out.append({k: gathered[k][p, i] for k in gathered})
     return out
+
+
+def exchange_session_problems(prob) -> list:
+    """All-gather each process's session ``GlobalMapProblem`` (equal
+    shapes required across processes — pad sessions to a common K/L/O
+    first). Returns the per-process list in process order, the input for
+    ``merge_sessions``. Collective. This is the DCN bulk-map exchange of
+    the cooperative-mapping flow; the solve that follows runs sharded over
+    the PROCESS mesh, so compute distributes even though each host holds
+    the merged problem's host copy."""
+    from .dist_ba import GlobalMapProblem
+
+    gathered = _allgather_tree(dict(prob._asdict()))
+    P = gathered["pose_r"].shape[0]
+    return [
+        GlobalMapProblem(**{k: gathered[k][p] for k in gathered})
+        for p in range(P)
+    ]
+
+
+def exchange_shared_pairs(
+    local_pairs: np.ndarray, max_per_round: int = 256
+) -> np.ndarray:
+    """Exchange cross-session landmark associations (rows
+    ``[session_a, lm_a, session_b, lm_b]``; the merge_sessions ``shared``
+    input) across hosts; rows with session_a < 0 are padding.
+    Collective."""
+    batch = np.full((max_per_round, 4), -1, np.int64)
+    n = min(len(local_pairs), max_per_round)
+    if n:
+        batch[:n] = np.asarray(local_pairs, np.int64)[:n]
+    gathered = _allgather_tree(batch).reshape(-1, 4)
+    return gathered[gathered[:, 0] >= 0]
 
 
 def exchange_loop_edges(

@@ -113,10 +113,20 @@ def save_loop_closer(closer, path: str) -> None:
         "earliest_loop_index": closer.earliest_loop_index,
         "yaw_drift": closer.yaw_drift,
         "n_keyframes": len(closer.keyframes),
+        # sequence/base-frame state (PoseGraph.cpp:50-61 analog)
+        "sequence_cnt": closer.sequence_cnt,
+        "seq_aligned": {str(k): bool(v) for k, v in closer._seq_aligned.items()},
+        "kf_by_export": {str(k): int(v) for k, v in closer._kf_by_export.items()},
     }
     out["meta"] = np.asarray(json.dumps(meta))
     out["t_drift"] = closer.t_drift
     out["R_drift"] = closer.R_drift
+    out["w_svin_R"] = closer._w_svin_R
+    out["w_svin_t"] = closer._w_svin_t
+    if closer.keyframes:
+        out["kf_seq"] = np.asarray(
+            [k.sequence for k in closer.keyframes], np.int32
+        )
     if closer._edges_full:
         out["edges_full_t"] = np.stack([t for t, _ in closer._edges_full])
         out["edges_full_q"] = np.stack([q for _, q in closer._edges_full])
@@ -147,6 +157,16 @@ def load_loop_closer(closer, path: str):
     closer.t_drift = np.asarray(data["t_drift"])
     if "R_drift" in data:
         closer.R_drift = np.asarray(data["R_drift"])
+    if "w_svin_R" in data:
+        closer._w_svin_R = np.asarray(data["w_svin_R"])
+        closer._w_svin_t = np.asarray(data["w_svin_t"])
+    closer.sequence_cnt = int(meta.get("sequence_cnt", 0))
+    closer._seq_aligned = {
+        int(k): bool(v) for k, v in meta.get("seq_aligned", {"0": True}).items()
+    }
+    closer._kf_by_export = {
+        int(k): int(v) for k, v in meta.get("kf_by_export", {}).items()
+    }
     if "edges_full_t" in data:
         closer._edges_full = [
             (np.asarray(t), np.asarray(q))
@@ -165,6 +185,10 @@ def load_loop_closer(closer, path: str):
         closer.db.word_ids[:n] = data["db_word_ids"]
         closer.db.word_w[:n] = data["db_word_w"]
         closer.db.count = n
+        # invalidate the device mirror (rebuilt lazily on next query)
+        closer.db._dev_ids = None
+        closer.db._dev_w = None
+        closer.db._dev_count = 0
     else:
         n = int(data["db_vectors"].shape[0])
         closer.db.vectors[:n] = data["db_vectors"]
@@ -188,6 +212,9 @@ def load_loop_closer(closer, path: str):
                     extra_uv=jnp.zeros((0, 2)),
                     extra_desc=empty_desc,
                     extra_valid=empty_valid,
+                    sequence=(
+                        int(data["kf_seq"][k]) if "kf_seq" in data else 0
+                    ),
                 )
             )
     return closer

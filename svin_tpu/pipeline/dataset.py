@@ -354,9 +354,21 @@ def events_from_source(data: str, cfg, rig):
             if ":" in w:
                 a, b = w.split(":")
                 degrade.append((float(a), float(b)))
+        # SVIN_SYNTH_GYRO_NOISE_SCALE: scale the SIMULATOR's gyro noise
+        # relative to the engine's model — injects genuine rotation drift
+        # (incl. roll/pitch) without recompiling the engine programs; the
+        # 6-DoF-mode gauntlet uses this to prove full-rotation drift
+        # correction
+        gy_scale = float(os.environ.get("SVIN_SYNTH_GYRO_NOISE_SCALE", "1"))
+        sim_imu = cfg.imu
+        if gy_scale != 1.0:
+            sim_imu = sim_imu._replace(
+                sigma_g_c=sim_imu.sigma_g_c * gy_scale,
+                sigma_gw_c=sim_imu.sigma_gw_c * gy_scale,
+            )
         events, _ = synthetic_sequence(
             rig, duration=duration, cam_rate=cfg.camera_rate,
-            imu_rate=float(cfg.imu.rate), imu_params=cfg.imu,
+            imu_rate=float(cfg.imu.rate), imu_params=sim_imu,
             traj=traj,
             spread=6.0, depth_offset=3.0, t_first_frame=0.12,
             depth_enabled=cfg.is_depth_used,

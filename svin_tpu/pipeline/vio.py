@@ -437,6 +437,15 @@ class VioEngine:
         )
         self.frame_count = 0
         self.kf_count = 0
+        # state-id → exported keyframe index (kf_count at export time): lets
+        # the export translate window covisibilities into keyframe indices
+        # the loop closer can resolve (the reference's kfMapper_ contract,
+        # LoopClosure.cpp:103-130)
+        self._kf_index_by_state_id: Dict[int, int] = {}
+        # sequence counter: bumped on VIO reset so the pose graph can
+        # re-anchor instead of smearing drift across the discontinuity
+        # (reference Keyframe::sequence, PoseGraph.cpp:50-61)
+        self.sequence = 0
         self.next_state_id = 0
         self.next_lm_id = 0
         self.state_callback: Optional[Callable[[FrameResult], None]] = None
@@ -780,6 +789,9 @@ class VioEngine:
         self.last_kf_slot = slot
         self.frame_count += 1
         self.kf_count += 1
+        self._kf_index_by_state_id[int(self.window.state_id[slot])] = (
+            self.kf_count
+        )
         res = FrameResult(
             timestamp=t, T_WS=T0,
             speed_bias=np.zeros(9), is_keyframe=True,
@@ -1358,6 +1370,9 @@ class VioEngine:
             self.window.is_keyframe[slot] = True
             self.last_kf_slot = slot
             self.kf_count += 1
+            self._kf_index_by_state_id[int(self.window.state_id[slot])] = (
+                self.kf_count
+            )
             self._accumulate_scale_state(t)
 
         # ---- 6. optimize ----
@@ -1499,18 +1514,28 @@ class VioEngine:
         qx = (fd.kp_uv[0][:, 0] >= W_ / 2).astype(int)
         qy = (fd.kp_uv[0][:, 1] >= H_ / 2).astype(int)
         q = np.bincount((qy * 2 + qx)[v], minlength=4)[:4]
-        # covisibility counts vs other window frames: shared landmark slots
-        # (the export's per-point covisibility list, ThreadedKFVio.cpp:1147+)
-        my_lms = set(int(l) for l in lm_slots)
-        covis = {}
+        # per-point covisibility: for each exported landmark, the EXPORT
+        # keyframe indices of other window keyframes observing it (the
+        # reference ships exactly this as per-point channel lists,
+        # ThreadedKFVio.cpp:1147-1247 → pose_graph builds KFcounter from
+        # them, LoopClosure.cpp:103-114). Plus the per-keyframe summary
+        # (kf_index → shared-landmark count) for SvinHealth parity.
+        lm_observers: Dict[int, List[int]] = {}
         for s2, fd2 in self.frames.items():
             if s2 == slot:
                 continue
-            shared = sum(
-                1 for l in fd2.kp_landmark[0] if l >= 0 and int(l) in my_lms
+            kf_idx2 = self._kf_index_by_state_id.get(
+                int(self.window.state_id[s2])
             )
-            if shared > 0:
-                covis[int(self.window.state_id[s2])] = shared
+            if kf_idx2 is None:
+                continue  # non-keyframe window state
+            for l in np.unique(fd2.kp_landmark[0][fd2.kp_landmark[0] >= 0]):
+                lm_observers.setdefault(int(l), []).append(kf_idx2)
+        point_covis = [lm_observers.get(int(l), []) for l in lm_slots]
+        covis: Dict[int, int] = {}
+        for lst in point_covis:
+            for k2 in lst:
+                covis[k2] = covis.get(k2, 0) + 1
         return {
             "kf_index": self.kf_count,
             "timestamp": fd.timestamp,
@@ -1534,7 +1559,11 @@ class VioEngine:
             ),
             "quadrant_counts": np.asarray(q),
             "response_strengths": fd.kp_score[0][sel],
-            "covisibilities": covis,  # state_id -> shared landmark count
+            "covisibilities": covis,  # kf_index -> shared landmark count
+            # per exported point: export kf indices of other keyframes
+            # observing it (order matches points_W / keypoints_uv)
+            "point_covisibilities": point_covis,
+            "sequence": self.sequence,
         }
 
     # ------------------------------------------------------------- output

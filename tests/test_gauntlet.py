@@ -70,7 +70,13 @@ health:
     min_keypoints: 12
     consecutive_keyframes: 2
     kps_per_quadrant: 1
+    keyframe_wait_time: 20.0
 """
+# keyframe_wait_time is generous here: this gauntlet calibrates the
+# HEALTH-gate switching path (unhealthy keyframes in the degraded
+# stretch); the VIO-silence timeout path has its own unit test
+# (test_switching_on_vio_silence_timeout) and at this sequence's sparse
+# keyframe rate the reference-style 2 s default would fire off-subject.
 
 
 @pytest.fixture(scope="module")

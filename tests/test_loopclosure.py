@@ -992,3 +992,39 @@ def test_capacity_growth_unbounded_keyframes():
     assert closer.n_edges == 1 + 2 * 8
     path = closer.optimized_path()
     assert path.shape == (10, 3)
+
+
+def test_product_db_device_query_matches_host():
+    """Past DEVICE_QUERY_AT entries query_vector scores on-device (packed
+    mirror + one jitted gather/min/rowsum); results must equal the host
+    scan bit-for-rank (VERDICT r2 #9)."""
+    from svin_tpu.loopclosure.retrieval import ProductKeyframeDatabase
+
+    rs = np.random.RandomState(1)
+    N = ProductKeyframeDatabase.DEVICE_QUERY_AT + 200
+    db = ProductKeyframeDatabase(capacity=2 * N)
+    db.word_ids[:N] = rs.randint(0, 65536, (N, db.M))
+    w = rs.rand(N, db.M).astype(np.float32)
+    db.word_w[:N] = w / w.sum(1, keepdims=True)
+    db.count = N
+    q = (db.word_ids[3].copy(), db.word_w[3].copy())
+    idx_dev, s_dev = db.query_vector(q, top_k=4, exclude_after=N - 60)
+    assert db._dev_ids is not None  # device path actually ran
+    host = ProductKeyframeDatabase(capacity=2 * N)
+    host.word_ids[:N] = db.word_ids[:N]
+    host.word_w[:N] = db.word_w[:N]
+    host.count = N
+    host.DEVICE_QUERY_AT = 10**9  # force the host scan
+    idx_h, s_h = host.query_vector(q, top_k=4, exclude_after=N - 60)
+    assert list(idx_dev) == list(idx_h)
+    np.testing.assert_allclose(s_dev, s_h, atol=1e-5)
+    # incremental mirror: adding rows after a device query stays coherent
+    desc = rs.randint(0, 2**32, (40, 8)).astype(np.uint32)
+    db.add(desc, np.ones(40, bool))
+    idx2, s2 = db.query_vector(q, top_k=4, exclude_after=db.count)
+    host.word_ids[: db.count] = db.word_ids[: db.count]
+    host.word_w[: db.count] = db.word_w[: db.count]
+    host.count = db.count
+    idx2h, s2h = host.query_vector(q, top_k=4, exclude_after=host.count)
+    assert list(idx2) == list(idx2h)
+    np.testing.assert_allclose(s2, s2h, atol=1e-5)

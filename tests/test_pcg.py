@@ -10,6 +10,7 @@ from jax.sharding import Mesh
 
 from svin_tpu.loopclosure import optimize_4dof
 from svin_tpu.parallel import (
+    optimize_6dof_pcg,
     ba_solve_bucketed,
     ba_solve_pcg,
     bucket_problem,
@@ -344,3 +345,192 @@ def test_pcg_posegraph_large_graph():
     # solver leaves the same residual drift.
     res_after = loop_residuals(np.asarray(out.p), np.asarray(out.yaw))
     assert res_after.max() < 0.01, res_after.max()
+
+
+def test_banded_posegraph_matches_pcg():
+    """pg_band (banded one-hot-matmul 4-DoF solver — the loop closer's
+    Cave-scale branch) must match optimize_4dof_pcg on the same graph
+    (identical damping/Huber/preconditioner semantics)."""
+    from svin_tpu.parallel import band_posegraph, optimize_4dof_banded
+
+    nodes, edges, t_gt, yaw_gt, N = _make_drifted_graph()
+    out_p = optimize_4dof_pcg(
+        nodes, edges, jnp.int32(1), iters=8, cg_iters=64, coarse_group=32
+    )
+    prob, meta = band_posegraph(
+        nodes, edges, block=64, wmax=4, coarse_group=32
+    )
+    out_b, _ = jax.jit(
+        optimize_4dof_banded, static_argnames=("meta", "iters", "cg_iters")
+    )(prob, meta, jnp.int32(1), iters=8, cg_iters=64)
+    va = np.asarray(nodes.valid)
+    np.testing.assert_allclose(
+        np.asarray(out_b.p)[: va.shape[0]][va], np.asarray(out_p.p)[va],
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b.yaw)[: va.shape[0]][va], np.asarray(out_p.yaw)[va],
+        atol=5e-4,
+    )
+    # and the solve actually corrected the drifted end node
+    err_after = np.linalg.norm(
+        np.asarray(out_b.p)[N - 1] - t_gt[N - 1]
+    )
+    assert err_after < 0.15
+
+
+def _graph6_from_4dof():
+    """SE(3) graph derived from the drifted 4-DoF fixture (yaw-only
+    rotations → quaternions; same sequential+loop edge set with the
+    reference 6-DoF sqrt information)."""
+    from svin_tpu.kinematics import npq
+    from svin_tpu.loopclosure import PoseGraph6Edges, PoseGraph6Nodes
+    from svin_tpu.loopclosure.posegraph import ypr_to_matrix_np
+
+    nodes, edges, t_gt, yaw_gt, N = _make_drifted_graph()
+    cap = nodes.p.shape[0]
+    q = np.stack([
+        npq.from_rotation_matrix(
+            ypr_to_matrix_np(float(nodes.yaw[k]), 0.0, 0.0)
+        )
+        for k in range(cap)
+    ])
+    nodes6 = PoseGraph6Nodes(
+        r=jnp.asarray(nodes.p), q=jnp.asarray(q), valid=nodes.valid
+    )
+    E = edges.i.shape[0]
+    q_ij = np.stack([
+        npq.from_rotation_matrix(
+            ypr_to_matrix_np(float(edges.yaw_ij[k]), 0.0, 0.0)
+        )
+        for k in range(E)
+    ])
+    W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
+    edges6 = PoseGraph6Edges(
+        i=edges.i, j=edges.j, t_ij=edges.t_ij, q_ij=jnp.asarray(q_ij),
+        sqrt_info=jnp.broadcast_to(
+            jnp.asarray(W, edges.t_ij.dtype), (E, 6, 6)
+        ),
+        valid=edges.valid,
+    )
+    return nodes6, edges6, t_gt, yaw_gt, N
+
+
+def test_pcg_posegraph_6dof_matches_dense():
+    """optimize_6dof_pcg (matrix-free SE(3), two-level preconditioner) must
+    match the dense (6N)² optimize_6dof on the same graph — the 6-DoF
+    Cave-scale branch's correctness anchor (PoseGraph.cpp:387-543)."""
+    from svin_tpu.loopclosure import optimize_6dof
+
+    nodes6, edges6, t_gt, yaw_gt, N = _graph6_from_4dof()
+    out_d = optimize_6dof(nodes6, edges6, jnp.int32(1), iters=6)
+    cap = nodes6.r.shape[0]
+    # the reference sqrt-information (rotation 100 vs yaw 0.573) makes the
+    # system ill-conditioned (cond ~4e7) — exact agreement needs CG pushed
+    # well past the dimension count
+    out_p = optimize_6dof_pcg(
+        nodes6, edges6, jnp.int32(1), iters=6, cg_iters=800,
+        coarse_group=16,
+    )
+    va = np.asarray(nodes6.valid)
+    np.testing.assert_allclose(
+        np.asarray(out_p.r)[va], np.asarray(out_d.r)[va], atol=1e-5
+    )
+    # quaternion agreement up to sign
+    qd = np.asarray(out_d.q)[va]
+    qp = np.asarray(out_p.q)[va]
+    dots = np.abs(np.sum(qd * qp, axis=1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-8)
+    # and the solve corrected the drifted end node
+    err = np.linalg.norm(np.asarray(out_p.r)[N - 1] - t_gt[N - 1])
+    assert err < 0.15
+
+
+def test_pcg_posegraph_6dof_large_graph():
+    """4096-node SE(3) graph with injected roll/pitch drift — the scale the
+    dense (6N)² path cannot touch; the PCG must pull the loop-closure
+    residuals to the floor including the out-of-plane rotation drift
+    (which no 4-DoF solve can correct)."""
+    from svin_tpu.kinematics import npq
+    from svin_tpu.loopclosure import PoseGraph6Edges, PoseGraph6Nodes
+
+    N = 4096
+    rng = np.random.default_rng(11)
+    th = np.linspace(0, 4 * np.pi, N)
+    t_gt = np.stack(
+        [20 * np.cos(th), 20 * np.sin(th), 0.2 * np.sin(3 * th)], 1
+    )
+
+    def R_of(yaw, pitch, roll):
+        from svin_tpu.loopclosure.posegraph import ypr_to_matrix_np
+        return ypr_to_matrix_np(yaw, pitch, roll)
+
+    yaw_gt = th + np.pi / 2
+    R_gt = [R_of(yaw_gt[k], 0.0, 0.0) for k in range(N)]
+    # drifted initialization: slow roll+pitch+yaw random walk
+    d_yaw = np.cumsum(rng.normal(0, 1.5e-3, N))
+    d_pitch = np.cumsum(rng.normal(0, 8e-4, N))
+    d_roll = np.cumsum(rng.normal(0, 8e-4, N))
+    R_init = [
+        R_of(yaw_gt[k] + d_yaw[k], d_pitch[k], d_roll[k]) for k in range(N)
+    ]
+    p_init = np.zeros((N, 3))
+    p_init[0] = t_gt[0]
+    for k in range(1, N):
+        d_local = R_gt[k - 1].T @ (t_gt[k] - t_gt[k - 1])
+        p_init[k] = p_init[k - 1] + R_init[k - 1] @ d_local
+
+    ii, jj, ts, qs = [], [], [], []
+    for k in range(1, N):
+        ii.append(k - 1); jj.append(k)
+        ts.append(R_gt[k - 1].T @ (t_gt[k] - t_gt[k - 1]))
+        qs.append(npq.from_rotation_matrix(R_gt[k - 1].T @ R_gt[k]))
+    half = N // 2
+    for k in range(half + 8, N, 64):
+        m = k - half
+        ii.append(m); jj.append(k)
+        ts.append(R_gt[m].T @ (t_gt[k] - t_gt[m]))
+        qs.append(npq.from_rotation_matrix(R_gt[m].T @ R_gt[k]))
+    E = len(ii)
+    q_init = np.stack([npq.from_rotation_matrix(R) for R in R_init])
+    nodes6 = PoseGraph6Nodes(
+        r=jnp.asarray(p_init, jnp.float32),
+        q=jnp.asarray(q_init, jnp.float32),
+        valid=jnp.ones(N, bool),
+    )
+    W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
+    edges6 = PoseGraph6Edges(
+        i=jnp.asarray(ii, jnp.int32), j=jnp.asarray(jj, jnp.int32),
+        t_ij=jnp.asarray(np.stack(ts), jnp.float32),
+        q_ij=jnp.asarray(np.stack(qs), jnp.float32),
+        sqrt_info=jnp.broadcast_to(
+            jnp.asarray(W, jnp.float32), (E, 6, 6)
+        ),
+        valid=jnp.ones(E, bool),
+    )
+    assert np.linalg.norm(p_init - t_gt, axis=1).max() > 1.0
+    out = optimize_6dof_pcg(
+        nodes6, edges6, jnp.int32(1), iters=12, cg_iters=192,
+        coarse_group=64,
+    )
+    # loop residuals reach the floor, including rotation (roll/pitch)
+    r_out = np.asarray(out.r)
+    q_out = np.asarray(out.q)
+    il = np.arange(E) >= N - 1
+    worst_t, worst_q = 0.0, 0.0
+    from svin_tpu.kinematics import npq as _npq
+    for a, b, t, qr in zip(
+        np.asarray(ii)[il], np.asarray(jj)[il],
+        np.stack(ts)[il], np.stack(qs)[il],
+    ):
+        Ra = _npq.to_rotation_matrix(q_out[a])
+        worst_t = max(worst_t, float(
+            np.linalg.norm(Ra.T @ (r_out[b] - r_out[a]) - t)))
+        q_rel = _npq.multiply(_npq.conjugate(q_out[a]), q_out[b])
+        dq = _npq.multiply(_npq.conjugate(qr), q_rel)
+        worst_q = max(worst_q, float(2 * np.arccos(min(1.0, abs(dq[3])))))
+    # rotation tolerance reflects the reference's own weighting: yaw
+    # carries sqrt-info 0.573 vs 100 for roll/pitch, so the yaw component
+    # of loop residuals converges last
+    assert worst_t < 0.01, worst_t
+    assert worst_q < 0.02, worst_q

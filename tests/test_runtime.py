@@ -162,3 +162,83 @@ def test_two_process_distributed_exchange(tmp_path):
             pytest.skip(f"distributed runtime unavailable: {joined[-400:]}")
         raise AssertionError(joined[-2000:])
     assert all("WORKER_OK" in o for o in outs), outs
+
+
+_WORKER_MAPPING = textwrap.dedent(
+    """
+    import os, sys
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge as _xb
+        _xb._backend_factories.pop("axon", None)
+    except Exception:
+        pass
+    import numpy as np
+    sys.path.insert(0, "@REPO@")
+    pid = int(sys.argv[1]); coord = sys.argv[2]
+    from svin_tpu.apps.run_distributed_mapping import run
+    s = run(coordinator=coord, num_processes=2, process_id=pid,
+            K=8, L_window=32, iters=10, cg_iters=32)
+    assert s["num_processes"] == 2, s
+    assert s["devices"] == 4, s
+    assert s["merged_poses"] == 16, s
+    # the sessions overlap 50% of the landmark window -> shared pairs found
+    assert s["shared_pairs"] >= 8, s
+    # the joint solve removed the injected inter-session drift
+    if s["rank"] == 1:
+        assert s["injected_drift_m"] > 0.05, s
+        assert s["residual_drift_m"] < 0.3 * s["injected_drift_m"], s
+    import json
+    print("MAPPING_OK", json.dumps(s))
+    """
+)
+
+
+def test_two_process_cooperative_mapping(tmp_path):
+    """The COMPOSED multi-host mapping flow (run_distributed_mapping):
+    2 coordinator-connected CPU processes run session intake → keyframe
+    exchange → descriptor association → merge_sessions → joint BA sharded
+    over the 4-device global mesh, and the injected inter-session drift
+    comes out (VERDICT r2 #7)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker_map.py"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script.write_text(_WORKER_MAPPING.replace("@REPO@", repo))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out.decode())
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("jax.distributed 2-process run timed out in this harness")
+    if any(p.returncode != 0 for p in procs):
+        joined = "\n".join(outs)
+        if "UNAVAILABLE" in joined or "DEADLINE" in joined:
+            pytest.skip(f"distributed runtime unavailable: {joined[-400:]}")
+        raise AssertionError(joined[-2000:])
+    assert all("MAPPING_OK" in o for o in outs), outs

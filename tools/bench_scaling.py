@@ -24,9 +24,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-if __name__ == "__main__" and (
-    "--virtual" in sys.argv or os.environ.get("JAX_PLATFORMS", "") == ""
-):
+if __name__ == "__main__" and "--virtual" in sys.argv:
     # force a virtual CPU mesh (re-exec so env lands before jax import)
     if os.environ.get("JAX_PLATFORMS") != "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"
