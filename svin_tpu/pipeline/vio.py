@@ -555,19 +555,23 @@ class VioEngine:
             g_Cs.append(npq.rotate(npq.conjugate(q_WC), np.array([0.0, 0.0, -1.0])))
         shapes = {np.asarray(img).shape for img in images}
         if len(images) > 1 and len(shapes) == 1:
-            uv, d, valid, score, octv, img0 = _to_np(
-                _frontend_batch(
-                    jnp.asarray(np.stack([np.asarray(i) for i in images])),
-                    jnp.asarray(np.stack(g_Cs), jnp.float32),
-                    self._detect_threshold,
-                    max_keypoints=self.cfg.max_keypoints,
-                    octaves=self.cfg.detection_octaves,
-                    histogram_method=self.cfg.histogram_method,
-                    clahe_clip_limit=self.cfg.clahe_clip_limit,
-                    resize_factor=self.cfg.resize_factor,
-                    clahe_tiles=self.cfg.clahe_tiles,
-                )
+            out = _frontend_batch(
+                jnp.asarray(np.stack([np.asarray(i) for i in images])),
+                jnp.asarray(np.stack(g_Cs), jnp.float32),
+                self._detect_threshold,
+                max_keypoints=self.cfg.max_keypoints,
+                octaves=self.cfg.detection_octaves,
+                histogram_method=self.cfg.histogram_method,
+                clahe_clip_limit=self.cfg.clahe_clip_limit,
+                resize_factor=self.cfg.resize_factor,
+                clahe_tiles=self.cfg.clahe_tiles,
             )
+            uv, d, valid, score, octv = _to_np(out[:5])
+            # the processed cam0 image STAYS on device; it transfers only
+            # when a keyframe export materializes it (most frames are not
+            # keyframes, and on tunneled backends the image dominates the
+            # per-frame transfer volume)
+            img0 = out[5]
             n = len(images)
             return (
                 [uv[c] for c in range(n)], [d[c] for c in range(n)],
@@ -577,26 +581,25 @@ class VioEngine:
         uvs, descs, valids, scores, octs = [], [], [], [], []
         img0 = None
         for ci, img in enumerate(images):
-            uv, d, valid, score, octv, im0 = _to_np(
-                _frontend_batch(
-                    jnp.asarray(np.asarray(img))[None],
-                    jnp.asarray(g_Cs[ci], jnp.float32)[None],
-                    self._detect_threshold,
-                    max_keypoints=self.cfg.max_keypoints,
-                    octaves=self.cfg.detection_octaves,
-                    histogram_method=self.cfg.histogram_method,
-                    clahe_clip_limit=self.cfg.clahe_clip_limit,
-                    resize_factor=self.cfg.resize_factor,
-                    clahe_tiles=self.cfg.clahe_tiles,
-                )
+            out = _frontend_batch(
+                jnp.asarray(np.asarray(img))[None],
+                jnp.asarray(g_Cs[ci], jnp.float32)[None],
+                self._detect_threshold,
+                max_keypoints=self.cfg.max_keypoints,
+                octaves=self.cfg.detection_octaves,
+                histogram_method=self.cfg.histogram_method,
+                clahe_clip_limit=self.cfg.clahe_clip_limit,
+                resize_factor=self.cfg.resize_factor,
+                clahe_tiles=self.cfg.clahe_tiles,
             )
+            uv, d, valid, score, octv = _to_np(out[:5])
             uvs.append(uv[0])
             descs.append(d[0])
             valids.append(valid[0])
             scores.append(score[0])
             octs.append(octv[0])
             if ci == 0:
-                img0 = im0
+                img0 = out[5]
         return uvs, descs, valids, scores, octs, img0
 
     def _landmark_descriptors(self):
@@ -1541,9 +1544,12 @@ class VioEngine:
             "timestamp": fd.timestamp,
             # the PREPROCESSED (resized/CLAHE'd) cam0 image — keypoint uv
             # and pixel coordinates share one frame (Subscriber.cpp
-            # preprocesses before the pipeline ever sees the image)
+            # preprocesses before the pipeline ever sees the image).
+            # fd.image0 is a device array; the transfer happens HERE, only
+            # for keyframes.
             "image": (
-                fd.image0 if fd.image0 is not None else np.asarray(images[0])
+                np.asarray(fd.image0) if fd.image0 is not None
+                else np.asarray(images[0])
             ),
             "T_WC_r": np.asarray(T_WC.r),
             "T_WC_q": np.asarray(T_WC.q),

@@ -296,7 +296,7 @@ def test_loopcloser_pcg_branch_in_situ_past_2048():
     assert n_loops >= 1, "no loop verified at Cave scale"
     assert closer.loops[0].query_index >= LOOP_DST_START
     assert closer.db.count >= closer.db.DEVICE_QUERY_AT
-    assert closer.db._dev_ids is not None  # device retrieval path ran
+    assert len(closer.db._inv) > 0  # inverted-file retrieval path ran
     # corrected trajectory beats raw drifted VIO on the revisit stretch
     path = closer.optimized_path()
     err_corr = np.linalg.norm(path[LOOP_DST_START:N] - pos_true[LOOP_DST_START:N], axis=1)

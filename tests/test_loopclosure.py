@@ -994,31 +994,38 @@ def test_capacity_growth_unbounded_keyframes():
     assert path.shape == (10, 3)
 
 
-def test_product_db_device_query_matches_host():
-    """Past DEVICE_QUERY_AT entries query_vector scores on-device (packed
-    mirror + one jitted gather/min/rowsum); results must equal the host
-    scan bit-for-rank (VERDICT r2 #9)."""
+def test_product_db_query_paths_agree():
+    """Past DEVICE_QUERY_AT entries query_vector scores via the inverted
+    file (DBoW2 IFRow analog); the dense host scan and the packed DEVICE
+    program (query_vector_device) must agree rank-for-rank (VERDICT
+    r2 #9)."""
     from svin_tpu.loopclosure.retrieval import ProductKeyframeDatabase
 
     rs = np.random.RandomState(1)
     N = ProductKeyframeDatabase.DEVICE_QUERY_AT + 200
     db = ProductKeyframeDatabase(capacity=2 * N)
-    db.word_ids[:N] = rs.randint(0, 65536, (N, db.M))
+    # rows carry UNIQUE word ids (the _sparse_bow invariant — np.unique):
+    # random offset + coprime stride over the 65536-word ring
+    off = rs.randint(0, 65536, (N, 1))
+    db.word_ids[:N] = (off + np.arange(db.M)[None, :] * 127) % 65536
     w = rs.rand(N, db.M).astype(np.float32)
     db.word_w[:N] = w / w.sum(1, keepdims=True)
     db.count = N
+    db.rebuild_index()
     q = (db.word_ids[3].copy(), db.word_w[3].copy())
-    idx_dev, s_dev = db.query_vector(q, top_k=4, exclude_after=N - 60)
+    idx_inv, s_inv = db.query_vector(q, top_k=4, exclude_after=N - 60)
+    idx_dev, s_dev = db.query_vector_device(q, top_k=4, exclude_after=N - 60)
     assert db._dev_ids is not None  # device path actually ran
     host = ProductKeyframeDatabase(capacity=2 * N)
     host.word_ids[:N] = db.word_ids[:N]
     host.word_w[:N] = db.word_w[:N]
     host.count = N
-    host.DEVICE_QUERY_AT = 10**9  # force the host scan
+    host.DEVICE_QUERY_AT = 10**9  # force the dense host scan
     idx_h, s_h = host.query_vector(q, top_k=4, exclude_after=N - 60)
-    assert list(idx_dev) == list(idx_h)
+    assert list(idx_inv) == list(idx_h) == list(idx_dev)
+    np.testing.assert_allclose(s_inv, s_h, atol=1e-5)
     np.testing.assert_allclose(s_dev, s_h, atol=1e-5)
-    # incremental mirror: adding rows after a device query stays coherent
+    # incremental adds keep the inverted file coherent
     desc = rs.randint(0, 2**32, (40, 8)).astype(np.uint32)
     db.add(desc, np.ones(40, bool))
     idx2, s2 = db.query_vector(q, top_k=4, exclude_after=db.count)
