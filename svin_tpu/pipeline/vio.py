@@ -335,6 +335,20 @@ class VioEngine:
             return pre, T_pred, sb_pred, sqrt_information(pre)
 
         self._preint_prop_fn = jax.jit(_preint_prop)
+
+        def _grav(q_WS, ext_q):
+            def one(qe):
+                q_WC = quat.multiply(q_WS, qe)
+                return quat.rotate(
+                    quat.conjugate(q_WC),
+                    jnp.asarray([0.0, 0.0, -1.0], q_WS.dtype),
+                )
+
+            return jax.vmap(one)(ext_q)
+
+        # device gravity directions: lets detection consume the UN-FETCHED
+        # IMU propagation output (its fetch merges with the keypoint fetch)
+        self._gravity_fn = jax.jit(_grav)
         self._preintegrate_fn = jax.jit(
             lambda ts, gy, ac, mask, t0, t1, bias: preintegrate(
                 ts, gy, ac, mask, t0, t1, bias, imu_p
@@ -537,27 +551,46 @@ class VioEngine:
         return self._tri_fns[(ca, cb)]
 
     # ------------------------------------------------------------- frontend
-    def _detect_describe(self, images: List[np.ndarray], T_WS_pred: Transformation):
+    def _detect_describe(
+        self, images: List[np.ndarray], T_WS_pred: Transformation,
+        extra=None,
+    ):
         """Stage 1: preprocess + detect + describe each camera image.
 
         All same-shape cameras run as ONE batched device program (vmap over
         the camera axis) — the reference's per-camera frameConsumer threads
         (ThreadedKFVio.cpp:421-633) collapse into a single dispatch whose
-        convolutions/matmuls batch onto the MXU. Outputs are HOST numpy."""
-        # gravity-aligned extraction direction (Frontend.cpp:91-113) — host
-        r_WS = np.asarray(T_WS_pred.r)
-        q_WS = np.asarray(T_WS_pred.q)
-        g_Cs = []
-        for ci in range(len(images)):
-            _, q_WC = npq.compose_rq(
-                r_WS, q_WS, self.window.ext_r[ci], self.window.ext_q[ci]
+        convolutions/matmuls batch onto the MXU. Outputs are HOST numpy.
+
+        ``T_WS_pred`` may hold DEVICE arrays (the un-fetched IMU
+        propagation output): the gravity directions then compute on-device
+        and ``extra`` (any device pytree, e.g. the propagation results) is
+        fetched in the SAME transfer as the keypoints — one round trip
+        instead of two on tunneled backends. Returns an extra trailing
+        element with the fetched ``extra`` when given."""
+        if isinstance(T_WS_pred.q, jax.Array):
+            # device path: q_WC = q_WS ⊗ q_ext per camera, g = R(q_WC)ᵀ(-z)
+            g_C_all = self._gravity_fn(
+                T_WS_pred.q, jnp.asarray(self.window.ext_q, self.dtype)
             )
-            g_Cs.append(npq.rotate(npq.conjugate(q_WC), np.array([0.0, 0.0, -1.0])))
+        else:
+            # gravity-aligned extraction direction (Frontend.cpp:91-113)
+            r_WS = np.asarray(T_WS_pred.r)
+            q_WS = np.asarray(T_WS_pred.q)
+            g_Cs = []
+            for ci in range(len(images)):
+                _, q_WC = npq.compose_rq(
+                    r_WS, q_WS, self.window.ext_r[ci], self.window.ext_q[ci]
+                )
+                g_Cs.append(
+                    npq.rotate(npq.conjugate(q_WC), np.array([0.0, 0.0, -1.0]))
+                )
+            g_C_all = np.stack(g_Cs)
         shapes = {np.asarray(img).shape for img in images}
         if len(images) > 1 and len(shapes) == 1:
             out = _frontend_batch(
                 jnp.asarray(np.stack([np.asarray(i) for i in images])),
-                jnp.asarray(np.stack(g_Cs), jnp.float32),
+                jnp.asarray(g_C_all, jnp.float32),
                 self._detect_threshold,
                 max_keypoints=self.cfg.max_keypoints,
                 octaves=self.cfg.detection_octaves,
@@ -566,24 +599,28 @@ class VioEngine:
                 resize_factor=self.cfg.resize_factor,
                 clahe_tiles=self.cfg.clahe_tiles,
             )
-            uv, d, valid, score, octv = _to_np(out[:5])
+            fetch = out[:5] if extra is None else (out[:5], extra)
+            host = _to_np(fetch)
+            uv, d, valid, score, octv = host if extra is None else host[0]
             # the processed cam0 image STAYS on device; it transfers only
             # when a keyframe export materializes it (most frames are not
             # keyframes, and on tunneled backends the image dominates the
             # per-frame transfer volume)
             img0 = out[5]
             n = len(images)
-            return (
+            res = (
                 [uv[c] for c in range(n)], [d[c] for c in range(n)],
                 [valid[c] for c in range(n)], [score[c] for c in range(n)],
                 [octv[c] for c in range(n)], img0,
             )
+            return res if extra is None else res + (host[1],)
         uvs, descs, valids, scores, octs = [], [], [], [], []
         img0 = None
+        outs = []
         for ci, img in enumerate(images):
-            out = _frontend_batch(
+            outs.append(_frontend_batch(
                 jnp.asarray(np.asarray(img))[None],
-                jnp.asarray(g_Cs[ci], jnp.float32)[None],
+                jnp.asarray(g_C_all[ci], jnp.float32)[None],
                 self._detect_threshold,
                 max_keypoints=self.cfg.max_keypoints,
                 octaves=self.cfg.detection_octaves,
@@ -591,16 +628,21 @@ class VioEngine:
                 clahe_clip_limit=self.cfg.clahe_clip_limit,
                 resize_factor=self.cfg.resize_factor,
                 clahe_tiles=self.cfg.clahe_tiles,
-            )
-            uv, d, valid, score, octv = _to_np(out[:5])
+            ))
+        # dispatch all cameras, then one fetch
+        fetch = [o[:5] for o in outs]
+        host = _to_np(fetch if extra is None else (fetch, extra))
+        per_cam = host if extra is None else host[0]
+        for ci, (uv, d, valid, score, octv) in enumerate(per_cam):
             uvs.append(uv[0])
             descs.append(d[0])
             valids.append(valid[0])
             scores.append(score[0])
             octs.append(octv[0])
             if ci == 0:
-                img0 = out[5]
-        return uvs, descs, valids, scores, octs, img0
+                img0 = outs[0][5]
+        res = (uvs, descs, valids, scores, octs, img0)
+        return res if extra is None else res + (host[1],)
 
     def _landmark_descriptors(self):
         """(L, 8) uint32 descriptor per landmark slot (latest observation)."""
@@ -1175,6 +1217,9 @@ class VioEngine:
         rows = []
         refresh_l, refresh_d = [], []
         ACC_CAP = 512
+        # dispatch every camera's reprojection check, then ONE fetch (each
+        # device_get is a full round trip on tunneled backends)
+        pending = []
         for ci in range(self.rig.num_cameras):
             sel = [c for c in candidates if c[0] == ci]
             if not sel:
@@ -1184,11 +1229,12 @@ class VioEngine:
             pW_pad = np.zeros((ACC_CAP, 3))
             pW_pad[:ns] = np.stack([lm_pts[c[2]] for c in sel])
             r_WC, q_WC = self._T_WC_np(T_WS_fit, ci)
-            uv_hat_d, ok_proj_d = self._project_fns[ci](
+            pending.append((ci, sel, ns, self._project_fns[ci](
                 jnp.asarray(r_WC, self.dtype), jnp.asarray(q_WC, self.dtype),
                 jnp.asarray(pW_pad, self.dtype),
-            )
-            uv_hat, ok_proj = jax.device_get((uv_hat_d, ok_proj_d))
+            )))
+        fetched = jax.device_get([p[3] for p in pending])
+        for (ci, sel, ns, _), (uv_hat, ok_proj) in zip(pending, fetched):
             err = np.linalg.norm(
                 uv_hat[:ns] - np.stack([c[3] for c in sel]), axis=1
             )
@@ -1303,17 +1349,24 @@ class VioEngine:
                 jnp.asarray(T_prev.q, self.dtype),
                 jnp.asarray(sb_prev, self.dtype),
             )
-            pre, T_h, sb_pred, W_imu = jax.device_get((pre_d, T_d, sb_d, W_d))
+            # do NOT fetch yet: detection consumes the device-side attitude
+            # (gravity dirs computed on-device) and the propagation results
+            # ride the keypoint fetch — one round trip instead of two
+            with Timer("2.1 detect_describe"):
+                (uvs, descs, valids, scores, octs, img0,
+                 (pre, T_h, sb_pred, W_imu)) = self._detect_describe(
+                    images, Transformation(r=T_d.r, q=T_d.q),
+                    extra=(pre_d, T_d, sb_d, W_d),
+                )
             T_pred = Transformation(r=np.array(T_h.r), q=np.array(T_h.q))
             sb_pred = np.array(sb_pred)
         else:
             T_pred, sb_pred = T_prev, sb_prev
-
-        # ---- 1. detection/description at predicted attitude ----
-        with Timer("2.1 detect_describe"):
-            uvs, descs, valids, scores, octs, img0 = self._detect_describe(
-                images, T_pred
-            )
+            # ---- 1. detection/description at predicted attitude ----
+            with Timer("2.1 detect_describe"):
+                uvs, descs, valids, scores, octs, img0 = (
+                    self._detect_describe(images, T_pred)
+                )
         fd = _FrameData(
             timestamp=t, kp_uv=uvs, kp_desc=descs, kp_valid=valids,
             kp_landmark=[np.full(self.cfg.max_keypoints, -1, np.int64) for _ in images],
