@@ -15,6 +15,13 @@ deterministic blocking-mode pipeline with the loop closer attached, and
 writes TUM trajectories, CSV state/landmark logs, and a global-map PLY
 (reference: ``okvis_apps/src/okvis_app_synchronous.cpp:185-356`` +
 pose_graph outputs).
+
+``--save-checkpoint <prefix>`` persists the engine window + pose graph +
+BoW database after the run; ``--resume <prefix>`` restores them before it
+(the resumed run starts a NEW sequence, so the pose graph re-anchors via
+its cross-sequence loop machinery instead of chaining a VIO relative
+across the discontinuity) — checkpoint/resume is a capability the
+reference lacks (SURVEY §5).
 """
 from __future__ import annotations
 
@@ -26,6 +33,19 @@ import numpy as np
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # optional checkpoint flags (resume a prior session / persist this one)
+    resume_prefix = None
+    checkpoint_prefix = None
+    pos = []
+    it = iter(argv)
+    for a in it:
+        if a == "--resume":
+            resume_prefix = next(it)
+        elif a == "--save-checkpoint":
+            checkpoint_prefix = next(it)
+        else:
+            pos.append(a)
+    argv = pos
     if len(argv) < 2:
         print(__doc__)
         return 2
@@ -58,6 +78,17 @@ def main(argv=None) -> int:
     cfg = load_config(config_path)
     engine = VioEngine(cfg)
     closer = LoopCloser(engine.rig.cameras[0], cfg)
+    if resume_prefix:
+        # resume a prior session: restored pose graph + BoW database; the
+        # engine window restarts as a NEW SEQUENCE so the pose graph never
+        # chains a VIO relative across the discontinuity
+        from ..pipeline.checkpoint import load_engine, load_loop_closer
+
+        if os.path.exists(resume_prefix + ".engine.npz"):
+            load_engine(engine, resume_prefix + ".engine.npz")
+        if os.path.exists(resume_prefix + ".loop.npz"):
+            load_loop_closer(closer, resume_prefix + ".loop.npz")
+        engine.sequence = closer.sequence_cnt + 1
     gmap = GlobalMap(min_quality=cfg.global_map.min_landmark_quality)
     n_loops = [0]
 
@@ -145,6 +176,12 @@ def main(argv=None) -> int:
         closer.corrected_keyframe_poses(),
         [(lp.query_index, lp.match_index) for lp in closer.loops],
     )
+
+    if checkpoint_prefix:
+        from ..pipeline.checkpoint import save_engine, save_loop_closer
+
+        save_engine(engine, checkpoint_prefix + ".engine.npz")
+        save_loop_closer(closer, checkpoint_prefix + ".loop.npz")
 
     print(
         f"frames: {len(results)}  keyframes: {len(closer.keyframes)}  "

@@ -133,61 +133,138 @@ def _to_np(tree):
     return jax.tree_util.tree_map(np.array, host)  # mutable copies
 
 
-_match_desc_jit = hamming.match_descriptors_jit
+def _make_stereo_match_tri(cam_a, cam_b, ray_sigma_base: float,
+                           pose_var: float):
+    """Stereo intra-frame association + probabilistic triangulation as ONE
+    device program (Frontend::matchStereo + triangulateFast): descriptor
+    matching, per-octave ray sigmas, world-frame midpoint triangulation
+    with covariance, depth sanity, and dedup against the existing map —
+    the host fetches once and only allocates slots."""
 
-
-@_partial(jax.jit, static_argnames=("num_hypotheses",))
-def _ransac_2d2d(k1, k2, bA, bB, ok, r_prior, q_prior, focal,
-                 num_hypotheses: int = 32):
-    """Rotation-only + relative-pose RANSAC in one compiled program (the
-    'try both' of Frontend::runRansac2d2d, Frontend.cpp:858-910)."""
-    rot = rotation_only_ransac(
-        k1, bA, bB, ok, focal_px=focal, num_hypotheses=num_hypotheses
-    )
-    rel = relative_pose_ransac(
-        k2, bA, bB, ok, Transformation(r=r_prior, q=q_prior),
-        focal_px=focal, num_hypotheses=num_hypotheses,
-    )
-    return rot, rel
-
-
-def _make_project_points(cam):
     @jax.jit
-    def fn(T_WC_r, T_WC_q, p_W):
-        p_C = transform_point(
-            inverse(Transformation(r=T_WC_r, q=T_WC_q)), p_W
+    def fn(descA, descB, valA, valB, uvA, uvB, octA, octB,
+           rA, qA, rB, qB, hp_W, lm_valid):
+        res = hamming.match_descriptors(
+            descA, descB, valA, valB, max_distance=60, mutual=True
         )
-        return project(cam, p_C)
+        ib = res.idx_b
+        dtype = uvA.dtype
+        sigA = ray_sigma_base * jnp.exp2(octA.astype(dtype)) / cam_a.fu
+        sigB = ray_sigma_base * jnp.exp2(octB[ib].astype(dtype)) / cam_b.fu
+        rays_a = back_project(cam_a, uvA)
+        rays_b = back_project(cam_b, uvB[ib])
+        eA = quat.rotate(qA, rays_a)
+        eB = quat.rotate(qB, rays_b)
+        pA = jnp.broadcast_to(rA, eA.shape)
+        pB = jnp.broadcast_to(rB, eB.shape)
+        sigma = jnp.sqrt(sigA * sigA + sigB * sigB)
+        tri = triangulate_fast(pA, eA, pB, eB, sigma)
+        pts = point_from_homogeneous(tri.hp)
+        cov = triangulation_covariance(
+            pts, pA, pB, sigA, sigB,
+            jnp.broadcast_to(jnp.asarray(pose_var, dtype), sigA.shape),
+        )
+        depth = jnp.linalg.norm(pts - rA, axis=1)
+        good = (
+            res.valid & tri.valid & ~tri.parallel
+            & (depth > 0.1) & (depth < 60.0)
+        )
+        # dedup against the existing map (never spawn a duplicate landmark)
+        d = jnp.linalg.norm(
+            pts[:, None, :] - hp_W[None, :, :3], axis=-1
+        )
+        d = jnp.where(lm_valid[None, :], d, jnp.inf)
+        min_d = jnp.min(d, axis=1)
+        good = good & (min_d > jnp.maximum(0.1, 0.04 * depth))
+        return ib, pts, good, cov
 
     return fn
 
 
-def _make_triangulate_world(cam_a, cam_b):
-    """Jitted two-view world-frame probabilistic triangulation for one
-    camera pair: back-project both pixel sets, rotate rays to world,
-    midpoint triangulation (triangulateFast analog) plus the 3×3 landmark
-    covariance from per-keypoint ray sigmas and the relative-pose prior
-    (ProbabilisticStereoTriangulator::stereoTriangulate + getUncertainty,
-    ``ProbabilisticStereoTriangulator.cpp:154-235,239+``) — one device
-    program."""
+def _make_temporal_match_tri(cam, ray_sigma_base: float, diag: float):
+    """Temporal 2D-2D bootstrap for one camera as ONE device program
+    (Frontend::matchToKeyframes/matchToLastFrame 2D-2D + runRansac2d2d +
+    triangulation, Frontend.cpp:336-465,832-980): optical-flow-gated
+    matching, probabilistic triangulation, rotation-only vs relative-pose
+    RANSAC disambiguation, depth/epipolar/parallax gates, and map dedup —
+    one fetch replaces three."""
 
     @jax.jit
-    def fn(uv_a, uv_b, TWA_r, TWA_q, TWB_r, TWB_q, sigma_a, sigma_b,
-           pose_var):
-        rays_a = back_project(cam_a, uv_a)
-        rays_b = back_project(cam_b, uv_b)
-        eA = quat.rotate(TWA_q, rays_a)
-        eB = quat.rotate(TWB_q, rays_b)
-        pA = jnp.broadcast_to(TWA_r, eA.shape)
-        pB = jnp.broadcast_to(TWB_r, eB.shape)
-        sigma = jnp.sqrt(sigma_a * sigma_a + sigma_b * sigma_b)
+    def fn(k1, k2, descC, descP, valC, valP, uvC, uvP, octC, octP,
+           rA, qA, rB, qB, pose_var, hp_W, lm_valid):
+        dtype = uvC.dtype
+        d2_uv = jnp.sum(
+            (uvC[:, None, :] - uvP[None, :, :]) ** 2, axis=-1
+        )
+        flow_mask = d2_uv < (0.25 * diag) ** 2
+        res = hamming.match_descriptors(
+            descC, descP, valC, valP, mask=flow_mask,
+            max_distance=60, mutual=True,
+        )
+        ib = res.idx_b
+        ok = res.valid
+        npair = jnp.sum(ok)
+        sigA = ray_sigma_base * jnp.exp2(octC.astype(dtype)) / cam.fu
+        sigB = ray_sigma_base * jnp.exp2(octP[ib].astype(dtype)) / cam.fu
+        rays_a = back_project(cam, uvC)
+        rays_b = back_project(cam, uvP[ib])
+        eA = quat.rotate(qA, rays_a)
+        eB = quat.rotate(qB, rays_b)
+        pA = jnp.broadcast_to(rA, eA.shape)
+        pB = jnp.broadcast_to(rB, eB.shape)
+        sigma = jnp.sqrt(sigA * sigA + sigB * sigB)
         tri = triangulate_fast(pA, eA, pB, eB, sigma)
         pts = point_from_homogeneous(tri.hp)
         cov = triangulation_covariance(
-            pts, pA, pB, sigma_a, sigma_b,
-            jnp.broadcast_to(pose_var, sigma_a.shape),
+            pts, pA, pB, sigA, sigB,
+            jnp.broadcast_to(pose_var, sigA.shape),
         )
-        return pts, tri.valid, tri.parallel, eA, eB, cov
+        good = ok & tri.valid & ~tri.parallel
+
+        # 2D-2D RANSAC disambiguation (Frontend::runRansac2d2d): try
+        # rotation-only AND relative-pose models; a translation-dominated
+        # pass uses the 5-pt inlier set as the mismatch filter, a
+        # rotation-dominated one defers to the parallax gate below
+        bA = quat.rotate(quat.conjugate(qA), eA)
+        bB = quat.rotate(quat.conjugate(qB), eB)
+        T_AB = compose(
+            inverse(Transformation(r=rA, q=qA)),
+            Transformation(r=rB, q=qB),
+        )
+        focal = float(cam.fu)
+        rot_rr = rotation_only_ransac(
+            k1, bA, bB, ok, focal_px=focal, num_hypotheses=32
+        )
+        rel_rr = relative_pose_ransac(
+            k2, bA, bB, ok, T_AB, focal_px=focal, num_hypotheses=32
+        )
+        npf = jnp.maximum(npair, 1).astype(dtype)
+        rot_ratio = rot_rr.num_inliers.astype(dtype) / npf
+        rel_ratio = rel_rr.num_inliers.astype(dtype) / npf
+        rot_decision = (rot_ratio > rel_ratio) | (rot_ratio > 0.8)
+        enough = npair >= 10
+        apply_rel = enough & (~rot_decision) & rel_rr.success
+        good = good & jnp.where(apply_rel, rel_rr.inliers, True)
+
+        depth = jnp.linalg.norm(pts - rA, axis=1)
+        good = good & (depth > 0.1) & (depth < 60.0)
+        # epipolar-consistency gate (coplanarity with the baseline)
+        t_ab = rB - rA
+        t_hat = t_ab / jnp.maximum(jnp.linalg.norm(t_ab), 1e-12)
+        n_ep = jnp.cross(jnp.broadcast_to(t_hat, eB.shape), eB)
+        nn = jnp.linalg.norm(n_ep, axis=1)
+        n_ep = n_ep / jnp.maximum(nn, 1e-12)[:, None]
+        good = good & (nn > 1e-6) & (
+            jnp.abs(jnp.sum(eA * n_ep, axis=1)) < jnp.sin(jnp.radians(0.7))
+        )
+        # parallax gate (≈1° minimum triangulation angle)
+        cos_ang = jnp.sum(eA * eB, axis=-1)
+        good = good & (cos_ang < jnp.cos(jnp.radians(1.0)))
+        # dedup against the existing map
+        d = jnp.linalg.norm(pts[:, None, :] - hp_W[None, :, :3], axis=-1)
+        d = jnp.where(lm_valid[None, :], d, jnp.inf)
+        good = good & (jnp.min(d, axis=1) > jnp.maximum(0.1, 0.04 * depth))
+        return ib, pts, good, cov, enough & rot_decision
 
     return fn
 
@@ -423,10 +500,71 @@ class VioEngine:
             )
 
         self._gate_match_all = jax.jit(_gate_match_all)
-        self._project_fns = [
-            _make_project_points(cam) for cam in self.rig.cameras
-        ]
-        self._tri_fns = {}  # (cam_a, cam_b) -> jitted world triangulation
+
+        def _match_stage(
+            uv, desc, kp_valid, free,  # (C,K,...) stacked over cameras
+            hp_W, lm_valid, lm_desc, lm_cov,
+            T_WS_r, T_WS_q, ext_r, ext_q, kp_sigma, pos_var,
+            key,
+        ):
+            """The WHOLE data-association stage as one device program —
+            projection-gated matching, 3D-2D RANSAC over the cam0
+            candidates, and reprojection acceptance through the fitted
+            pose — so the host pays ONE round trip instead of three
+            (matchToKeyframes + runRansac3d2d + the verify pass,
+            Frontend.cpp:336-414,617-676)."""
+            mv, midx, rays = _gate_match_all(
+                uv, desc, kp_valid, hp_W, lm_valid, lm_desc, lm_cov,
+                T_WS_r, T_WS_q, ext_r, ext_q, kp_sigma, pos_var,
+            )
+            cand = mv & free  # (C,K) gated, unassociated keypoints
+            n_cand = jnp.sum(cand)
+            p_cand = hp_W[midx, :3]  # (C,K,3)
+
+            # cam0 RANSAC for a pose model (prior-seeded GP3P analog)
+            T_WC0 = compose(
+                Transformation(r=T_WS_r, q=T_WS_q),
+                Transformation(r=ext_r[0], q=ext_q[0]),
+            )
+            n0 = jnp.sum(cand[0])
+            rr = absolute_pose_ransac(
+                key, p_cand[0], rays[0], cand[0],
+                T_WC0,
+                focal_px=float(self.rig.cameras[0].fu),
+                threshold_px=4.0, num_hypotheses=50,
+                min_inliers=jnp.maximum(8, n0 // 3),
+            )
+            success = rr.success & (n0 >= 6)
+            # T_WS from the fitted cam0 pose
+            ri, qi = inverse(Transformation(r=ext_r[0], q=ext_q[0])).r, \
+                inverse(Transformation(r=ext_r[0], q=ext_q[0])).q
+            T_fit = compose(rr.T, Transformation(r=ri, q=qi))
+            T_WS_fit_r = jnp.where(success, T_fit.r, T_WS_r)
+            T_WS_fit_q = jnp.where(success, T_fit.q, T_WS_q)
+            accept_px = jnp.where(success, 4.0, 8.0)
+
+            # reprojection acceptance of EVERY candidate through the
+            # fitted pose (all cameras)
+            def accept_cam(ci, uv_c, cand_c, p_c, er, eq):
+                T_WC = compose(
+                    Transformation(r=T_WS_fit_r, q=T_WS_fit_q),
+                    Transformation(r=er, q=eq),
+                )
+                p_C = transform_point(inverse(T_WC), p_c)
+                uv_hat, ok = project(rig_p.camera(ci), p_C)
+                err = jnp.linalg.norm(uv_hat - uv_c, axis=-1)
+                return cand_c & ok & (err < accept_px)
+
+            accept = jax.vmap(accept_cam)(
+                jnp.arange(C), uv, cand, p_cand, ext_r, ext_q
+            )
+            return (
+                accept, midx, n_cand, success, T_WS_fit_r, T_WS_fit_q,
+            )
+
+        self._match_stage_fn = jax.jit(_match_stage)
+        self._stereo_fns = {}  # (cam_a, cam_b) -> fused match+triangulate
+        self._temporal_fns = {}  # cam -> fused temporal bootstrap
 
         self.imu_t: List[float] = []
         self.imu_gyro: List[np.ndarray] = []
@@ -542,13 +680,6 @@ class VioEngine:
             np.asarray(T_WS.r), np.asarray(T_WS.q),
             self.window.ext_r[ci], self.window.ext_q[ci],
         )
-
-    def _tri_fn(self, ca: int, cb: int):
-        if (ca, cb) not in self._tri_fns:
-            self._tri_fns[(ca, cb)] = _make_triangulate_world(
-                self.rig.cameras[ca], self.rig.cameras[cb]
-            )
-        return self._tri_fns[(ca, cb)]
 
     # ------------------------------------------------------------- frontend
     def _detect_describe(
@@ -763,12 +894,6 @@ class VioEngine:
     # known (wide: ~0.5 m std)
     _LM_COV_DEFAULT = 0.25
 
-    def _ray_sigmas(self, fd: "_FrameData", ci: int, idx) -> np.ndarray:
-        oct_scale = np.ldexp(1.0, fd.kp_octave[ci][idx].astype(np.int64))
-        return (
-            self._RAY_SIGMA_BASE * oct_scale / float(self.rig.cameras[ci].fu)
-        )
-
     # relative-pose translation variance for triangulation covariance
     # (UOplus of VioKeyframeWindowMatchingAlgorithm::doSetup:133-141)
     _POSE_VAR_STEREO = 4e-8  # within one multiframe
@@ -892,60 +1017,34 @@ class VioEngine:
             return 0
         un_a = fd.kp_landmark[0] < 0
         un_b = fd.kp_landmark[1] < 0
-        res = _match_desc_jit(
-            fd.kp_desc[0], fd.kp_desc[1],
-            fd.kp_valid[0] & un_a, fd.kp_valid[1] & un_b,
-            max_distance=60, mutual=True,
-        )
-        m, idx_b = jax.device_get((res.valid, res.idx_b))
-        if m.sum() == 0:
-            return 0
-        # fixed-size triangulation batch (pad → one compilation per run)
-        CAP = self.cfg.max_keypoints
-        ia_raw = np.nonzero(m)[0][:CAP]
-        ib_raw = idx_b[ia_raw]
-        npair = len(ia_raw)
-        ia = np.zeros(CAP, np.int64)
-        ib = np.zeros(CAP, np.int64)
-        ia[:npair] = ia_raw
-        ib[:npair] = ib_raw
-        pair_ok = np.arange(CAP) < npair
-        # triangulate in world frame (one jitted program)
+        # match + triangulate + gates + map dedup in ONE device program
+        # (one fetch; host only allocates slots)
+        if (0, 1) not in self._stereo_fns:
+            self._stereo_fns[(0, 1)] = _make_stereo_match_tri(
+                self.rig.cameras[0], self.rig.cameras[1],
+                self._RAY_SIGMA_BASE, self._POSE_VAR_STEREO,
+            )
         rA, qA = self._T_WC_np(T_WS, 0)
         rB, qB = self._T_WC_np(T_WS, 1)
-        sigA = self._ray_sigmas(fd, 0, ia)
-        sigB = self._ray_sigmas(fd, 1, ib)
-        pts_d, tri_valid, tri_par, _, _, cov_d = self._tri_fn(0, 1)(
-            fd.kp_uv[0][ia], fd.kp_uv[1][ib],
-            jnp.asarray(rA, self.dtype), jnp.asarray(qA, self.dtype),
-            jnp.asarray(rB, self.dtype), jnp.asarray(qB, self.dtype),
-            jnp.asarray(sigA, self.dtype), jnp.asarray(sigB, self.dtype),
-            jnp.asarray(self._POSE_VAR_STEREO, self.dtype),
+        ib_all, pts_all, good, cov_all = jax.device_get(
+            self._stereo_fns[(0, 1)](
+                fd.kp_desc[0], fd.kp_desc[1],
+                fd.kp_valid[0] & un_a, fd.kp_valid[1] & un_b,
+                jnp.asarray(fd.kp_uv[0], self.dtype),
+                jnp.asarray(fd.kp_uv[1], self.dtype),
+                fd.kp_octave[0], fd.kp_octave[1],
+                jnp.asarray(rA, self.dtype), jnp.asarray(qA, self.dtype),
+                jnp.asarray(rB, self.dtype), jnp.asarray(qB, self.dtype),
+                jnp.asarray(self.window.hp_W, self.dtype),
+                self.window.lm_valid,
+            )
         )
-        pts, tri_valid, tri_par, cov = jax.device_get(
-            (pts_d, tri_valid, tri_par, cov_d)
-        )
-        good = tri_valid & ~tri_par & pair_ok
-        # depth sanity
-        depth = np.linalg.norm(pts - rA, axis=1)
-        good &= (depth > 0.1) & (depth < 60.0)
-        ia, ib, pts, depth, cov = (
-            ia[good], ib[good], pts[good], depth[good], cov[good],
-        )
+        ia = np.nonzero(good)[0]
         if len(ia) == 0:
             return 0
-        # dedup: never create a landmark on top of an existing one (a missed
-        # map match must not spawn a duplicate that then splits future
-        # matches under mutual-consistency)
-        lm_valid = self.window.lm_valid
-        if lm_valid.sum() > 0:
-            existing = self.window.hp_W[:, :3][lm_valid]
-            d = np.linalg.norm(pts[:, None, :] - existing[None, :, :], axis=-1)
-            min_d = d.min(axis=1)
-            keep = min_d > np.maximum(0.1, 0.04 * depth)
-            ia, ib, pts, cov = ia[keep], ib[keep], pts[keep], cov[keep]
-            if len(ia) == 0:
-                return 0
+        ib = ib_all[ia]
+        pts = pts_all[ia]
+        cov = cov_all[ia]
         slots = self._allocate_landmarks(pts, fd.kp_desc[0][ia], cov)
         rows = []
         for k, (a, b_) in enumerate(zip(ia, ib)):
@@ -983,133 +1082,51 @@ class VioEngine:
             return 0
         total = 0
         rows = []
-        CAP = self.cfg.max_keypoints
         diag = float(
             np.hypot(self.rig.cameras[0].width, self.rig.cameras[0].height)
         )
+        # dispatch the whole per-camera bootstrap (flow-gated match +
+        # triangulation + rotation-only/relative RANSAC disambiguation +
+        # all geometric gates + map dedup) as ONE device program per
+        # camera, then ONE fetch for all cameras
+        pending = []
         for ci in range(min(self.rig.num_cameras, len(fd_prev.kp_uv))):
-            un_cur = fd.kp_landmark[ci] < 0
-            un_prev = fd_prev.kp_landmark[ci] < 0
-            # optical-flow gate: keyframe-to-keyframe image motion is
-            # bounded; distant uv pairs are almost surely wrong matches
-            d2_uv = np.sum(
-                (fd.kp_uv[ci][:, None, :] - fd_prev.kp_uv[ci][None, :, :]) ** 2,
-                axis=-1,
-            )
-            flow_mask = d2_uv < (0.25 * diag) ** 2
-            res = _match_desc_jit(
-                fd.kp_desc[ci], fd_prev.kp_desc[ci],
-                fd.kp_valid[ci] & un_cur, fd_prev.kp_valid[ci] & un_prev,
-                mask=flow_mask, max_distance=60, mutual=True,
-            )
-            m, idx_b = jax.device_get((res.valid, res.idx_b))
-            if m.sum() == 0:
-                continue
-            ia_raw = np.nonzero(m)[0][:CAP]
-            ib_raw = idx_b[ia_raw]
-            npair = len(ia_raw)
-            ia = np.zeros(CAP, np.int64)
-            ib = np.zeros(CAP, np.int64)
-            ia[:npair] = ia_raw
-            ib[:npair] = ib_raw
-            pair_ok = np.arange(CAP) < npair
+            if ci not in self._temporal_fns:
+                self._temporal_fns[ci] = _make_temporal_match_tri(
+                    self.rig.cameras[ci], self._RAY_SIGMA_BASE, diag
+                )
             rA, qA = self._T_WC_np(T_WS, ci)
             rB, qB = self._T_WC_np(T_prev, ci)
-            sigA = self._ray_sigmas(fd, ci, ia)
-            sigB = self._ray_sigmas(fd_prev, ci, ib)
-            pts_d, tri_valid, tri_par, eA_d, eB_d, cov_d = self._tri_fn(
-                ci, ci
-            )(
-                fd.kp_uv[ci][ia], fd_prev.kp_uv[ci][ib],
+            kk = jax.random.PRNGKey(self._rng.randint(0, 2**31))
+            k1, k2 = jax.random.split(kk)
+            pending.append((ci, rA, self._temporal_fns[ci](
+                k1, k2, fd.kp_desc[ci], fd_prev.kp_desc[ci],
+                fd.kp_valid[ci] & (fd.kp_landmark[ci] < 0),
+                fd_prev.kp_valid[ci] & (fd_prev.kp_landmark[ci] < 0),
+                jnp.asarray(fd.kp_uv[ci], self.dtype),
+                jnp.asarray(fd_prev.kp_uv[ci], self.dtype),
+                fd.kp_octave[ci], fd_prev.kp_octave[ci],
                 jnp.asarray(rA, self.dtype), jnp.asarray(qA, self.dtype),
                 jnp.asarray(rB, self.dtype), jnp.asarray(qB, self.dtype),
-                jnp.asarray(sigA, self.dtype), jnp.asarray(sigB, self.dtype),
                 jnp.asarray(self._pose_var_temporal(slot), self.dtype),
-            )
-            pts, eA, eB, tri_valid, tri_par, cov = jax.device_get(
-                (pts_d, eA_d, eB_d, tri_valid, tri_par, cov_d)
-            )
-            good = tri_valid & ~tri_par & pair_ok
-            # 2D-2D RANSAC disambiguation (Frontend::runRansac2d2d,
-            # Frontend.cpp:832-980): try rotation-only AND relative-pose
-            # models on the matched camera-frame bearings, in one compiled
-            # program. A pair inconsistent with BOTH geometric models is a
-            # mismatch and is dropped (the reference's removeOutliers on
-            # the winning model — the union is the mask that keeps every
-            # true match while rejecting junk under any motion).
-            # Triangulability itself is decided by the per-pair parallax
-            # gate below — strictly stronger than the reference's
-            # frame-level rotationOnly heuristic, whose decision rule
-            # (rot_ratio > rel_ratio or rot_ratio > 0.8,
-            # Frontend.cpp:893) is still evaluated and surfaced as
-            # ``rotation_only_detections`` for the health/keyframe story.
-            if npair >= 10:
-                bA = npq.rotate(npq.conjugate(qA), eA)
-                bB = npq.rotate(npq.conjugate(qB), eB)
-                riA, qiA = npq.inverse_rq(rA, qA)
-                rAB, qAB = npq.compose_rq(riA, qiA, rB, qB)
-                kk = jax.random.PRNGKey(self._rng.randint(0, 2**31))
-                k1, k2 = jax.random.split(kk)
-                rot_rr, rel_rr = jax.device_get(
-                    _ransac_2d2d(
-                        k1, k2,
-                        jnp.asarray(bA, self.dtype),
-                        jnp.asarray(bB, self.dtype),
-                        jnp.asarray(pair_ok),
-                        jnp.asarray(rAB, self.dtype),
-                        jnp.asarray(qAB, self.dtype),
-                        jnp.asarray(
-                            float(self.rig.cameras[ci].fu), self.dtype
-                        ),
-                    )
-                )
-                rot_ratio = float(rot_rr.num_inliers) / npair
-                rel_ratio = float(rel_rr.num_inliers) / npair
-                if rot_ratio > rel_ratio or rot_ratio > 0.8:
-                    # rotationOnly (Frontend.cpp:893): the epipolar t is
-                    # ill-determined, so its inlier set cannot be trusted
-                    # as a mismatch filter — the per-pair parallax gate
-                    # below is what blocks garbage triangulation here.
-                    self.rotation_only_detections += 1
-                elif bool(rel_rr.success):
-                    # translation-dominated: the 5-pt inlier set rejects
-                    # descriptor mismatches (the reference's
-                    # removeOutliers on the winning model)
-                    good &= np.asarray(rel_rr.inliers)
-            depth = np.linalg.norm(pts - rA, axis=1)
-            good &= (depth > 0.1) & (depth < 60.0)
-            # epipolar-consistency gate: a correct match is coplanar with the
-            # baseline (|eA · (t̂ × eB)| ≈ 0) at ANY depth; wrong matches are
-            # not. This is what actually rejects mismatches — a bare parallax
-            # gate would keep only mismatches when the baseline is small.
-            t_ab = rB - rA
-            t_hat = t_ab / max(np.linalg.norm(t_ab), 1e-12)
-            n_ep = np.cross(np.broadcast_to(t_hat, eB.shape), eB)
-            nn = np.linalg.norm(n_ep, axis=1)
-            ok_n = nn > 1e-6  # eB parallel to baseline → epipolar undefined
-            n_ep = n_ep / np.maximum(nn, 1e-12)[:, None]
-            good &= ok_n & (
-                np.abs(np.sum(eA * n_ep, axis=1)) < np.sin(np.radians(0.7))
-            )
-            # parallax gate: require a minimum triangulation angle (≈1°) or
-            # the depth is ill-conditioned (the stereo path needs no such
-            # gate — its baseline is fixed by the rig)
-            cos_ang = np.sum(eA * eB, axis=-1)
-            good &= cos_ang < np.cos(np.radians(1.0))
-            ia, ib, pts, depth, cov = (
-                ia[good], ib[good], pts[good], depth[good], cov[good],
-            )
+                jnp.asarray(self.window.hp_W, self.dtype),
+                self.window.lm_valid,
+            )))
+        fetched = jax.device_get([p[2] for p in pending])
+        for (ci, rA, _), (ib_all, pts_all, good, cov_all, rot_only) in zip(
+            pending, fetched
+        ):
+            if bool(rot_only):
+                # rotationOnly (Frontend.cpp:893): the epipolar t is
+                # ill-determined; the parallax gate blocks garbage
+                # triangulation and the event feeds the health story
+                self.rotation_only_detections += 1
+            ia = np.nonzero(good)[0]
             if len(ia) == 0:
                 continue
-            # dedup against existing landmarks (same rule as stereo init)
-            lm_valid = self.window.lm_valid
-            if lm_valid.sum() > 0:
-                existing = self.window.hp_W[:, :3][lm_valid]
-                d = np.linalg.norm(pts[:, None, :] - existing[None, :, :], axis=-1)
-                keep = d.min(axis=1) > np.maximum(0.1, 0.04 * depth)
-                ia, ib, pts, cov = ia[keep], ib[keep], pts[keep], cov[keep]
-                if len(ia) == 0:
-                    continue
+            ib = ib_all[ia]
+            pts = pts_all[ia]
+            cov = cov_all[ia]
             slots = self._allocate_landmarks(pts, fd.kp_desc[ci][ia], cov)
             for k, (a, b_) in enumerate(zip(ia, ib)):
                 if slots[k] < 0:
@@ -1148,9 +1165,15 @@ class VioEngine:
         kp_sigma = 0.8 * np.stack(
             [np.ldexp(1.0, fd.kp_octave[ci]) for ci in range(len(fd.kp_uv))]
         )
-        candidates = []  # (cam, kp_idx, lm_slot, uv, bearing_C)
-        mv_d, midx_d, rays_d = self._gate_match_all(
+        # the WHOLE association stage (gate + RANSAC + reprojection accept)
+        # is one device program and ONE fetch (each device_get is a full
+        # network round trip on tunneled backends)
+        free = np.stack(
+            [fd.kp_landmark[ci] < 0 for ci in range(len(fd.kp_uv))]
+        )
+        out = self._match_stage_fn(
             np.stack(fd.kp_uv), np.stack(fd.kp_desc), np.stack(fd.kp_valid),
+            free,
             self.window.hp_W, self.window.lm_valid, self._lm_desc,
             jnp.asarray(self._lm_cov, self.dtype),
             jnp.asarray(np.asarray(T_WS_pred.r), self.dtype),
@@ -1159,92 +1182,25 @@ class VioEngine:
             jnp.asarray(self.window.ext_q, self.dtype),
             jnp.asarray(kp_sigma, self.dtype),
             jnp.asarray(pos_var, self.dtype),
+            jax.random.PRNGKey(self._rng.randint(0, 2**31)),
         )
-        mv_all, midx_all, rays_all = jax.device_get((mv_d, midx_d, rays_d))
-        for ci in range(self.rig.num_cameras):
-            mv, midx, rays = mv_all[ci], midx_all[ci], rays_all[ci]
-            for k in np.nonzero(mv)[0]:
-                l = int(midx[k])
-                if fd.kp_landmark[ci][k] >= 0:
-                    continue
-                candidates.append((ci, int(k), l, fd.kp_uv[ci][k], rays[k]))
-
-        if len(candidates) < 6:
+        accept, midx, n_cand, success, fit_r, fit_q = jax.device_get(out)
+        if int(n_cand) < 6:
             self._track_miss_streak += 1
             return 0
-
-        # RANSAC the camera-0 candidates for a pose model, then gate every
-        # candidate (all cameras) by reprojection through the fitted pose.
-        lm_pts = self.window.hp_W[:, :3]
-        r_WC0, q_WC0 = self._T_WC_np(T_WS_pred, 0)
-        c0 = [c for c in candidates if c[0] == 0]
-        T_WS_fit = T_WS_pred
-        self._last_ransac_T_WS = None
-        accept_px = 8.0  # looser gate when only the IMU prediction is trusted
-        if len(c0) >= 6:
-            # fixed-size RANSAC problem (pad to capacity → one compilation)
-            CAP = 512
-            n0 = min(len(c0), CAP)
-            pW_pad = np.zeros((CAP, 3))
-            br_pad = np.zeros((CAP, 3))
-            pW_pad[:n0] = np.stack([lm_pts[c[2]] for c in c0[:n0]])
-            br_pad[:n0] = np.stack([c[4] for c in c0[:n0]])
-            key = jax.random.PRNGKey(self._rng.randint(0, 2**31))
-            rr = absolute_pose_ransac(
-                key,
-                jnp.asarray(pW_pad, self.dtype),
-                jnp.asarray(br_pad, self.dtype),
-                jnp.arange(CAP) < n0,
-                Transformation(
-                    r=jnp.asarray(r_WC0, self.dtype),
-                    q=jnp.asarray(q_WC0, self.dtype),
-                ),
-                focal_px=float(self.rig.cameras[0].fu),
-                threshold_px=4.0,
-                num_hypotheses=50,
-                min_inliers=max(8, n0 // 3),
-            )
-            rr = jax.device_get(rr)
-            if bool(rr.success):
-                r_fit, q_fit = rr.T.r, rr.T.q
-                ri, qi = npq.inverse_rq(
-                    self.window.ext_r[0], self.window.ext_q[0]
-                )
-                r_ws, q_ws = npq.compose_rq(r_fit, q_fit, ri, qi)
-                T_WS_fit = Transformation(r=r_ws, q=q_ws)
-                self._last_ransac_T_WS = T_WS_fit
-                accept_px = 4.0
+        self._last_ransac_T_WS = (
+            Transformation(r=np.array(fit_r), q=np.array(fit_q))
+            if bool(success) else None
+        )
         rows = []
         refresh_l, refresh_d = [], []
-        ACC_CAP = 512
-        # dispatch every camera's reprojection check, then ONE fetch (each
-        # device_get is a full round trip on tunneled backends)
-        pending = []
         for ci in range(self.rig.num_cameras):
-            sel = [c for c in candidates if c[0] == ci]
-            if not sel:
-                continue
-            ns = min(len(sel), ACC_CAP)
-            sel = sel[:ns]
-            pW_pad = np.zeros((ACC_CAP, 3))
-            pW_pad[:ns] = np.stack([lm_pts[c[2]] for c in sel])
-            r_WC, q_WC = self._T_WC_np(T_WS_fit, ci)
-            pending.append((ci, sel, ns, self._project_fns[ci](
-                jnp.asarray(r_WC, self.dtype), jnp.asarray(q_WC, self.dtype),
-                jnp.asarray(pW_pad, self.dtype),
-            )))
-        fetched = jax.device_get([p[3] for p in pending])
-        for (ci, sel, ns, _), (uv_hat, ok_proj) in zip(pending, fetched):
-            err = np.linalg.norm(
-                uv_hat[:ns] - np.stack([c[3] for c in sel]), axis=1
-            )
-            ok = ok_proj[:ns] & (err < accept_px)
-            for (c, good) in zip(sel, ok):
-                if not good:
-                    continue
-                _, k, l, uv, _ = c
+            for k in np.nonzero(accept[ci])[0]:
+                l = int(midx[ci][k])
                 fd.kp_landmark[ci][k] = l
-                rows.append((uv, slot, l, ci, self._kp_info(fd, ci, k)))
+                rows.append((
+                    fd.kp_uv[ci][k], slot, l, ci, self._kp_info(fd, ci, k)
+                ))
                 refresh_l.append(l)
                 refresh_d.append(fd.kp_desc[ci][k])
                 n_tracked += 1

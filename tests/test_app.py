@@ -66,6 +66,34 @@ def test_app_synchronous_synthetic(tmp_path, monkeypatch):
     np.testing.assert_allclose(qn, 1.0, atol=1e-5)
 
 
+def test_app_checkpoint_resume_roundtrip(tmp_path, monkeypatch):
+    """--save-checkpoint then --resume: the second run restores the pose
+    graph + BoW database and starts a NEW sequence (no sequential edge can
+    chain across the discontinuity)."""
+    cfg_path = tmp_path / "rig.yaml"
+    cfg_path.write_text(CONFIG_YAML)
+    monkeypatch.setenv("SVIN_SYNTH_DURATION", "2.0")
+    ckpt = str(tmp_path / "session")
+
+    from svin_tpu.apps.run_synchronous import main
+
+    rc = main([str(cfg_path), "--synthetic", str(tmp_path / "out1"),
+               "--save-checkpoint", ckpt])
+    assert rc == 0
+    assert os.path.exists(ckpt + ".engine.npz")
+    assert os.path.exists(ckpt + ".loop.npz")
+    import numpy as _np
+    n_kf_1 = _np.loadtxt(tmp_path / "out1" / "svin_loop.txt", ndmin=2).shape[0]
+    assert n_kf_1 >= 2
+
+    rc = main([str(cfg_path), "--synthetic", str(tmp_path / "out2"),
+               "--resume", ckpt])
+    assert rc == 0
+    traj2 = _np.loadtxt(tmp_path / "out2" / "svin_loop.txt", ndmin=2)
+    # resumed pose graph contains BOTH sessions' keyframes
+    assert traj2.shape[0] > n_kf_1
+
+
 def test_evaluate_cli(tmp_path, capsys):
     """ATE CLI recovers the injected Sim(3) and reports noise-level RMSE."""
     rng = np.random.RandomState(0)
