@@ -370,7 +370,7 @@ def detail_posegraph():
         for y in np.asarray(edges.yaw_ij)
     ])
     E6 = ei.shape[0]
-    W6 = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
+    W6 = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 57.3])
     edges6 = PoseGraph6Edges(
         i=edges.i, j=edges.j, t_ij=edges.t_ij.astype(jnp.float32),
         q_ij=jnp.asarray(qij, jnp.float32),

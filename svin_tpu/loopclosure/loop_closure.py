@@ -752,7 +752,7 @@ class LoopCloser:
     def _optimize_6dof(self, fix_before: jnp.ndarray) -> None:
         """Full-SE(3) pose-graph solve (reference optimize6DoFPoseGraph,
         PoseGraph.cpp:387-543, PoseGraph3dErrorTerm with sqrt information
-        diag(20,20,20,100,100,0.573)); nodes written back into the shared
+        diag(...,57.3) sequential / diag(...,100)+Huber loop); nodes written back into the shared
         yaw/pitch/roll table."""
         # occupied-prefix slicing (see the 4-DoF path): the (6N)² dense
         # solve must scale with the live graph, not table capacity
@@ -783,16 +783,23 @@ class LoopCloser:
         if ne:
             t_full[:ne] = np.stack([t for t, _ in self._edges_full[:ne]])
             q_full[:ne] = np.stack([q for _, q in self._edges_full[:ne]])
-        W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
+        # reference sqrt informations (PoseGraph.cpp:402-416): sequential
+        # edges carry yaw weight 57.3, loop edges 100 (plus Huber via
+        # is_loop)
+        W_seq = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 57.3])
+        W_loop = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 100.0])
+        il = np.asarray(self.edges.is_loop[:E], bool)
+        sqrt_info = np.where(
+            il[:, None, None], W_loop[None, :, :], W_seq[None, :, :]
+        )
         edges6 = PoseGraph6Edges(
             i=self.edges.i[:E],
             j=self.edges.j[:E],
             t_ij=jnp.asarray(t_full, self._dtype),
             q_ij=jnp.asarray(q_full, self._dtype),
-            sqrt_info=jnp.broadcast_to(
-                jnp.asarray(W, self._dtype), (E, 6, 6)
-            ),
+            sqrt_info=jnp.asarray(sqrt_info, self._dtype),
             valid=self.edges.valid[:E],
+            is_loop=jnp.asarray(il),
         )
         if Np > 2048:
             # Cave/Bus-joint scale: matrix-free SE(3) PCG (block-Jacobi
@@ -807,7 +814,14 @@ class LoopCloser:
                 cg_iters=self.pgo_cg_iters, coarse_group=32,
             )
         else:
-            out = optimize_6dof(nodes6, edges6, fix_before, iters=5)
+            # Huber IRLS on loop edges needs several re-linearizations to
+            # converge (the reference's optimization thread re-runs its
+            # 5-iteration solve every 500 ms, PoseGraph.cpp:382-384 — the
+            # same total budget collapsed into one call)
+            out = optimize_6dof(
+                nodes6, edges6, fix_before,
+                iters=max(10, self.pgo_gn_iters // 3),
+            )
         ypr_d = jax.vmap(
             lambda qq: jnp.stack(matrix_to_ypr(quat.to_rotation_matrix(qq)))
         )(out.q)

@@ -16,7 +16,7 @@ Nodes before ``fix_before`` are held fixed (the reference fixes poses before
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -199,8 +199,14 @@ class PoseGraph6Edges(NamedTuple):
     j: jnp.ndarray
     t_ij: jnp.ndarray  # (E,3) in i frame
     q_ij: jnp.ndarray  # (E,4)
-    sqrt_info: jnp.ndarray  # (E,6,6) (reference: diag(20,20,20,100,100,0.573))
+    # (E,6,6) sqrt information. Reference (PoseGraph.cpp:402-416):
+    # sequential edges diag(20,20,20,100,100,57.3), loop edges
+    # diag(20,20,20,100,100,100)
+    sqrt_info: jnp.ndarray
     valid: jnp.ndarray
+    # loop edges carry a Huber(0.1) robust loss (PoseGraph.cpp:423,490);
+    # None (legacy constructors) = no loop edges
+    is_loop: Optional[jnp.ndarray] = None
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -213,8 +219,13 @@ def optimize_6dof(
     N = nodes.r.shape[0]
     dtype = nodes.r.dtype
 
+    il_arr = (
+        edges.is_loop if edges.is_loop is not None
+        else jnp.zeros(edges.i.shape[0], bool)
+    )
+
     def gn_step(_, nd: PoseGraph6Nodes):
-        def edge_eval(ei, ej, t_ij, q_ij, W, ok):
+        def edge_eval(ei, ej, t_ij, q_ij, W, ok, il):
             def res_of(d12):
                 r_i = nd.r[ei] + d12[:3]
                 r_j = nd.r[ej] + d12[6:9]
@@ -228,11 +239,20 @@ def optimize_6dof(
 
             r = res_of(jnp.zeros(12, dtype))
             J = jax.jacfwd(res_of)(jnp.zeros(12, dtype))
-            w = jnp.where(ok, 1.0, 0.0)
+            # Huber(0.1) on loop edges (reference loss_function,
+            # PoseGraph.cpp:423,490) — IRLS sqrt-weight on the whitened
+            # residual norm, like the 4-DoF path
+            n = jnp.linalg.norm(r)
+            hub = jnp.where(
+                il & (n > HUBER_DELTA),
+                jnp.sqrt(HUBER_DELTA / jnp.maximum(n, 1e-12)), 1.0,
+            )
+            w = jnp.where(ok, hub, 0.0).astype(dtype)
             return w * r, w * J
 
         r, J = jax.vmap(edge_eval)(
-            edges.i, edges.j, edges.t_ij, edges.q_ij, edges.sqrt_info, edges.valid
+            edges.i, edges.j, edges.t_ij, edges.q_ij, edges.sqrt_info,
+            edges.valid, il_arr,
         )
         Ji = J[:, :, :6]
         Jj = J[:, :, 6:]

@@ -544,9 +544,15 @@ def _pg6_eval(nd, edges, free):
     PoseGraph3dErrorTerm, ``Pose3DError.h:155``)."""
     from ..kinematics import quaternion as quat
 
-    dtype = nd.r.dtype
+    from ..loopclosure.posegraph import HUBER_DELTA
 
-    def one(ei, ej, t_ij, q_ij, W, ok):
+    dtype = nd.r.dtype
+    il_arr = (
+        edges.is_loop if edges.is_loop is not None
+        else jnp.zeros(edges.i.shape[0], bool)
+    )
+
+    def one(ei, ej, t_ij, q_ij, W, ok, il):
         def res_of(d12):
             r_i = nd.r[ei] + d12[:3]
             r_j = nd.r[ej] + d12[6:9]
@@ -560,16 +566,22 @@ def _pg6_eval(nd, edges, free):
 
         r = res_of(jnp.zeros(12, dtype))
         J = jax.jacfwd(res_of)(jnp.zeros(12, dtype))
-        # typed casts (a jnp.where of two weak Python floats promotes to
-        # the x64 default dtype and would upcast the whole solve)
-        w = ok.astype(dtype)
+        # Huber(0.1) on loop edges (PoseGraph.cpp:423,490). Typed casts —
+        # a jnp.where of two weak Python floats promotes to the x64
+        # default dtype and would upcast the whole solve.
+        n = jnp.linalg.norm(r)
+        hub = jnp.where(
+            il & (n > HUBER_DELTA),
+            jnp.sqrt(HUBER_DELTA / jnp.maximum(n, 1e-12)), 1.0,
+        ).astype(dtype)
+        w = ok.astype(dtype) * hub
         Ji = J[:, :6] * free[ei].astype(dtype)
         Jj = J[:, 6:] * free[ej].astype(dtype)
         return w * r, w * Ji, w * Jj
 
     return jax.vmap(one)(
         edges.i, edges.j, edges.t_ij, edges.q_ij, edges.sqrt_info,
-        edges.valid,
+        edges.valid, il_arr,
     )
 
 

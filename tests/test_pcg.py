@@ -405,7 +405,7 @@ def _graph6_from_4dof():
         )
         for k in range(E)
     ])
-    W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
+    W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 57.3])
     edges6 = PoseGraph6Edges(
         i=edges.i, j=edges.j, t_ij=edges.t_ij, q_ij=jnp.asarray(q_ij),
         sqrt_info=jnp.broadcast_to(
@@ -425,9 +425,9 @@ def test_pcg_posegraph_6dof_matches_dense():
     nodes6, edges6, t_gt, yaw_gt, N = _graph6_from_4dof()
     out_d = optimize_6dof(nodes6, edges6, jnp.int32(1), iters=6)
     cap = nodes6.r.shape[0]
-    # the reference sqrt-information (rotation 100 vs yaw 0.573) makes the
-    # system ill-conditioned (cond ~4e7) — exact agreement needs CG pushed
-    # well past the dimension count
+    # the reference sqrt-information (translation 20 vs rotation 100)
+    # still leaves the system ill-conditioned — exact agreement needs CG
+    # pushed well past the dimension count
     out_p = optimize_6dof_pcg(
         nodes6, edges6, jnp.int32(1), iters=6, cg_iters=800,
         coarse_group=16,
@@ -498,7 +498,7 @@ def test_pcg_posegraph_6dof_large_graph():
         q=jnp.asarray(q_init, jnp.float32),
         valid=jnp.ones(N, bool),
     )
-    W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 0.573])
+    W = np.diag([20.0, 20.0, 20.0, 100.0, 100.0, 57.3])
     edges6 = PoseGraph6Edges(
         i=jnp.asarray(ii, jnp.int32), j=jnp.asarray(jj, jnp.int32),
         t_ij=jnp.asarray(np.stack(ts), jnp.float32),
@@ -529,8 +529,8 @@ def test_pcg_posegraph_6dof_large_graph():
         q_rel = _npq.multiply(_npq.conjugate(q_out[a]), q_out[b])
         dq = _npq.multiply(_npq.conjugate(qr), q_rel)
         worst_q = max(worst_q, float(2 * np.arccos(min(1.0, abs(dq[3])))))
-    # rotation tolerance reflects the reference's own weighting: yaw
-    # carries sqrt-info 0.573 vs 100 for roll/pitch, so the yaw component
-    # of loop residuals converges last
+    # rotation tolerance reflects the reference's own weighting: yaw on
+    # sequential edges carries sqrt-info 57.3 vs 100 for roll/pitch, so
+    # the yaw component of loop residuals converges last
     assert worst_t < 0.01, worst_t
     assert worst_q < 0.02, worst_q
