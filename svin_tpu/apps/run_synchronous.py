@@ -50,8 +50,9 @@ def main(argv=None) -> int:
         print(__doc__)
         return 2
     config_path, data = argv[0], argv[1]
-    out_dir = argv[2] if len(argv) > 2 else "svin_out"
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = argv[2] if len(argv) > 2 else None
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
 
     import jax
 
@@ -76,6 +77,11 @@ def main(argv=None) -> int:
     from ..utils import Timing
 
     cfg = load_config(config_path)
+    # output_params.output_dir is the default when no CLI out_dir is given
+    # (reference Parameters.cpp:73-84)
+    if out_dir is None:
+        out_dir = cfg.output_dir or "svin_out"
+        os.makedirs(out_dir, exist_ok=True)
     engine = VioEngine(cfg)
     closer = LoopCloser(engine.rig.cameras[0], cfg)
     if resume_prefix:
@@ -91,6 +97,13 @@ def main(argv=None) -> int:
         engine.sequence = closer.sequence_cnt + 1
     gmap = GlobalMap(min_quality=cfg.global_map.min_landmark_quality)
     n_loops = [0]
+    # debug-artifact tree (pose_graph_node.cpp:12-92) when
+    # output_params.debug is on
+    dbg = None
+    if cfg.debug_mode:
+        from ..pipeline.outputs import DebugOutputDirs
+
+        dbg = DebugOutputDirs(os.path.join(out_dir, "debug_output"))
 
     kf_key = {}  # closer keyframe index -> global-map keyframe key
 
@@ -108,6 +121,11 @@ def main(argv=None) -> int:
         )
         if loop is not None:
             n_loops[0] += 1
+            if dbg is not None:
+                dbg.log_loop(
+                    loop.query_index, loop.match_index, loop.num_inliers,
+                    loop.rel_t, loop.rel_yaw,
+                )
             # re-project the global map through loop-corrected poses
             # (LoopClosure::updateGlobalMap analog)
             corrected = {
@@ -177,6 +195,8 @@ def main(argv=None) -> int:
         [(lp.query_index, lp.match_index) for lp in closer.loops],
     )
 
+    if dbg is not None:
+        dbg.close()
     if checkpoint_prefix:
         from ..pipeline.checkpoint import save_engine, save_loop_closer
 

@@ -103,6 +103,10 @@ class VioConfig:
     # immediate single-loop drift re-anchoring (reference Parameters.cpp:128,
     # PoseGraph::updateKeyFrameLoop fast path)
     fast_relocalization: bool = False
+    # output_params (reference pose_graph Parameters.cpp:73-92): default
+    # output directory + debug-artifact mode (loop_candidates/… dirs)
+    output_dir: str = ""
+    debug_mode: bool = False
     loop_closure: LoopClosureConfig = field(default_factory=LoopClosureConfig)
     health: HealthConfig = field(default_factory=HealthConfig)
     global_map: GlobalMapConfig = field(default_factory=GlobalMapConfig)
@@ -239,4 +243,7 @@ def load_config(path: str) -> VioConfig:
         enable=_b(gm.get("enable", 1)),
         min_landmark_quality=float(gm.get("min_landmark_quality", 0.01)),
     )
+    op = d.get("output_params", {}) or {}
+    cfg.output_dir = str(op.get("output_dir", "")).strip('"')
+    cfg.debug_mode = _b(op.get("debug", 0))
     return cfg

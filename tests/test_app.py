@@ -159,3 +159,33 @@ def test_rpe_metric():
     out = rpe(t, p_est, q, p, q, delta_s=1.0)
     assert abs(out["rpe_trans_rmse"] - 0.05) < 1e-6
     assert out["rpe_rot_rmse_deg"] < 1e-2  # arccos noise near identity
+
+
+def test_app_output_params_and_debug_mode(tmp_path, monkeypatch):
+    """output_params (Parameters.cpp:73-92): output_dir is the default out
+    directory and debug mode writes the pose_graph_node debug-artifact tree
+    with a populated loop_closure.txt."""
+    out_default = tmp_path / "cfg_out"
+    cfg_path = tmp_path / "rig.yaml"
+    cfg_path.write_text(CONFIG_YAML + f"""
+loop_closure_params:
+    enable: 1
+    min_correspondences: 12
+
+output_params:
+    output_dir: "{out_default}"
+    debug: 1
+""")
+    monkeypatch.setenv("SVIN_SYNTH_DURATION", "2.5")
+    from svin_tpu.apps.run_synchronous import main
+
+    rc = main([str(cfg_path), "--synthetic"])  # NO out_dir argument
+    assert rc == 0
+    assert (out_default / "svin_vio.txt").exists()
+    dbg = out_default / "debug_output"
+    assert (dbg / "loop_candidates").is_dir()
+    assert (dbg / "pnp_verified").is_dir()
+    assert (dbg / "loop_closure.txt").exists()
+    # (loop-log CONTENT is covered by the gauntlet-length sequences —
+    # loops only attempt past the 50-keyframe recency exclusion,
+    # PoseGraph.cpp:197, which a short smoke run cannot reach)
