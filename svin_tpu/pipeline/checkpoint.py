@@ -130,19 +130,56 @@ def save_loop_closer(closer, path: str) -> None:
     if closer._edges_full:
         out["edges_full_t"] = np.stack([t for t, _ in closer._edges_full])
         out["edges_full_q"] = np.stack([q for _, q in closer._edges_full])
-    # keyframe essentials (poses + timestamps; descriptors/points per-kf)
+    # keyframe essentials: poses + timestamps PLUS the full loop-closure
+    # features (window/extra descriptors, corner coordinates, 3D points)
+    # so a RESUMED session can verify loops against pre-checkpoint
+    # keyframes (a few tens of KB per keyframe; the reference has no
+    # persistence at all — SURVEY §5 checkpoint/resume is new capability)
     if closer.keyframes:
-        out["kf_t"] = np.asarray([k.timestamp for k in closer.keyframes])
-        out["kf_r"] = np.stack([np.asarray(k.T_WC_vio.r) for k in closer.keyframes])
-        out["kf_q"] = np.stack([np.asarray(k.T_WC_vio.q) for k in closer.keyframes])
+        kfs = closer.keyframes
+        out["kf_t"] = np.asarray([k.timestamp for k in kfs])
+        out["kf_r"] = np.stack([np.asarray(k.T_WC_vio.r) for k in kfs])
+        out["kf_q"] = np.stack([np.asarray(k.T_WC_vio.q) for k in kfs])
+
+        def pad_stack(arrs, dtype):
+            arrs = [np.asarray(a) for a in arrs]
+            m = max((a.shape[0] for a in arrs), default=0)
+            outa = np.zeros((len(arrs), m) + arrs[0].shape[1:], dtype)
+            cnt = np.zeros(len(arrs), np.int32)
+            for i, a in enumerate(arrs):
+                outa[i, : a.shape[0]] = a
+                cnt[i] = a.shape[0]
+            return outa, cnt
+
+        out["kf_wdesc"], out["kf_wdesc_n"] = pad_stack(
+            [k.window_desc for k in kfs], np.uint32
+        )
+        out["kf_wvalid"], _ = pad_stack(
+            [np.asarray(k.window_valid, bool) for k in kfs], bool
+        )
+        out["kf_edesc"], out["kf_edesc_n"] = pad_stack(
+            [k.extra_desc for k in kfs], np.uint32
+        )
+        out["kf_euv"], _ = pad_stack(
+            [np.asarray(k.extra_uv, np.float32) for k in kfs], np.float32
+        )
+        out["kf_evalid"], _ = pad_stack(
+            [np.asarray(k.extra_valid, bool) for k in kfs], bool
+        )
+        out["kf_pts"], out["kf_pts_n"] = pad_stack(
+            [np.asarray(k.points_W, np.float64) for k in kfs], np.float64
+        )
+        out["kf_puv"], _ = pad_stack(
+            [np.asarray(k.point_uv, np.float64) for k in kfs], np.float64
+        )
     np.savez_compressed(path, **out)
 
 
 def load_loop_closer(closer, path: str):
-    """Restore pose graph + database (keyframe image features are not
-    retained, so already-stored keyframes cannot be re-verified against —
-    new keyframes can still close loops against the restored database via
-    the pose graph)."""
+    """Restore pose graph + database + per-keyframe loop-closure features:
+    a resumed session closes loops against pre-checkpoint keyframes
+    exactly like live ones (the cross-sequence alignment machinery then
+    re-anchors the new session onto the restored map)."""
     from ..kinematics import Transformation
     from .vio import VioEngine  # noqa: F401  (doc reference)
     from ..loopclosure.loop_closure import LoopKeyframe
@@ -197,23 +234,40 @@ def load_loop_closer(closer, path: str):
         closer.db.count = n
     closer.keyframes = []
     if "kf_t" in data:
-        empty_desc = jnp.zeros((0, 8), jnp.uint32)
-        empty_valid = jnp.zeros(0, bool)
+        empty_desc = np.zeros((0, 8), np.uint32)
+        empty_valid = np.zeros(0, bool)
+        has_feat = "kf_wdesc" in data
         for k in range(meta["n_keyframes"]):
+            if has_feat:
+                ne = int(data["kf_edesc_n"][k])
+                npts = int(data["kf_pts_n"][k])
+                wdesc = data["kf_wdesc"][k]
+                wvalid = data["kf_wvalid"][k]
+                edesc = data["kf_edesc"][k][:ne]
+                euv = data["kf_euv"][k][:ne]
+                evalid = data["kf_evalid"][k][:ne]
+                pts = data["kf_pts"][k][:npts]
+                puv = data["kf_puv"][k][:npts]
+            else:  # legacy checkpoint without features
+                wdesc, wvalid = empty_desc, empty_valid
+                edesc, evalid = empty_desc, empty_valid
+                euv = np.zeros((0, 2), np.float32)
+                pts, puv = np.zeros((0, 3)), np.zeros((0, 2))
             closer.keyframes.append(
                 LoopKeyframe(
                     index=k,
                     timestamp=float(data["kf_t"][k]),
                     T_WC_vio=Transformation(
-                        r=jnp.asarray(data["kf_r"][k]), q=jnp.asarray(data["kf_q"][k])
+                        r=np.asarray(data["kf_r"][k]),
+                        q=np.asarray(data["kf_q"][k]),
                     ),
-                    points_W=np.zeros((0, 3)),
-                    point_uv=np.zeros((0, 2)),
-                    window_desc=empty_desc,
-                    window_valid=empty_valid,
-                    extra_uv=jnp.zeros((0, 2)),
-                    extra_desc=empty_desc,
-                    extra_valid=empty_valid,
+                    points_W=pts,
+                    point_uv=puv,
+                    window_desc=wdesc,
+                    window_valid=wvalid,
+                    extra_uv=euv,
+                    extra_desc=edesc,
+                    extra_valid=evalid,
                     sequence=(
                         int(data["kf_seq"][k]) if "kf_seq" in data else 0
                     ),

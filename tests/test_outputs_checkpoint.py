@@ -204,3 +204,67 @@ def test_topdown_viewer_renders_and_saves(tmp_path):
     out = tmp_path / "top.png"
     v.save(str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_checkpoint_keyframes_verify_loops_after_resume():
+    """Round-3 capability: the checkpoint carries full loop-closure
+    features (descriptors/corners/3D points), so a RESUMED session
+    verifies loops against pre-checkpoint keyframes and the
+    cross-sequence alignment re-anchors the new session onto the restored
+    map (checkpoint/resume is new over the reference — SURVEY §5)."""
+    import jax
+    from test_loopcloser_scale import CAM, _closer, _desc, _export
+    from svin_tpu.cameras import project
+    from svin_tpu.pipeline.checkpoint import load_loop_closer, save_loop_closer
+    import jax.numpy as jnp
+
+    closer = _closer(min_correspondences=20, pnp_ransac_iterations=64)
+    SRC = 8
+    rngs = np.random.RandomState(123)
+    pos_src = np.array([4.0, 0.0, 0.0])
+    pts = pos_src + np.array([-1.0, -0.8, 4.0]) + rngs.rand(60, 3) * [2.0, 1.6, 1.5]
+    uv_src, ok = jax.device_get(project(CAM, jnp.asarray(pts - pos_src)))
+    assert bool(np.asarray(ok).all())
+    site_desc = _desc(rngs, 60)
+    for i in range(60):
+        if i == SRC:
+            e = _export(i, i, pos_src, [0, 0, 0, 1],
+                        extra_desc=site_desc,
+                        extra_uv=np.asarray(uv_src, np.float32),
+                        rng=np.random.RandomState(50_000 + i))
+        else:
+            e = _export(i, i, [0.5 * i, 0, 0], [0, 0, 0, 1],
+                        rng=np.random.RandomState(50_000 + i))
+        closer.add_keyframe(e)
+
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "closer.npz")
+    save_loop_closer(closer, path)
+
+    resumed = _closer(min_correspondences=20, pnp_ransac_iterations=64)
+    load_loop_closer(resumed, path)
+    assert len(resumed.keyframes) == 60
+    # restored keyframes kept their features
+    assert np.array_equal(
+        np.asarray(resumed.keyframes[SRC].extra_desc), site_desc
+    )
+
+    # session 1 revisits the site in a drifted frame
+    drift = np.array([1.5, -1.0, 0.4])
+    uv_cur, _ = jax.device_get(project(CAM, jnp.asarray(pts - pos_src)))
+    e = _export(
+        60, 60.0, pos_src + drift, [0, 0, 0, 1],
+        points_W=pts + drift, uv=np.asarray(uv_cur, float),
+        window_desc=site_desc, sequence=1,
+        rng=np.random.RandomState(60_060),
+    )
+    loop = resumed.add_keyframe(e)
+    assert loop is not None, "no loop verified against a RESTORED keyframe"
+    assert loop.match_index == SRC and loop.query_index == 60
+    assert resumed._seq_aligned[1] is True
+    # the new session re-anchored onto the restored map: the revisit's
+    # aligned pose lands at the site (the injected inter-session drift is
+    # gone)
+    np.testing.assert_allclose(
+        np.asarray(resumed.keyframes[60].T_WC_vio.r), pos_src, atol=0.2
+    )
