@@ -96,8 +96,10 @@ class VioConfig:
     is_sonar_used: bool = False
     is_depth_used: bool = False
     histogram_method: str = "NONE"
-    clahe_clip_limit: float = 1.0
-    clahe_tiles: int = 4
+    # reference CLAHE defaults when histogramMethod==CLAHE and the keys
+    # are absent: clip 5.0, tiles 8 (VioParametersReader.cpp:287-288)
+    clahe_clip_limit: float = 5.0
+    clahe_tiles: int = 8
     resize_factor: float = 1.0
     timestamp_tolerance: float = 0.005
     # immediate single-loop drift re-anchoring (reference Parameters.cpp:128,
@@ -213,8 +215,8 @@ def load_config(path: str) -> VioConfig:
     cfg.is_sonar_used = _b(d.get("isSonarUsed", False))
     cfg.is_depth_used = _b(d.get("isDepthUsed", False))
     cfg.histogram_method = str(d.get("histogramMethod", "NONE")).strip('"')
-    cfg.clahe_clip_limit = float(d.get("claheClipLimit", 1.0))
-    cfg.clahe_tiles = int(d.get("claheTilesGridSize", 4))
+    cfg.clahe_clip_limit = float(d.get("claheClipLimit", 5.0))
+    cfg.clahe_tiles = int(d.get("claheTilesGridSize", 8))
     cfg.resize_factor = float(d.get("resizeFactor", 1.0))
 
     cfg.fast_relocalization = _b(d.get("fast_relocalization", False))
