@@ -126,6 +126,27 @@ def main(argv=None) -> int:
                     loop.query_index, loop.match_index, loop.num_inliers,
                     loop.rel_t, loop.rel_yaw,
                 )
+                # PnP-inlier match visualization (Keyframe.cpp:527-535
+                # writes pnp_verified/ and loop_closure/ images)
+                kq = closer.keyframes[loop.query_index]
+                km = closer.keyframes[loop.match_index]
+                if (
+                    kq.debug_image is not None
+                    and km.debug_image is not None
+                    and loop.uv_query is not None
+                ):
+                    from ..pipeline.outputs import draw_matches
+
+                    M = len(loop.uv_query)
+                    img = draw_matches(
+                        kq.debug_image, loop.uv_query,
+                        km.debug_image, loop.uv_match,
+                        np.stack([np.arange(M), np.arange(M)], 1),
+                    )
+                    dbg.save_image(
+                        "loop_closure",
+                        f"{loop.query_index}_{loop.match_index}", img,
+                    )
             # re-project the global map through loop-corrected poses
             # (LoopClosure::updateGlobalMap analog)
             corrected = {

@@ -76,6 +76,9 @@ class LoopKeyframe:
     # covisibility-graph neighbours (internal indices, shared-landmark
     # weight > COVIS_WEIGHT_TH — mConnectedKeyFrameWeights analog)
     connected: List[int] = field(default_factory=list)
+    # retained intake image (uint8) — only when the closer's debug mode
+    # keeps images for match-visualization artifacts
+    debug_image: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -89,6 +92,11 @@ class LoopInfo:
     # 6-DoF pose graph (reference PoseGraph3dErrorTerm edges)
     rel_t_full: Optional[np.ndarray] = None
     rel_q_full: Optional[np.ndarray] = None
+    # PnP-inlier correspondences (query uv, match uv — row k ↔ row k):
+    # feeds the debug match images (reference Keyframe.cpp:527-535 writes
+    # pnp_verified/ and loop_closure/ images)
+    uv_query: Optional[np.ndarray] = None
+    uv_match: Optional[np.ndarray] = None
 
 
 class LoopCloser:
@@ -171,6 +179,9 @@ class LoopCloser:
         # analog). Primitive odometry arrives via add_primitive_pose.
         self.switching = SwitchingEstimator(cfg=self.cfg.health)
         self.robust_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        # debug-artifact mode: retain intake images on keyframes so loop
+        # match visualizations can be written (pose_graph_node debug dirs)
+        self.keep_images = bool(getattr(self.cfg, "debug_mode", False))
         # pose-graph solve budget (tests/benchmarks can lower these; the
         # defaults match the reference's repeated 10-iteration re-solves)
         self.pgo_gn_iters = 30
@@ -315,6 +326,8 @@ class LoopCloser:
             sequence=seq,
             connected=connected,
         )
+        if self.keep_images and "image" in kf_export:
+            kf.debug_image = np.asarray(kf_export["image"])
         self.keyframes.append(kf)
         self._kf_by_export[int(kf_export.get("kf_index", idx))] = idx
 
@@ -619,6 +632,7 @@ class LoopCloser:
             return None
         if np.linalg.norm(rel_t) > lc.max_position_diff:
             return None
+        inl = np.asarray(rr.inliers)[:n].astype(bool)
         return LoopInfo(
             query_index=cur.index,
             match_index=old.index,
@@ -629,6 +643,8 @@ class LoopCloser:
             rel_q_full=npq.multiply(
                 npq.conjugate(T_old_fit.q), np.asarray(cur.T_WC_vio.q)
             ),
+            uv_query=np.asarray(cur.point_uv)[sel[:n]][inl],
+            uv_match=np.asarray(old.extra_uv)[old_idx[:n]][inl],
         )
 
     def _fast_relocalize(self, loop: LoopInfo) -> None:

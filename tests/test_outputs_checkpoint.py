@@ -261,6 +261,9 @@ def test_checkpoint_keyframes_verify_loops_after_resume():
     loop = resumed.add_keyframe(e)
     assert loop is not None, "no loop verified against a RESTORED keyframe"
     assert loop.match_index == SRC and loop.query_index == 60
+    # PnP-inlier correspondences surface for the debug match images
+    assert loop.uv_query is not None and len(loop.uv_query) >= 20
+    assert loop.uv_match is not None and len(loop.uv_match) == len(loop.uv_query)
     assert resumed._seq_aligned[1] is True
     # the new session re-anchored onto the restored map: the revisit's
     # aligned pose lands at the site (the injected inter-session drift is
