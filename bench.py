@@ -47,7 +47,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_BUDGET_S = 0.035
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("SVIN_BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("SVIN_BENCH_BUDGET_S", "540"))
 
 
 def remaining() -> float:
@@ -490,6 +490,9 @@ def main():
     signal.signal(signal.SIGALRM, _alarm_exit)
     signal.alarm(rem)
 
+    # ordered cheap-and-flagship first so a tight budget still records the
+    # headline detail set (tracks is the Cave-scale flagship; add_frame is
+    # the most expensive section)
     t_front2 = section("frontend", 45, detail_frontend)
     if t_front2 is not None:
         t_e2e = t_front2 + t_match + t_opt
@@ -497,13 +500,13 @@ def main():
             f"stereo-frame kernel-sum {t_e2e*1e3:.3f} ms ({1.0/t_e2e:.0f} fps "
             "estimate; see MEASURED add_frame for the real engine step)"
         )
-    section("engine add_frame", 90, detail_engine_frame)
-    section("BA dense-Schur", 40, detail_ba_dense)
-    section("BA PCG Cave-scale", 100, detail_ba_pcg)
-    section("BA tracks Cave-scale", 100, detail_ba_tracks)
     section("pose graph 20k", 80, detail_posegraph)
     section("retrieval 12k", 30, detail_retrieval)
     section("pallas on-chip", 30, validate_pallas_on_chip)
+    section("BA tracks Cave-scale", 100, detail_ba_tracks)
+    section("BA PCG Cave-scale", 100, detail_ba_pcg)
+    section("BA dense-Schur", 40, detail_ba_dense)
+    section("engine add_frame", 90, detail_engine_frame)
     signal.alarm(0)
     emit(f"done in {time.monotonic() - T_START:.0f} s (budget {BUDGET_S:.0f} s)")
 
