@@ -56,8 +56,17 @@ def main(argv=None) -> int:
 
     import jax
 
-    if jax.default_backend() == "cpu":
-        # f64 normal equations when the backend supports it
+    if os.environ.get("SVIN_COMPCACHE"):
+        # persistent compile cache (safe on TPU; the CPU cache-read path
+        # segfaults on this jaxlib — see tests/conftest.py)
+        cache = os.path.expanduser("~/.cache/jax_compcache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() == "cpu" and not os.environ.get("SVIN_F32"):
+        # f64 normal equations when the backend supports it (SVIN_F32=1
+        # forces the shipped TPU precision for accuracy A/B runs —
+        # tools/accuracy_f32.py)
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 

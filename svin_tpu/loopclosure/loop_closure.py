@@ -627,7 +627,7 @@ class LoopCloser:
         yaw_o = matrix_to_ypr_np(R_of)[0]
         yaw_c = matrix_to_ypr_np(npq.to_rotation_matrix(np.asarray(cur.T_WC_vio.q)))[0]
         rel_yaw = float(normalize_angle_np(yaw_c - yaw_o))
-        # sanity gates (reference: |yaw|<30°, ‖t‖< max_position_diff)
+        # sanity gates (reference Keyframe.cpp:501: |yaw|<25°, ‖t‖<15 m)
         if abs(np.degrees(rel_yaw)) > lc.max_yaw_diff:
             return None
         if np.linalg.norm(rel_t) > lc.max_position_diff:

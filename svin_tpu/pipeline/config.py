@@ -41,8 +41,10 @@ class LoopClosureConfig:
     pnp_reprojection_threshold: float = 20.0
     pnp_ransac_iterations: int = 100
     keyframe_queue: int = 5
-    max_yaw_diff: float = 30.0
-    max_position_diff: float = 6.0
+    # loop acceptance gates — reference hardcodes |rel yaw| < 25 deg and
+    # ||rel t|| < 15 m (pose_graph/src/pose_graph/Keyframe.cpp:501)
+    max_yaw_diff: float = 25.0
+    max_position_diff: float = 15.0
     # "4dof" (yaw+XYZ, the reference's default optimize4DoFPoseGraph) or
     # "6dof" (full SE(3), optimize6DoFPoseGraph, PoseGraph.cpp:387-543)
     pgo_mode: str = "4dof"
@@ -227,8 +229,8 @@ def load_config(path: str) -> VioConfig:
         pnp_reprojection_threshold=float(lc.get("pnp_reprojection_threshold", 20.0)),
         pnp_ransac_iterations=int(lc.get("pnp_ransac_iterations", 100)),
         keyframe_queue=int(lc.get("keyframe_queue", 5)),
-        max_yaw_diff=float(lc.get("max_yaw_diff", 30.0)),
-        max_position_diff=float(lc.get("max_position_diff", 6.0)),
+        max_yaw_diff=float(lc.get("max_yaw_diff", 25.0)),
+        max_position_diff=float(lc.get("max_position_diff", 15.0)),
         pgo_mode=str(lc.get("pgo_mode", "4dof")).strip('"'),
         vocabulary_file=str(lc.get("vocabulary_file", "")).strip('"'),
     )

@@ -1,0 +1,206 @@
+"""TPU-f32 vs CPU-f64 end-to-end accuracy A/B (VERDICT r3 missing #1).
+
+Every ATE number on the record before round 4 came from the CPU test
+suite with ``jax_enable_x64`` forced on, while the shipped TPU path runs
+f32 with a different reduced solve (``ops/solve.py``). This tool proves
+the two headline claims simultaneously: it runs the SAME gauntlet-class
+synthetic sonar-visual-inertial-depth sequence (63 s, closed Lissajous
+with revisits — the Cave stand-in from ``tests/test_gauntlet.py``)
+through the FULL CLI (``apps.run_synchronous --synthetic``:
+VioEngine + LoopCloser + switching estimator) twice:
+
+  A. on the default backend (TPU when available) in the shipped f32 path
+  B. on CPU with f64 normal equations (the test-suite precision)
+
+and writes ``artifacts/ACCURACY_r04.json`` with Sim(3)-ATE / RPE for the
+VIO, loop-corrected, and robust trajectories side by side, plus the
+f32/f64 ATE ratios. Acceptance target (VERDICT r3 next #1): TPU-f32 ATE
+within ~1.2x of CPU-f64 on the same seed.
+
+Usage:
+  python tools/accuracy_ab.py                 # full A/B -> artifacts JSON
+  python tools/accuracy_ab.py --single OUT.json   # one run in THIS
+      process's backend/precision (used by the subprocess legs)
+
+Reference accuracy comes from double-precision Ceres everywhere
+(okvis_ros/okvis/okvis_ceres/src/Estimator.cpp:876-929); the reference
+never demonstrates single-precision operation at all.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+IMG_W, IMG_H, MAXKP = 200, 150, 150
+CONFIG_YAML = f"""%YAML:1.0
+cameras:
+  - T_SC: [1.0, 0.0, 0.0, 0.0,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+    image_dimension: [{IMG_W}, {IMG_H}]
+    focal_length: [160.0, 160.0]
+    principal_point: [100.0, 75.0]
+    distortion_coefficients: []
+    distortion_type: none
+  - T_SC: [1.0, 0.0, 0.0, 0.2,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+    image_dimension: [{IMG_W}, {IMG_H}]
+    focal_length: [160.0, 160.0]
+    principal_point: [100.0, 75.0]
+    distortion_coefficients: []
+    distortion_type: none
+
+camera_params:
+    camera_rate: 3
+
+imu_params:
+    imu_rate: 100
+
+numKeyframes: 4
+numImuFrames: 2
+
+ceres_options:
+    maxIterations: 5
+
+detection_options:
+    threshold: 40.0
+    octaves: 0
+    maxNoKeypoints: {MAXKP}
+
+isSonarUsed: 1
+isDepthUsed: 1
+sonar_params:
+    T_SSo: [1.0, 0.0, 0.0, 0.0,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+
+loop_closure_params:
+    enable: 1
+    min_correspondences: 12
+
+health:
+    enable: 1
+    min_keypoints: 12
+    consecutive_keyframes: 2
+    kps_per_quadrant: 1
+    keyframe_wait_time: 20.0
+"""
+
+SYNTH_ENV = {
+    "SVIN_SYNTH_DURATION": "63",
+    "SVIN_SYNTH_REVISIT": "1",
+    "SVIN_SYNTH_DEGRADE": "30:32",
+    "SVIN_SYNTH_PRIMITIVE": "1",
+}
+
+
+def run_single(out_json: str) -> int:
+    """One full-CLI gauntlet run in this process; JSON metrics to file."""
+    import numpy as np
+
+    import jax
+
+    t0 = time.time()
+    tmp = tempfile.mkdtemp(prefix="accuracy_ab_")
+    cfg_path = os.path.join(tmp, "rig.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_YAML)
+    out_dir = os.path.join(tmp, "out")
+    os.environ.update(SYNTH_ENV)
+    from svin_tpu.apps.run_synchronous import main
+
+    rc = main([cfg_path, "--synthetic", out_dir])
+    if rc != 0:
+        return rc
+
+    from svin_tpu import sim
+    from svin_tpu.evaluation import ate_rmse, load_tum, rpe
+
+    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    traj = traj._replace(r_lin=traj.r_lin * 0.0)
+
+    metrics = {}
+    for name in ("svin_vio", "svin_loop", "svin_robust"):
+        t, p, q = load_tum(os.path.join(out_dir, f"{name}.txt"))
+        gt_p = np.stack([np.asarray(sim.position(traj, tt)) for tt in t])
+        gt_q = np.stack([np.asarray(sim.pose(traj, tt).q) for tt in t])
+        rmse, _ = ate_rmse(p, gt_p, with_scale=True)
+        r = rpe(t, p, q, gt_p, gt_q, delta_s=5.0)
+        metrics[name] = {
+            "n_poses": int(len(p)),
+            "ate_rmse_m": round(float(rmse), 4),
+            "rpe_trans_rmse_m": round(float(r["rpe_trans_rmse"]), 4),
+            "rpe_rot_rmse_deg": round(float(r["rpe_rot_rmse_deg"]), 3),
+        }
+    metrics["platform"] = jax.devices()[0].platform
+    metrics["x64"] = bool(jax.config.jax_enable_x64)
+    metrics["dtype"] = "float64" if jax.config.jax_enable_x64 else "float32"
+    metrics["wall_s"] = round(time.time() - t0, 1)
+    with open(out_json, "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    return 0
+
+
+def run_leg(tag: str, env_extra: dict, out_json: str) -> dict:
+    env = dict(os.environ)
+    env.update(env_extra)
+    cmd = [sys.executable, os.path.abspath(__file__), "--single", out_json]
+    print(f"[{tag}] {env_extra} ...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    r = subprocess.run(cmd, env=env, cwd=REPO)
+    if r.returncode != 0:
+        raise RuntimeError(f"leg {tag} failed rc={r.returncode}")
+    with open(out_json) as f:
+        m = json.load(f)
+    print(f"[{tag}] done in {time.time()-t0:.0f} s: "
+          f"{m['platform']}/{m['dtype']}", file=sys.stderr, flush=True)
+    return m
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        return run_single(sys.argv[2])
+
+    tmp = tempfile.mkdtemp(prefix="accuracy_ab_legs_")
+    # Leg A: default backend (axon TPU under the harness), shipped f32.
+    # Persistent compile cache ON for the TPU leg (bench.py does the same).
+    a = run_leg(
+        "tpu-f32",
+        {"SVIN_F32": "1", "SVIN_COMPCACHE": "1"},
+        os.path.join(tmp, "a.json"),
+    )
+    # Leg B: CPU, f64 normal equations (the test-suite precision).
+    b = run_leg(
+        "cpu-f64", {"JAX_PLATFORMS": "cpu"}, os.path.join(tmp, "b.json")
+    )
+
+    ratios = {
+        name: round(
+            a[name]["ate_rmse_m"] / max(b[name]["ate_rmse_m"], 1e-9), 3
+        )
+        for name in ("svin_vio", "svin_loop", "svin_robust")
+    }
+    art = {
+        "what": (
+            "End-to-end Sim(3)-ATE/RPE for the SAME 63 s gauntlet-class "
+            "synthetic SVID sequence (revisits + degraded stretch) through "
+            "the full CLI, shipped-precision A/B: default-backend f32 vs "
+            "CPU f64. Target: f32/f64 ATE ratio <= ~1.2 (VERDICT r3 #1)."
+        ),
+        "leg_a": a,
+        "leg_b": b,
+        "ate_ratio_f32_over_f64": ratios,
+    }
+    os.makedirs(os.path.join(REPO, "artifacts"), exist_ok=True)
+    out = os.path.join(REPO, "artifacts", "ACCURACY_r04.json")
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(art, indent=1))
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
