@@ -113,6 +113,9 @@ def main(argv=None) -> int:
         from ..pipeline.outputs import DebugOutputDirs
 
         dbg = DebugOutputDirs(os.path.join(out_dir, "debug_output"))
+        # stage images (loop_candidates/, descriptor_matched/,
+        # pnp_verified/) are written inside the closer at their stages
+        closer.debug = dbg
 
     kf_key = {}  # closer keyframe index -> global-map keyframe key
 
@@ -154,7 +157,13 @@ def main(argv=None) -> int:
                     )
                     dbg.save_image(
                         "loop_closure",
-                        f"{loop.query_index}_{loop.match_index}", img,
+                        f"loop_closure_{loop.query_index}_"
+                        f"{loop.match_index}", img,
+                        caption=(
+                            f"current frame: {loop.query_index}  previous "
+                            f"frame: {loop.match_index}  inliers "
+                            f"{loop.num_inliers}"
+                        ),
                     )
             # re-project the global map through loop-corrected poses
             # (LoopClosure::updateGlobalMap analog)

@@ -182,6 +182,12 @@ class LoopCloser:
         # debug-artifact mode: retain intake images on keyframes so loop
         # match visualizations can be written (pose_graph_node debug dirs)
         self.keep_images = bool(getattr(self.cfg, "debug_mode", False))
+        # optional DebugOutputDirs: when set (and keep_images), every
+        # verification stage writes its viewable image exactly like the
+        # reference — loop_candidates/ (Keyframe.cpp:396-403),
+        # descriptor_matched/ (:418-426), pnp_verified/ (:465-489); the
+        # final loop_closure/ image is written by the app on acceptance
+        self.debug = None
         # pose-graph solve budget (tests/benchmarks can lower these; the
         # defaults match the reference's repeated 10-iteration re-solves)
         self.pgo_gn_iters = 30
@@ -564,10 +570,62 @@ class LoopCloser:
         for cand, score in zip(idxs, scores):
             if score < max(MIN_LOOP_SCORE, neighbor_floor):
                 continue
-            loop = self._verify(kf, self.keyframes[int(cand)])
+            old = self.keyframes[int(cand)]
+            self._debug_stage_candidate(kf, old)
+            loop = self._verify(kf, old)
             if loop is not None:
                 return loop
         return None
+
+    # ------------------------------------------------ debug stage images
+    def _debug_ready(self, cur: LoopKeyframe, old: LoopKeyframe) -> bool:
+        return (
+            self.debug is not None
+            and cur.debug_image is not None
+            and old.debug_image is not None
+        )
+
+    def _debug_stage_candidate(self, cur: LoopKeyframe, old: LoopKeyframe):
+        """loop_candidates/ — query keypoints + candidate corners side by
+        side for every candidate that reaches verification
+        (Keyframe.cpp:396-403 DrawCircles + showImagesSideBySide)."""
+        if not self._debug_ready(cur, old):
+            return
+        from ..pipeline.outputs import draw_keypoints
+
+        a = draw_keypoints(cur.debug_image, cur.point_uv, cur.window_valid)
+        b = draw_keypoints(
+            old.debug_image, np.asarray(old.extra_uv),
+            np.asarray(old.extra_valid),
+        )
+        h = max(a.shape[0], b.shape[0])
+        canvas = np.zeros((h, a.shape[1] + b.shape[1]), np.float32)
+        canvas[: a.shape[0], : a.shape[1]] = a
+        canvas[: b.shape[0], a.shape[1]:] = b
+        self.debug.save_image(
+            "loop_candidates",
+            f"loop_candidate_{cur.index}_{old.index}", canvas,
+            caption=f"query {cur.index}  candidate {old.index}",
+        )
+
+    def _debug_stage_matches(
+        self, subdir: str, prefix: str, cur: LoopKeyframe, old: LoopKeyframe,
+        uv_cur: np.ndarray, uv_old: np.ndarray, caption: str,
+    ):
+        """descriptor_matched/ (Keyframe.cpp:418-426) and pnp_verified/
+        (:465-489) — correspondence visualizations at their stages."""
+        if not self._debug_ready(cur, old):
+            return
+        from ..pipeline.outputs import draw_matches
+
+        m = len(uv_cur)
+        pairs = np.stack([np.arange(m), np.arange(m)], 1)
+        img = draw_matches(
+            cur.debug_image, uv_cur, old.debug_image, uv_old, pairs
+        )
+        self.debug.save_image(
+            subdir, f"{prefix}_{cur.index}_{old.index}", img, caption=caption
+        )
 
     def _verify(self, cur: LoopKeyframe, old: LoopKeyframe) -> Optional[LoopInfo]:
         """Descriptor match cur-window(3D) → old-corners(2D), then PnP RANSAC
@@ -582,6 +640,12 @@ class LoopCloser:
             return None
         sel = np.nonzero(m)[0]
         old_idx = idx_b[sel]
+        self._debug_stage_matches(
+            "descriptor_matched", "descriptor_match", cur, old,
+            np.asarray(cur.point_uv)[sel], np.asarray(old.extra_uv)[old_idx],
+            caption=f"query {cur.index}  match {old.index}  "
+                    f"desc-matches {len(sel)}",
+        )
         # fixed-size RANSAC problem (pad with invalid rows → one compilation)
         n = min(len(sel), WINDOW_CAP)
         p_W_pad = np.zeros((WINDOW_CAP, 3))
@@ -609,6 +673,14 @@ class LoopCloser:
         rr = jax.device_get(rr)
         if not bool(rr.success) or int(rr.num_inliers) < lc.min_correspondences:
             return None
+        inl_dbg = np.asarray(rr.inliers)[:n].astype(bool)
+        self._debug_stage_matches(
+            "pnp_verified", "pnp_verified", cur, old,
+            np.asarray(cur.point_uv)[sel[:n]][inl_dbg],
+            np.asarray(old.extra_uv)[old_idx[:n]][inl_dbg],
+            caption=f"current frame: {cur.index}  previous frame: "
+                    f"{old.index}  pnp-inliers {int(rr.num_inliers)}",
+        )
         # inlier-RATIO gate: a true loop's descriptor matches are mostly
         # consistent with one pose; a seed-free P3P can always scrape a
         # minimal pose out of spurious matches, so demand that the model

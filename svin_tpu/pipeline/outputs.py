@@ -156,11 +156,34 @@ class DebugOutputDirs:
         self.switch_log.write(f"{t:.6f} {msg}\n")
         self.switch_log.flush()
 
-    def save_image(self, subdir: str, name: str, image: np.ndarray):
+    def save_image(
+        self, subdir: str, name: str, image: np.ndarray,
+        caption: str = "",
+    ):
+        """Write a VIEWABLE .png (the reference writes cv::imwrite pngs at
+        every stage, Keyframe.cpp:399-535), with an optional white banner
+        caption like the reference's 'notation' strip (Keyframe.cpp:469-485).
+        Falls back to .npy if cv2 is unavailable."""
         arr = np.asarray(image)
-        if arr.max() <= 1.5:
-            arr = (arr * 255).astype(np.uint8)
-        np.save(os.path.join(self.root, subdir, name + ".npy"), arr)
+        if arr.dtype != np.uint8:
+            a = arr.astype(np.float32)
+            if a.size and a.max() <= 1.5:
+                a = a * 255.0
+            arr = np.clip(a, 0, 255).astype(np.uint8)
+        path = os.path.join(self.root, subdir, name + ".png")
+        try:
+            import cv2
+
+            if caption:
+                banner = np.full((50, arr.shape[1]), 255, np.uint8)
+                cv2.putText(
+                    banner, caption, (12, 32), cv2.FONT_HERSHEY_SIMPLEX,
+                    0.8, 0, 2,
+                )
+                arr = np.concatenate([banner, arr], axis=0)
+            cv2.imwrite(path, arr)
+        except ImportError:  # pragma: no cover - cv2 is a baked-in dep
+            np.save(os.path.join(self.root, subdir, name + ".npy"), arr)
 
     def close(self):
         self.loop_log.close()

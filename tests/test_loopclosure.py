@@ -261,13 +261,20 @@ def test_global_map_update_after_loop():
     np.testing.assert_allclose(out, pts + np.array([1.0, 0, 0]), atol=1e-9)
 
 
-def test_loop_closer_detects_rendered_revisit():
+def test_loop_closer_detects_rendered_revisit(tmp_path):
     """Two passes over the same rendered scene: the second pass keyframes
-    must retrieve + verify the first pass (end-to-end place recognition)."""
+    must retrieve + verify the first pass (end-to-end place recognition).
+    Debug mode is on: every verification stage must write its viewable
+    artifact (reference Keyframe.cpp:396-489 writes loop_candidates/,
+    descriptor_matched/, pnp_verified/ pngs)."""
+    from svin_tpu.pipeline.outputs import DebugOutputDirs
+
     cam, rig, renderer = _render_setup()
     cfg = VioConfig()
     cfg.loop_closure.min_correspondences = 12
+    cfg.debug_mode = True
     closer = LoopCloser(cam, cfg)
+    closer.debug = DebugOutputDirs(str(tmp_path / "dbg"))
     # monkeypatch recency exclusion (sequence is short)
     import svin_tpu.loopclosure.loop_closure as lc_mod
 
@@ -329,6 +336,14 @@ def test_loop_closer_detects_rendered_revisit():
         assert found[-1].num_inliers >= 12
         # rel_t should be small (revisit is ~6 cm away)
         assert np.linalg.norm(found[-1].rel_t) < 0.5
+        # every debug stage wrote a viewable png at its stage
+        for sub, prefix in (
+            ("loop_candidates", "loop_candidate"),
+            ("descriptor_matched", "descriptor_match"),
+            ("pnp_verified", "pnp_verified"),
+        ):
+            pngs = list((tmp_path / "dbg" / sub).glob(f"{prefix}_*.png"))
+            assert pngs, f"no {sub} artifacts written"
     finally:
         lc_mod.RECENCY_EXCLUSION = old_excl
 

@@ -177,10 +177,18 @@ def test_debug_output_dirs(tmp_path):
     d.log_loop(5, 1, 30, np.array([0.1, 0.2, 0.3]), 0.05)
     d.log_switch(1.5, "VIO->PRIMITIVE")
     d.save_image("loop_candidates", "kf5", np.zeros((4, 4)))
+    d.save_image(
+        "pnp_verified", "kf6", np.zeros((40, 120)), caption="current frame: 6"
+    )
     d.close()
     assert (tmp_path / "dbg" / "loop_closure.txt").read_text().startswith("5 1 30")
     assert (tmp_path / "dbg" / "switch_info.txt").exists()
-    assert (tmp_path / "dbg" / "loop_candidates" / "kf5.npy").exists()
+    # viewable PNGs, not .npy blobs (reference writes cv::imwrite pngs)
+    assert (tmp_path / "dbg" / "loop_candidates" / "kf5.png").exists()
+    import cv2
+
+    img = cv2.imread(str(tmp_path / "dbg" / "pnp_verified" / "kf6.png"))
+    assert img is not None and img.shape[0] == 90  # 50 px banner + 40 px
 
 
 def test_topdown_viewer_renders_and_saves(tmp_path):
