@@ -1,0 +1,201 @@
+"""Cave-length FULL-SYSTEM run (VERDICT r3 missing #3 / next #3).
+
+The reference's Cave sequence is 1519 poses (colmap_groundtruth/cave.txt);
+before round 4 the longest run through the REAL ``VioEngine → LoopCloser``
+chain was 92 keyframes (the gauntlet) — the 2120-kf scale test synthesized
+keyframe exports straight into the closer, bypassing the engine.
+
+This tool drives ~1500+ keyframes through the full CLI in TWO sessions
+with a MID-RUN CHECKPOINT/RESUME between them (run A ~2/3, checkpoint,
+resume run B ~1/3 — the resumed session re-verifies loops against the
+restored map and the pose graph treats it as a new sequence, exactly the
+multi-session reference flow), exercising in one pass: landmark slot
+reclamation and marginalization over thousands of frames, retrieval/
+covisibility growth past the banded-PGO switchover, sonar+depth factors,
+global-map re-projection after loops, and checkpoint/resume. It asserts
+bounded Sim(3)-ATE on both sessions and records sustained fps.
+
+Run it on the default backend: under the harness that is the tunneled TPU
+chip in the shipped f32 path — which makes this simultaneously the
+reference-scale *and* shipped-precision evidence. Writes
+``artifacts/CAVE_RUN_r04.json``.
+
+Usage: python tools/cave_run.py [--duration-a S] [--duration-b S] [--cpu]
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+IMG_W, IMG_H, MAXKP = 200, 150, 150
+# gauntlet-class rig (small images keep the host render affordable; the
+# ENGINE shapes that matter for scale — 512-lm window, retrieval DB,
+# pose-graph length — are sequence-length-driven, not pixel-driven)
+CONFIG_YAML = f"""%YAML:1.0
+cameras:
+  - T_SC: [1.0, 0.0, 0.0, 0.0,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+    image_dimension: [{IMG_W}, {IMG_H}]
+    focal_length: [160.0, 160.0]
+    principal_point: [100.0, 75.0]
+    distortion_coefficients: []
+    distortion_type: none
+  - T_SC: [1.0, 0.0, 0.0, 0.2,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+    image_dimension: [{IMG_W}, {IMG_H}]
+    focal_length: [160.0, 160.0]
+    principal_point: [100.0, 75.0]
+    distortion_coefficients: []
+    distortion_type: none
+
+camera_params:
+    camera_rate: 3
+
+imu_params:
+    imu_rate: 100
+
+numKeyframes: 4
+numImuFrames: 2
+
+ceres_options:
+    maxIterations: 5
+
+detection_options:
+    threshold: 40.0
+    octaves: 0
+    maxNoKeypoints: {MAXKP}
+
+isSonarUsed: 1
+isDepthUsed: 1
+sonar_params:
+    T_SSo: [1.0, 0.0, 0.0, 0.0,  0.0, 1.0, 0.0, 0.0,  0.0, 0.0, 1.0, 0.0,  0.0, 0.0, 0.0, 1.0]
+
+loop_closure_params:
+    enable: 1
+    min_correspondences: 12
+"""
+
+
+def evaluate(out_dir: str):
+    import numpy as np
+
+    from svin_tpu import sim
+    from svin_tpu.evaluation import ate_rmse, load_tum
+
+    traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    traj = traj._replace(r_lin=traj.r_lin * 0.0)
+    out = {}
+    for name in ("svin_vio", "svin_loop"):
+        path = os.path.join(out_dir, f"{name}.txt")
+        if not os.path.exists(path):
+            continue
+        t, p, q = load_tum(path)
+        gt_p = np.stack([np.asarray(sim.position(traj, tt)) for tt in t])
+        rmse, _ = ate_rmse(p, gt_p, with_scale=True)
+        out[name] = {"n_poses": int(len(p)), "ate_rmse_m": round(float(rmse), 4)}
+    return out
+
+
+def run_session(cfg_path, out_dir, duration, save_ckpt=None, resume=None):
+    os.environ["SVIN_SYNTH_DURATION"] = str(duration)
+    os.environ["SVIN_SYNTH_REVISIT"] = "1"
+    from svin_tpu.apps.run_synchronous import main
+
+    args = [cfg_path, "--synthetic", out_dir]
+    if save_ckpt:
+        args += ["--save-checkpoint", save_ckpt]
+    if resume:
+        args += ["--resume", resume]
+    t0 = time.time()
+    rc = main(args)
+    wall = time.time() - t0
+    assert rc == 0, f"session failed rc={rc}"
+    return wall
+
+
+def main():
+    dur_a = 680.0
+    dur_b = 340.0
+    argv = sys.argv[1:]
+    if "--cpu" in argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax._src import xla_bridge as _xb
+
+            _xb._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+    if "--duration-a" in argv:
+        dur_a = float(argv[argv.index("--duration-a") + 1])
+    if "--duration-b" in argv:
+        dur_b = float(argv[argv.index("--duration-b") + 1])
+
+    import jax
+
+    tmp = tempfile.mkdtemp(prefix="cave_run_")
+    cfg_path = os.path.join(tmp, "rig.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_YAML)
+    ckpt = os.path.join(tmp, "ckpt")
+    out_a = os.path.join(tmp, "out_a")
+    out_b = os.path.join(tmp, "out_b")
+
+    print(f"[cave] session A ({dur_a:.0f} s synthetic) ...", flush=True)
+    wall_a = run_session(cfg_path, out_a, dur_a, save_ckpt=ckpt)
+    m_a = evaluate(out_a)
+    print(f"[cave] A done in {wall_a:.0f} s: {m_a}", flush=True)
+
+    print(f"[cave] session B resume ({dur_b:.0f} s synthetic) ...", flush=True)
+    wall_b = run_session(cfg_path, out_b, dur_b, resume=ckpt)
+    m_b = evaluate(out_b)
+    print(f"[cave] B done in {wall_b:.0f} s: {m_b}", flush=True)
+
+    n_kf_a = m_a.get("svin_loop", {}).get("n_poses", 0)
+    n_kf_b = m_b.get("svin_loop", {}).get("n_poses", 0)
+    frames_a = m_a.get("svin_vio", {}).get("n_poses", 0)
+    frames_b = m_b.get("svin_vio", {}).get("n_poses", 0)
+    art = {
+        "what": (
+            "Cave-length full-system run: ~reference-scale keyframe count "
+            "through the REAL VioEngine -> LoopCloser chain (not "
+            "pre-synthesized exports), two sessions with a mid-run "
+            "checkpoint/resume, sonar+depth factors, loop closure and "
+            "global map on. Reference Cave = 1519 poses "
+            "(colmap_groundtruth/cave.txt)."
+        ),
+        "platform": jax.devices()[0].platform,
+        "dtype": "float64" if jax.config.jax_enable_x64 else "float32",
+        "session_a": {
+            **m_a, "wall_s": round(wall_a, 1),
+            "fps_sustained": round(frames_a / wall_a, 2) if wall_a else 0,
+        },
+        "session_b_resumed": {
+            **m_b, "wall_s": round(wall_b, 1),
+            "fps_sustained": round(frames_b / wall_b, 2) if wall_b else 0,
+        },
+        "total_keyframes": n_kf_a + n_kf_b,
+        "total_frames": frames_a + frames_b,
+    }
+    os.makedirs(os.path.join(REPO, "artifacts"), exist_ok=True)
+    path = os.path.join(REPO, "artifacts", "CAVE_RUN_r04.json")
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(art, indent=1))
+    # bounded-ATE acceptance (generous smoke bounds at this length; the
+    # tight assertions live in the gauntlet)
+    if dur_a + dur_b >= 1000:  # full Cave-scale invocation
+        assert art["total_keyframes"] >= 1400, art["total_keyframes"]
+    for m in (m_a, m_b):
+        assert m["svin_vio"]["ate_rmse_m"] < 1.5, m
+        assert m["svin_loop"]["ate_rmse_m"] < 1.0, m
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
