@@ -268,9 +268,16 @@ def _solve_step(
     Hred = H - Wm.T @ HiW
     bred = eqs.b - Wm.T @ Hib
     # dense solve (D×D): one fused Pallas Gauss–Jordan launch on TPU
-    # (XLA's blocked Cholesky costs dozens of launches at this size)
+    # (XLA's blocked Cholesky costs dozens of launches at this size).
+    # Jacobi equilibration first: the reduced system mixes position,
+    # attitude, velocity and bias coordinates whose curvatures differ by
+    # ~1e8, which is fatal to an f32 factorization (the shipped TPU
+    # precision); solving the unit-diagonal system S·H·S y = S·b and
+    # un-scaling x = S·y is exact algebra at f32-safe conditioning.
     Hred = Hred + 1e-10 * jnp.eye(D, dtype=dtype)
-    dx = -solve_spd(Hred, bred)
+    s = jax.lax.rsqrt(jnp.clip(jnp.diag(Hred), 1e-20)).astype(dtype)
+    Hs = Hred * (s[:, None] * s[None, :])
+    dx = -(s * solve_spd(Hs, s * bred))
     dl = -jnp.einsum("lab,lb->la", Hll_inv, eqs.bl + jnp.einsum("lad,d->la", eqs.W, dx))
     return dx, dl
 

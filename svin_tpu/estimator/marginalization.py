@@ -48,14 +48,80 @@ def _pinv_sym(A: jnp.ndarray, tol: float = None) -> jnp.ndarray:
     dimension × largest eigenvalue (information spans ~1e2 velocity …
     ~1e11 bias-walk — a coarser relative cut zeroes real directions and
     biases the fold).
+
+    The eigendecomposition runs on the diagonally equilibrated matrix
+    Â = D⁻¹AD⁻¹ (D = sqrt(diag A)): in the shipped f32 precision an eigh
+    across ~1e11 of dynamic range resolves small eigenvalues only to
+    O(eps·λmax) ABSOLUTE error — real velocity/position information would
+    be clipped to zero and the fold biased. Â is correlation-like (unit
+    diagonal, cond ~1e2), where f32 is sufficient; A⁺ = D⁻¹Â⁺D⁻¹ is exact
+    for the full-rank case and makes the rank cut per-coordinate-relative
+    otherwise (zero-diagonal coords are genuinely empty rows).
     """
     n = A.shape[-1]
     if tol is None:
         tol = float(jnp.finfo(A.dtype).eps) * n
-    w, V = jnp.linalg.eigh(0.5 * (A + A.T))
+    A = 0.5 * (A + A.T)
+    dg = jnp.diagonal(A)
+    # rows whose diagonal is ~zero (or negative from f32 cancellation in an
+    # upstream Schur step) carry no information: mask them out instead of
+    # dividing by a tiny floor (which overflows the scaled matrix)
+    good = dg > 1e-13 * jnp.maximum(jnp.max(jnp.maximum(dg, 0.0)), 1e-30)
+    d = jnp.where(good, jnp.sqrt(jnp.where(good, dg, 1.0)), 1.0)
+    gmask = good[:, None] & good[None, :]
+    # PSD-consistent equilibrated entries satisfy |Ân| ≤ 1; the clamp only
+    # bites on f32 cancellation junk that would otherwise skew the spectrum
+    An = jnp.where(
+        gmask, jnp.clip(A / (d[:, None] * d[None, :]), -8.0, 8.0), 0.0
+    )
+    w, V = jnp.linalg.eigh(An)
     w_max = jnp.maximum(jnp.max(w), 0.0)
     inv_w = jnp.where(w > tol * jnp.maximum(w_max, 1.0), 1.0 / w, 0.0)
-    return (V * inv_w[None, :]) @ V.T
+    P = ((V * inv_w[None, :]) @ V.T) / (d[:, None] * d[None, :])
+    return jnp.where(gmask, P, 0.0)
+
+
+def _project_to_range(H: jnp.ndarray, b: jnp.ndarray):
+    """PSD-clamp H and drop the null(H) component of b (in equilibrated
+    coordinates); returns the consistent pair (H, b).
+
+    The marginal prior is consumed as the quadratic 0.5·dmᵀHdm + bᵀdm
+    (``assemble``/``total_cost``); that expression is bounded below ONLY
+    when b ∈ range(H). Exact marginalization guarantees it, but the f32
+    pseudo-inverse truncations leave a null-space residue in b — and LM
+    then finds descent directions of arbitrarily negative "cost" along
+    null(H), accepting divergent steps (measured: the shipped f32 path
+    walked away at ~2 m/s with monotonically decreasing negative cost).
+    The reference avoids this structurally by storing the prior in
+    residual form e = e0 + JΔχ via an eigendecomposition that drops null
+    directions (MarginalizationError::updateErrorComputation,
+    MarginalizationError.cpp:725-758); this projection is the same
+    operation expressed on (H, b).
+
+    H is simultaneously clamped to PSD from the same eigendecomposition:
+    the f32 Schur cancellation leaves slightly negative eigenvalues
+    (~eps·λmax — up to ~1e5 in absolute terms at bias-walk information
+    scales) along which 0.5·dmᵀHdm itself is a descent funnel.
+    """
+    dg = jnp.diagonal(H)
+    good = dg > 1e-13 * jnp.maximum(jnp.max(jnp.maximum(dg, 0.0)), 1e-30)
+    d = jnp.where(good, jnp.sqrt(jnp.where(good, dg, 1.0)), 1.0)
+    gmask = good[:, None] & good[None, :]
+    Hn = jnp.where(
+        gmask, jnp.clip(H / (d[:, None] * d[None, :]), -8.0, 8.0), 0.0
+    )
+    w, V = jnp.linalg.eigh(0.5 * (Hn + Hn.T))
+    tol = float(jnp.finfo(H.dtype).eps) * H.shape[-1]
+    keep = w > tol * jnp.maximum(jnp.max(w), 1.0)
+    w_psd = jnp.where(keep, w, 0.0)
+    Hn_psd = (V * w_psd[None, :]) @ V.T
+    H_out = jnp.where(gmask, Hn_psd * (d[:, None] * d[None, :]), 0.0)
+    H_out = 0.5 * (H_out + H_out.T)
+    bn = jnp.where(good, b / d, 0.0)  # empty-row gradients are pure null space
+    b_out = jnp.where(
+        good, d * (V @ (jnp.where(keep, 1.0, 0.0) * (V.T @ bn))), 0.0
+    )
+    return H_out, b_out
 
 
 def _shift_rows(x: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
@@ -243,6 +309,9 @@ def marginalize_slot(
         jnp.zeros((Dx, Dx), dtype).at[dest[:, None], dest[None, :]].set(H_new)
     )
     b_full = jnp.zeros(Dx, dtype).at[dest].set(b_new)
+    # keep the prior PSD and its gradient consistent with its information
+    # matrix — cost boundedness for the LM accept test (_project_to_range)
+    H_full, b_full = _project_to_range(H_full, b_full)
 
     # ---------- 4. shift window + factors ----------
     last_invalid = jnp.arange(S) < (S - 1)

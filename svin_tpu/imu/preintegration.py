@@ -220,9 +220,20 @@ def sqrt_information(pre: Preintegral) -> jnp.ndarray:
     triangular solve — avoids explicitly inverting the (very ill-conditioned)
     covariance. W is lower-triangular; any square root is a valid whitener.
     """
-    L = jnp.linalg.cholesky(pre.P_delta)
-    eye = jnp.eye(15, dtype=pre.P_delta.dtype)
-    W = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    P = pre.P_delta
+    # Diagonal equilibration before the factorization: P's diagonal spans
+    # ~rad² (1e-8) down to bias-random-walk (1e-13) scales, cond(P) ≥ 1e8 —
+    # a raw f32 Cholesky of that loses every significant digit and the
+    # whitener mis-weights the velocity/bias rows (measured: the shipped
+    # f32 path drifted ~2 m/s on the 30 s gauntlet). Factoring the
+    # correlation matrix P̂ = D⁻¹ P D⁻¹ (unit diagonal, cond ~ 1e2) and
+    # un-scaling the triangular inverse is algebraically the same whitener
+    # family (Ŵ D⁻¹ satisfies WᵀW = P⁻¹) at f32-safe conditioning.
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(P), 1e-30))
+    Pn = P / (d[:, None] * d[None, :])
+    L = jnp.linalg.cholesky(Pn)
+    eye = jnp.eye(15, dtype=P.dtype)
+    W = jax.scipy.linalg.solve_triangular(L, eye, lower=True) / d[None, :]
     # degenerate segment (no IMU samples between the states → P = 0):
     # Cholesky yields NaN; return a zero whitener instead of poisoning the
     # factor tables (0·NaN = NaN survives validity masks downstream). The

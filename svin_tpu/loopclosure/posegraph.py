@@ -178,7 +178,12 @@ def optimize_4dof(
         H = H + jnp.diag(damp)
         H = H * free4[:, None] * free4[None, :] + jnp.diag(jnp.where(free4, 0.0, 1.0))
         bf = bf * free4
-        dx = -jnp.linalg.solve(H, bf).reshape(N, 4)
+        # Jacobi-equilibrated solve: keeps the f32 (shipped TPU precision)
+        # factorization stable when node coordinates are large (Cave-scale
+        # graphs put |p| at ~10²  m, which squares into the normal equations)
+        s = jax.lax.rsqrt(jnp.clip(jnp.diag(H), 1e-20)).astype(dtype)
+        Hs = H * (s[:, None] * s[None, :])
+        dx = -(s * jnp.linalg.solve(Hs, s * bf)).reshape(N, 4)
         return PoseGraphNodes(
             p=nd.p + dx[:, :3], yaw=nd.yaw + dx[:, 3],
             pitch=nd.pitch, roll=nd.roll, valid=nd.valid,
@@ -273,7 +278,10 @@ def optimize_6dof(
         H = H * free6[:, None] * free6[None, :]
         dH = jnp.diag(H)
         H = H + jnp.diag(1e-6 * jnp.maximum(dH, 1.0) + jnp.where(free6, 0.0, 1.0))
-        dx = -jnp.linalg.solve(H, bf).reshape(N, 6)
+        # equilibrated solve — see the 4-DoF branch
+        s = jax.lax.rsqrt(jnp.clip(jnp.diag(H), 1e-20)).astype(dtype)
+        Hs = H * (s[:, None] * s[None, :])
+        dx = -(s * jnp.linalg.solve(Hs, s * bf)).reshape(N, 6)
         return PoseGraph6Nodes(
             r=nd.r + dx[:, :3],
             q=quat.normalize(quat.multiply(quat.exp(dx[:, 3:6]), nd.q)),
