@@ -22,3 +22,22 @@ Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# TPU MXU matmuls default to bfloat16 inputs (~1e-3 relative error). That is
+# fine for the image kernels but fatal for the estimation path: the Schur
+# complement H − WᵀHll⁻¹W cancels to ~1e-3 of its term magnitudes, so bf16
+# products flip small diagonals negative (NaN factorizations), and every
+# factor Jacobian product J^TJ carries 1e-3 noise that stalls the LM loop
+# (measured on-chip: 3/8 accepted steps vs 7/8 on CPU at f32, tracking
+# collapse within 5 frames). SLAM needs true f32 accumulation everywhere the
+# normal equations are formed — make float32 the library-wide default (the
+# MXU runs f32 via 3-pass bf16; the big one-hot reductions already requested
+# HIGHEST explicitly). Perf-insensitive override: SVIN_MATMUL_PRECISION.
+import os as _os
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("SVIN_MATMUL_PRECISION", "float32"),
+)

@@ -275,7 +275,12 @@ def _solve_step(
     # precision); solving the unit-diagonal system S·H·S y = S·b and
     # un-scaling x = S·y is exact algebra at f32-safe conditioning.
     Hred = Hred + 1e-10 * jnp.eye(D, dtype=dtype)
-    s = jax.lax.rsqrt(jnp.clip(jnp.diag(Hred), 1e-20)).astype(dtype)
+    # relative floor: f32 Schur cancellation can leave a tiny/negative
+    # diagonal — scaling by rsqrt(~0) would poison the whole factorization
+    dHr = jnp.diag(Hred)
+    s = jax.lax.rsqrt(
+        jnp.clip(dHr, 1e-10 * jnp.maximum(jnp.max(dHr), 1e-12))
+    ).astype(dtype)
     Hs = Hred * (s[:, None] * s[None, :])
     dx = -(s * solve_spd(Hs, s * bred))
     dl = -jnp.einsum("lab,lb->la", Hll_inv, eqs.bl + jnp.einsum("lad,d->la", eqs.W, dx))

@@ -83,7 +83,9 @@ def solve_spd(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Dense SPD solve: fused Pallas Gauss–Jordan on TPU (f32 — LM's
     accept/reject loop tolerates step noise), Cholesky elsewhere (keeps
     f64 precision for CPU test runs)."""
-    if jax.default_backend() == "tpu" and H.shape[0] <= 1024:
+    import os
+    if (jax.default_backend() == "tpu" and H.shape[0] <= 1024
+            and not os.environ.get("SVIN_NO_PALLAS_SOLVE")):
         return solve_spd_pallas(H, b)
     cho, lower = jax.scipy.linalg.cho_factor(H)
     return jax.scipy.linalg.cho_solve((cho, lower), b)

@@ -101,6 +101,20 @@ def run_single(out_json: str) -> int:
 
     import jax
 
+    # The JAX_PLATFORMS env var is captured before sitecustomize registers
+    # the axon plugin, so env-only platform selection is silently IGNORED
+    # (measured: JAX_PLATFORMS=cpu still ran on the TPU). Force it at the
+    # config level and drop the axon factory, like tests/conftest.py.
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat:
+        jax.config.update("jax_platforms", plat)
+        try:
+            from jax._src import xla_bridge as _xb
+
+            _xb._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+
     t0 = time.time()
     tmp = tempfile.mkdtemp(prefix="accuracy_ab_")
     cfg_path = os.path.join(tmp, "rig.yaml")
