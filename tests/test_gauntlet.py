@@ -11,17 +11,29 @@ assertion chain: VIO with sonar+depth factors, loop detection/verification
 primitive odometry, and TUM/CSV/PLY outputs. Sim(3)-ATE and RPE are
 asserted for the VIO, loop-corrected, and robust trajectories.
 
-Calibration (CPU x64, seed-deterministic): VIO ATE≈0.35 m, loop-corrected
-≈0.13 m, robust ≈0.34 m; 92 keyframes, ~37 verified loops; the health gate
-switches to the primitive estimator inside the degraded stretch and back
+Calibration lives in ``artifacts/ACCURACY_TREND.json`` (round-over-round
+record, VERDICT r3 next #10): CPU-x64 seed-deterministic ATE values are
+asserted at <= tolerance_factor (1.3x) of the recorded calibration, so a
+real regression fails the suite; re-calibrate the artifact (and append a
+history row) when an intentional change moves the numbers. The health gate
+must switch to the primitive estimator inside the degraded stretch and back
 after it.
 """
+import json
 import os
 
 import numpy as np
 import pytest
 
 from vio_fixtures import IMG_W, IMG_H
+
+with open(
+    os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                 "ACCURACY_TREND.json")
+) as _f:
+    _TREND = json.load(_f)
+CAL = _TREND["calibrated_cpu_f64"]
+TOL = float(_TREND["tolerance_factor"])
 
 MAXKP = 150
 CONFIG_YAML = f"""%YAML:1.0
@@ -132,22 +144,22 @@ def _eval(out_dir, name):
 def test_gauntlet_vio_accuracy(gauntlet_run):
     n, rmse, r = _eval(gauntlet_run, "svin_vio")
     assert n >= 180  # ~189 frames over 63 s at 3 Hz
-    assert rmse < 0.6, rmse  # calibrated ≈0.35
-    assert r["rpe_trans_rmse"] < 0.7, r  # calibrated ≈0.38 per 5 s
+    assert rmse < TOL * CAL["svin_vio_ate_m"], (rmse, CAL["svin_vio_ate_m"])
+    assert r["rpe_trans_rmse"] < TOL * CAL["svin_vio_rpe_trans_m"], r
 
 
 def test_gauntlet_loop_correction_improves(gauntlet_run):
     n_v, rmse_v, _ = _eval(gauntlet_run, "svin_vio")
     n_l, rmse_l, r_l = _eval(gauntlet_run, "svin_loop")
-    assert n_l >= 50  # keyframe trajectory (≈92 keyframes)
-    assert rmse_l < 0.3, rmse_l  # calibrated ≈0.13
+    assert n_l >= 50  # keyframe trajectory (≈80-95 keyframes)
+    assert rmse_l < TOL * CAL["svin_loop_ate_m"], (rmse_l, CAL["svin_loop_ate_m"])
     assert rmse_l < 0.75 * rmse_v, (rmse_l, rmse_v)
 
 
 def test_gauntlet_robust_trajectory_and_switching(gauntlet_run):
     n, rmse, _ = _eval(gauntlet_run, "svin_robust")
     assert n >= 50
-    assert rmse < 0.6, rmse
+    assert rmse < TOL * CAL["svin_robust_ate_m"], (rmse, CAL["svin_robust_ate_m"])
     log = (gauntlet_run / "switch_info.txt").read_text()
     # health gate trips INSIDE the degraded stretch and recovers after it
     lines = [l for l in log.splitlines() if l.strip()]
