@@ -771,13 +771,16 @@ class LoopCloser:
             nodes_s = jax.tree_util.tree_map(lambda a: a[:Np], self.nodes)
             edges_s = jax.tree_util.tree_map(lambda a: a[:Ep], self.edges)
             # edges referencing nodes beyond the slice are padding (invalid)
-            if Np > 2048:
-                # Cave/Bus-joint scale: the dense (4N)² reduced solve stops
-                # being viable — switch to the BANDED matrix-free solver
-                # (parallel/pg_band.py: sequential edges as per-block
-                # one-hot matmuls over contiguous node windows, loop edges
-                # COO; 1.8x over the generic PCG at 20k nodes on one chip,
-                # identical math — parity vs optimize_4dof_pcg tested in
+            if Np > 512:
+                # the dense (4N)² program stops being viable well before
+                # the old 2048 cutoff: measured on-chip temp memory is
+                # 1.6 GB at Np=512, 6.4 GB at 1024 and an HBM OOM at 2048
+                # (the round-4 Cave-length run died exactly there) — switch
+                # to the BANDED matrix-free solver (parallel/pg_band.py:
+                # sequential edges as per-block one-hot matmuls over
+                # contiguous node windows, loop edges COO; 0.005 GB at
+                # 1024 nodes, and 1.8x FASTER than the generic PCG at 20k
+                # nodes; parity vs optimize_4dof_pcg tested in
                 # tests/test_pcg.py)
                 out = self._solve_banded(nodes_s, edges_s, fix_before)
             else:
@@ -889,11 +892,13 @@ class LoopCloser:
             valid=self.edges.valid[:E],
             is_loop=jnp.asarray(il),
         )
-        if Np > 2048:
-            # Cave/Bus-joint scale: matrix-free SE(3) PCG (block-Jacobi
-            # 6×6 + two-level coarse Galerkin, parallel/pcg.py) replaces
-            # the (6N)² dense solve — the 6-DoF analog of the 4-DoF
-            # branch; equivalence-tested vs optimize_6dof
+        if Np > 512:
+            # matrix-free SE(3) PCG (block-Jacobi 6×6 + two-level coarse
+            # Galerkin, parallel/pcg.py) replaces the (6N)² dense solve —
+            # the 6-DoF analog of the 4-DoF banded branch; equivalence-
+            # tested vs optimize_6dof. Cutoff measured on-chip like the
+            # 4-DoF one: the dense program needs 2.7 GB temp at Np=512
+            # and 10.8 GB at 1024 (HBM is 16 GB)
             from ..parallel.pcg import optimize_6dof_pcg
 
             out = optimize_6dof_pcg(

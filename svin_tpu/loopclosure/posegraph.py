@@ -160,30 +160,41 @@ def optimize_4dof(
         Hij = jnp.einsum("era,erb->eab", Ji, Jj)
         bi = jnp.einsum("era,er->ea", Ji, r)
         bj = jnp.einsum("era,er->ea", Jj, r)
-        Hb = jnp.zeros((N, N, 4, 4), dtype)
-        Hb = Hb.at[edges.i, edges.i].add(Hii)
-        Hb = Hb.at[edges.j, edges.j].add(Hjj)
-        Hb = Hb.at[edges.i, edges.j].add(Hij)
-        Hb = Hb.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2))
-        b = jnp.zeros((N, 4), dtype)
-        b = b.at[edges.i].add(bi)
-        b = b.at[edges.j].add(bj)
+        # scatter 4×4 blocks straight into the FLAT (4N,4N) matrix: a
+        # block-indexed (N,N,4,4) intermediate pads its trailing dims to
+        # the TPU (8,128) tile — a 64× HBM inflation that OOM'd the chip
+        # at N=2048 (measured 1.6 GB temp at N=512 block-form vs ~16 MB
+        # flat)
+        ri = edges.i[:, None] * 4 + jnp.arange(4)[None, :]  # (E,4)
+        rj = edges.j[:, None] * 4 + jnp.arange(4)[None, :]
+        H = jnp.zeros((4 * N, 4 * N), dtype)
+        H = H.at[ri[:, :, None], ri[:, None, :]].add(Hii)
+        H = H.at[rj[:, :, None], rj[:, None, :]].add(Hjj)
+        H = H.at[ri[:, :, None], rj[:, None, :]].add(Hij)
+        H = H.at[rj[:, :, None], ri[:, None, :]].add(
+            jnp.swapaxes(Hij, -1, -2)
+        )
+        bf = jnp.zeros(4 * N, dtype)
+        bf = bf.at[ri].add(bi)
+        bf = bf.at[rj].add(bj)
 
         free = nodes.valid & (jnp.arange(N) >= fix_before)
         free4 = jnp.repeat(free, 4)
-        H = Hb.transpose(0, 2, 1, 3).reshape(4 * N, 4 * N)
-        bf = b.reshape(4 * N)
         dH = jnp.diag(H)
         damp = 1e-6 * jnp.maximum(dH, 1.0) + jnp.where(free4, 0.0, 1.0)
         H = H + jnp.diag(damp)
         H = H * free4[:, None] * free4[None, :] + jnp.diag(jnp.where(free4, 0.0, 1.0))
         bf = bf * free4
-        # Jacobi-equilibrated solve: keeps the f32 (shipped TPU precision)
-        # factorization stable when node coordinates are large (Cave-scale
-        # graphs put |p| at ~10²  m, which squares into the normal equations)
+        # Jacobi-equilibrated Cholesky solve: equilibration keeps the f32
+        # (shipped TPU precision) factorization stable when node
+        # coordinates are large (Cave-scale graphs put |p| at ~10² m,
+        # which squares into the normal equations); Cholesky instead of LU
+        # because the damped system is SPD and the TPU LU lowering is far
+        # heavier in HBM temp memory
         s = jax.lax.rsqrt(jnp.clip(jnp.diag(H), 1e-20)).astype(dtype)
         Hs = H * (s[:, None] * s[None, :])
-        dx = -(s * jnp.linalg.solve(Hs, s * bf)).reshape(N, 4)
+        cho = jax.scipy.linalg.cho_factor(Hs)
+        dx = -(s * jax.scipy.linalg.cho_solve(cho, s * bf)).reshape(N, 4)
         return PoseGraphNodes(
             p=nd.p + dx[:, :3], yaw=nd.yaw + dx[:, 3],
             pitch=nd.pitch, roll=nd.roll, valid=nd.valid,
@@ -261,27 +272,37 @@ def optimize_6dof(
         )
         Ji = J[:, :, :6]
         Jj = J[:, :, 6:]
-        Hb = jnp.zeros((N, N, 6, 6), dtype)
-        Hb = Hb.at[edges.i, edges.i].add(jnp.einsum("era,erb->eab", Ji, Ji))
-        Hb = Hb.at[edges.j, edges.j].add(jnp.einsum("era,erb->eab", Jj, Jj))
+        # flat (6N,6N) scatter — see the 4-DoF path for why the
+        # (N,N,6,6) block layout is an HBM hazard on TPU
+        ri = edges.i[:, None] * 6 + jnp.arange(6)[None, :]  # (E,6)
+        rj = edges.j[:, None] * 6 + jnp.arange(6)[None, :]
         Hij = jnp.einsum("era,erb->eab", Ji, Jj)
-        Hb = Hb.at[edges.i, edges.j].add(Hij)
-        Hb = Hb.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2))
-        b = jnp.zeros((N, 6), dtype)
-        b = b.at[edges.i].add(jnp.einsum("era,er->ea", Ji, r))
-        b = b.at[edges.j].add(jnp.einsum("era,er->ea", Jj, r))
+        H = jnp.zeros((6 * N, 6 * N), dtype)
+        H = H.at[ri[:, :, None], ri[:, None, :]].add(
+            jnp.einsum("era,erb->eab", Ji, Ji)
+        )
+        H = H.at[rj[:, :, None], rj[:, None, :]].add(
+            jnp.einsum("era,erb->eab", Jj, Jj)
+        )
+        H = H.at[ri[:, :, None], rj[:, None, :]].add(Hij)
+        H = H.at[rj[:, :, None], ri[:, None, :]].add(
+            jnp.swapaxes(Hij, -1, -2)
+        )
+        bf = jnp.zeros(6 * N, dtype)
+        bf = bf.at[ri].add(jnp.einsum("era,er->ea", Ji, r))
+        bf = bf.at[rj].add(jnp.einsum("era,er->ea", Jj, r))
 
         free = nodes.valid & (jnp.arange(N) >= fix_before)
         free6 = jnp.repeat(free, 6)
-        H = Hb.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
-        bf = b.reshape(6 * N) * free6
+        bf = bf * free6
         H = H * free6[:, None] * free6[None, :]
         dH = jnp.diag(H)
         H = H + jnp.diag(1e-6 * jnp.maximum(dH, 1.0) + jnp.where(free6, 0.0, 1.0))
-        # equilibrated solve — see the 4-DoF branch
+        # equilibrated Cholesky solve — see the 4-DoF branch
         s = jax.lax.rsqrt(jnp.clip(jnp.diag(H), 1e-20)).astype(dtype)
         Hs = H * (s[:, None] * s[None, :])
-        dx = -(s * jnp.linalg.solve(Hs, s * bf)).reshape(N, 6)
+        cho = jax.scipy.linalg.cho_factor(Hs)
+        dx = -(s * jax.scipy.linalg.cho_solve(cho, s * bf)).reshape(N, 6)
         return PoseGraph6Nodes(
             r=nd.r + dx[:, :3],
             q=quat.normalize(quat.multiply(quat.exp(dx[:, 3:6]), nd.q)),
