@@ -187,6 +187,11 @@ def load_loop_closer(closer, path: str):
     data = np.load(path, allow_pickle=False)
     closer.nodes = _to_np(_unflatten(closer.nodes, "nodes", data))
     closer.edges = _to_np(_unflatten(closer.edges, "edges", data))
+    # capacity must follow the RESTORED arrays: a checkpoint taken past the
+    # fresh default (512) otherwise leaves capacity < len(nodes), and the
+    # next _grow_capacity "doubles" to a SMALLER size and crashes (found by
+    # the 1311-keyframe Cave-length resume)
+    closer.capacity = int(closer.nodes.p.shape[0])
     meta = json.loads(str(data["meta"]))
     closer.n_edges = meta["n_edges"]
     closer.earliest_loop_index = meta["earliest_loop_index"]

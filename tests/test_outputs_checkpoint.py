@@ -90,6 +90,31 @@ def test_checkpoint_roundtrip_loop_closer(tmp_path):
     np.testing.assert_allclose(closer2.t_drift, closer.t_drift)
 
 
+def test_checkpoint_restore_beyond_default_capacity(tmp_path):
+    """A checkpoint whose pose graph grew past the fresh default capacity
+    must restore with capacity tracking the ARRAYS — otherwise the next
+    growth 'doubles' to a smaller size and crashes (found by the
+    1311-keyframe Cave-length resume, round 4)."""
+    from svin_tpu.loopclosure import LoopCloser
+
+    rig, cfg = _setup()
+    cam = rig.cameras[0]
+    closer = LoopCloser(cam, cfg)
+    cap0 = closer.capacity
+    while closer.capacity < cap0 * 4:
+        closer._grow_capacity()
+    assert closer.nodes.p.shape[0] == cap0 * 4
+    p = str(tmp_path / "lc_big.npz")
+    save_loop_closer(closer, p)
+    closer2 = LoopCloser(cam, cfg)
+    load_loop_closer(closer2, p)
+    assert closer2.capacity == cap0 * 4
+    assert closer2.nodes.p.shape[0] == cap0 * 4
+    closer2._grow_capacity()  # pre-fix: ValueError broadcast (4c,3)->(2c,3)
+    assert closer2.capacity == cap0 * 8
+    assert closer2.nodes.p.shape[0] == cap0 * 8
+
+
 def test_depth_factor_end_to_end():
     rig, cfg = _setup()
     cfg.is_depth_used = True
