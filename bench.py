@@ -1,7 +1,12 @@
 """Benchmark: per-frame compute path latency on the current device.
 
-Prints ONE JSON line to stdout — FIRST, before any heavyweight section:
+Prints the JSON metric line to stdout TWICE — first (before any
+heavyweight section, as the safety net against a stalled compile) and
+again as the very LAST line (the driver records the output tail):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+All key detail lines (headline split, rooflines, measured engine frame,
+stage attribution, async throughput, solver throughputs) are re-emitted
+in a RECAP block at the end so the recorded tail is self-contained.
 
 Headline metric: sliding-window optimize (assemble + Schur + LM loop) for
 the SHIPPED engine window shapes (8 states, 512 landmarks, 4096
@@ -58,13 +63,22 @@ def remaining() -> float:
     return BUDGET_S - (time.monotonic() - T_START)
 
 
+_HEADLINE = None  # set by main(); re-printed by the alarm handler so the
+# record tail always ends with a parseable JSON metric line
+
+
 def _alarm_exit(signum, frame):  # pragma: no cover - timing dependent
     print(
         f"detail: BUDGET EXHAUSTED after {time.monotonic() - T_START:.0f} s "
         "— remaining sections skipped (headline already on stdout)",
         file=sys.stderr,
     )
+    for line in _RECORD:
+        print(f"detail: RECAP {line}", file=sys.stderr)
     sys.stderr.flush()
+    if _HEADLINE is not None:
+        print(json.dumps(_HEADLINE))
+        sys.stdout.flush()
     os._exit(0)
 
 
@@ -85,9 +99,16 @@ def time_fn(fn, *args, iters=500, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
-def emit(msg: str):
+_RECORD = []  # lines re-emitted at the very end (the driver keeps the TAIL
+# of the output, so anything important printed early must repeat there —
+# VERDICT r4 weak #6: the r4 record dropped the headline and two rooflines)
+
+
+def emit(msg: str, record: bool = False):
     print(f"detail: {msg}", file=sys.stderr)
     sys.stderr.flush()
+    if record:
+        _RECORD.append(msg)
 
 
 # Speed-of-light anchors (VERDICT r3 weak #4). Peaks per chip generation:
@@ -134,14 +155,21 @@ def roofline(tag: str, jitted_fn, args, t_meas_s: float, per_call: int = 1):
         return
     f_pct = 100.0 * ach_tf / peak[0]
     b_pct = 100.0 * ach_gb / peak[1]
+    # "X-bound" means actually pinned against roofline X (≥30% of it);
+    # anything below that is latency/overhead-limited with real headroom —
+    # the r4 bench called 12.9% of HBM peak "HBM-bound", which hid an ~8x
+    # gap (VERDICT r4 weak #3/#5)
+    bind_name = "MXU" if f_pct >= b_pct else "HBM"
+    bind_pct = max(f_pct, b_pct)
     bound = (
-        "MXU" if f_pct > max(b_pct, 5.0) else
-        "HBM" if b_pct > max(f_pct, 5.0) else "dispatch/latency"
+        f"{bind_name}-bound" if bind_pct >= 30.0 else
+        f"latency/overhead-limited at {bind_pct:.1f}% of the binding "
+        f"{bind_name} roofline"
     )
     emit(
         f"roofline {tag}: {ach_tf:.3f} TFLOP/s = {f_pct:.1f}% of f32 peak, "
-        f"{ach_gb:.1f} GB/s = {b_pct:.1f}% of HBM peak ({kind}; "
-        f"{bound}-bound)"
+        f"{ach_gb:.1f} GB/s = {b_pct:.1f}% of HBM peak ({kind}; {bound})",
+        record=True,
     )
 
 
@@ -293,93 +321,132 @@ def _representative_engine():
 
 
 def _representative_events(rig, cfg, duration=7.5):
+    """PRE-RENDERED event list. The synthetic renderer runs jitted device
+    programs per frame; feeding lazily would throttle the engine under
+    test with the harness's own rendering (round 4's 2.2 fps "async"
+    number was exactly this artifact — the feeder thread starved the
+    pipeline, FE.pop_frames 92 ms/frame)."""
     from svin_tpu import sim
     from svin_tpu.pipeline import synthetic_sequence
 
-    return synthetic_sequence(
+    return list(synthetic_sequence(
         rig, duration=duration, cam_rate=10.0, imu_rate=100.0,
         imu_params=cfg.imu, seed=3, n_points=600,
         traj=sim.default_trajectory(scale=0.4, ramp_tau=0.8),
         spread=10.0, depth_offset=5.0, t_first_frame=0.12,
-    )[0]
+    )[0])
 
 
-def detail_engine_frame():
+def detail_engine_frame(state):
     """MEASURED per-frame VioEngine.add_frame wall time: the full engine
     step — preprocessing, detect/describe, matching, gating, RANSAC,
-    triangulation, addStates, optimize, marginalization, host bookkeeping,
-    and device transfers — at representative shapes (480x752 stereo /
-    400 kp / shipped 512-lm window), post-warmup. Through this harness the
-    chip sits behind a network tunnel, so this number includes real
-    host<->device transfer latency that an on-host TPU would not pay."""
+    triangulation, addStates, optimize+marginalize (fused), host
+    bookkeeping, and device transfers — at representative shapes (480x752
+    stereo / 400 kp / shipped 512-lm window), post-warmup, fed from
+    PRE-RENDERED frames. Through this harness the chip sits behind a
+    network tunnel, so this number includes real host<->device transfer
+    latency that an on-host TPU would not pay. Also emits the per-stage
+    attribution table (dispatch vs fetch split) the record previously
+    lacked (VERDICT r4 missing #1)."""
+    from svin_tpu.utils.timing import Timing
+
     engine, rig, cfg = _representative_engine()
-    events = _representative_events(rig, cfg)
-    warmup_frames = 6
+    events = _representative_events(rig, cfg, duration=14.0)
+    state["events"] = events
+    # warmup must cover the first FULL-window frame (the fused
+    # optimize+marginalize program compiles there, at frame ~8)
+    warmup_frames = 9
     n_frames = 0
     times = []
     for ev in events:
         if ev.kind == "imu":
             engine.add_imu_measurement(ev.t, *ev.imu)
         elif ev.kind == "frame":
+            if n_frames == warmup_frames:
+                Timing.reset()
             t0 = time.perf_counter()
             engine.add_frame(ev.t, ev.images)
             times.append(time.perf_counter() - t0)
             n_frames += 1
-            if n_frames >= warmup_frames + 24:
+            if n_frames >= warmup_frames + 30:
                 break
     meas = np.asarray(times[warmup_frames:])
-    emit(
+    line = (
         f"MEASURED engine add_frame {meas.mean()*1e3:.1f} ms/frame "
         f"(median {np.median(meas)*1e3:.1f}, p90 "
-        f"{np.percentile(meas, 90)*1e3:.1f}; {len(meas)} frames at "
-        f"480x752 stereo/400 kp/512-lm window, {1.0/meas.mean():.1f} fps; "
-        f"incl. tunnel transfer latency; reference sustains 20 Hz stereo)"
+        f"{np.percentile(meas, 90)*1e3:.1f}; n={len(meas)} frames at "
+        f"480x752 stereo/400 kp/512-lm window, "
+        f"{1.0/np.median(meas):.1f} fps median; incl. tunnel transfer "
+        f"latency; reference sustains 20 Hz stereo)"
     )
+    emit(line)
+    state["serial_line"] = line
+    state["serial_fps"] = float(1.0 / np.median(meas))
+    # per-frame stage attribution from the engine's own timers
+    per = {}
+    for name in (
+        "2.1 detect_describe", "2.4 matching", "3.1 optimization",
+        "2.5 stereo_init", "3.2 kf_export",
+    ):
+        s = Timing.get(name)
+        if s is not None:
+            per[name.split(" ", 1)[1]] = s.total / len(meas) * 1e3
+    attr = ", ".join(f"{k} {v:.1f}" for k, v in per.items())
+    line = (
+        f"STAGE ATTRIBUTION (ms/frame over {len(meas)}): {attr}; "
+        f"residual = host bookkeeping (see artifacts/FRAME_ATTRIBUTION.json "
+        f"for tunnel probes + direct-attached projection)"
+    )
+    emit(line)
+    state["attr_line"] = line
     return engine
 
 
-def detail_engine_async(engine):
-    """Pipelined sustained throughput through AsyncVioEngine (the
-    ThreadedKFVio analog): frames enqueued at 20 Hz wall pacing with IMU
-    interleaved; reports drain-side sustained fps (frames in flight hide
-    part of the per-dispatch tunnel round trips that bound single-frame
-    latency)."""
+def detail_engine_async(engine, state):
+    """Pipelined sustained throughput through AsyncVioEngine — TWO worker
+    stages (detection ∥ backend) + one optimize program kept in flight on
+    the device (the ThreadedKFVio stage-overlap property, re-expressed).
+    Steady-state fps over the post-warmup tail; pre-rendered frames so the
+    harness's renderer cannot throttle the pipeline under test."""
     from svin_tpu.pipeline.async_vio import AsyncVioEngine
 
     _, rig, cfg = (None, engine.rig, engine.cfg)
-    events = _representative_events(rig, cfg, duration=5.0)
-    av = AsyncVioEngine(engine, blocking=True)
-    n_out = [0]
-    t_first = [None]
-    t_last = [None]
-
-    def on_state(res):
-        if t_first[0] is None:
-            t_first[0] = time.perf_counter()
-        t_last[0] = time.perf_counter()
-        n_out[0] += 1
-
-    av.state_callback = on_state
+    ev2 = state.get("events") or _representative_events(
+        rig, cfg, duration=14.0
+    )
+    eng2, _, _ = _representative_engine()
+    av = AsyncVioEngine(eng2, blocking=True)
+    stamps = []
+    av.state_callback = lambda r: stamps.append(time.perf_counter())
     n_in = 0
-    for ev in events:
+    for ev in ev2:
         if ev.kind == "imu":
             av.add_imu_measurement(ev.t, *ev.imu)
         elif ev.kind == "frame":
             for ci, img in enumerate(ev.images):
                 av.add_image(ev.t, ci, img)
             n_in += 1
-            if n_in >= 24:
+            if n_in >= 60:
                 break
     av.finish()
-    if n_out[0] >= 10 and t_last[0] > t_first[0]:
-        fps = (n_out[0] - 1) / (t_last[0] - t_first[0])
-        emit(
-            f"ASYNC pipelined engine {fps:.1f} fps sustained "
-            f"({n_out[0]} frames drained, blocking mode; reference "
+    if len(stamps) >= 30:
+        # steady-state period = median inter-arrival over the post-warmup
+        # tail (robust to the lazy compiles a fresh engine instance pays
+        # mid-run; each VioEngine owns its jit closures)
+        iv = np.diff(np.asarray(stamps[-(len(stamps) - 12):]))
+        fps = 1.0 / float(np.median(iv))
+        serial = state.get("serial_fps", 0.0)
+        ratio = f", {fps/serial:.2f}x the serial fps" if serial else ""
+        line = (
+            f"ASYNC pipelined engine {fps:.1f} fps sustained steady-state "
+            f"(median inter-arrival of {len(iv)} tail frames, "
+            f"{len(stamps)} drained, blocking mode{ratio}; reference "
             f"envelope 20 Hz stereo)"
         )
+        emit(line)
+        state["async_line"] = line
     else:
-        emit(f"ASYNC pipelined engine inconclusive ({n_out[0]} frames)")
+        emit(f"ASYNC pipelined engine inconclusive ({len(stamps)} frames)")
 
 
 def detail_ba_dense():
@@ -393,7 +460,7 @@ def detail_ba_dense():
     bprob = dist_ba.bucket_problem(prob)  # scatter-free (L,R) layout
     ba_fn = jax.jit(lambda p: dist_ba.ba_solve_bucketed(p, ba_rig, iters=BA_ITERS)[1])
     t_ba = time_fn(ba_fn, bprob, iters=20) / BA_ITERS
-    emit(f"global BA (64 kf, 4096 lm, dense Schur) {1.0/t_ba:.0f} GN iters/s")
+    emit(f"global BA (64 kf, 4096 lm, dense Schur) {1.0/t_ba:.0f} GN iters/s", record=True)
 
 
 def detail_ba_pcg():
@@ -417,7 +484,7 @@ def detail_ba_pcg():
         )[1]
     )
     t_pcg = time_fn(pcg_fn, bprob_big, iters=3, warmup=1) / PCG_GN
-    emit(f"global BA PCG (2048 kf, 65536 lm) {1.0/t_pcg:.2f} GN iters/s")
+    emit(f"global BA PCG (2048 kf, 65536 lm) {1.0/t_pcg:.2f} GN iters/s", record=True)
 
 
 def detail_ba_tracks():
@@ -436,7 +503,7 @@ def detail_ba_tracks():
     t_tracks = time_fn(tracks_fn, tprob, iters=5, warmup=1) / PCG_GN
     emit(
         f"global BA tracks (2048 kf, 65536 lm, {n_obs_tr} obs) "
-        f"{1.0/t_tracks:.2f} GN iters/s"
+        f"{1.0/t_tracks:.2f} GN iters/s", record=True
     )
     roofline(
         "tracks-GN-step-2048kf", tracks_fn, (tprob,), t_tracks * PCG_GN
@@ -458,7 +525,7 @@ def detail_posegraph():
         ).p
     )
     t_pg = time_fn(pg_fn, nodes, edges, iters=3, warmup=1) / PG_GN
-    emit(f"pose graph PCG ({N_pg} nodes, 4-DoF) {1.0/t_pg:.2f} GN iters/s")
+    emit(f"pose graph PCG ({N_pg} nodes, 4-DoF) {1.0/t_pg:.2f} GN iters/s", record=True)
     # banded solver (the loop closer's in-situ Cave-scale branch)
     prob, meta = band_posegraph(nodes, edges, block=1024, wmax=4,
                                 coarse_group=64)
@@ -469,7 +536,7 @@ def detail_posegraph():
     t_band = time_fn(lambda p: band_fn(prob=p)[0].p, prob, iters=3, warmup=1) / PG_GN
     emit(
         f"pose graph BANDED ({N_pg} nodes, 4-DoF) {1.0/t_band:.2f} GN "
-        f"iters/s ({t_pg/t_band:.2f}x vs PCG)"
+        f"iters/s ({t_pg/t_band:.2f}x vs PCG)", record=True
     )
     # 6-DoF (SE(3)) PCG at the same scale — the pgo_mode:6dof Cave branch
     from svin_tpu.kinematics import npq
@@ -505,7 +572,7 @@ def detail_posegraph():
         ).r
     )
     t_pg6 = time_fn(pg6_fn, nodes6, edges6, iters=3, warmup=1) / PG_GN
-    emit(f"pose graph PCG ({N_pg} nodes, 6-DoF SE(3)) {1.0/t_pg6:.2f} GN iters/s")
+    emit(f"pose graph PCG ({N_pg} nodes, 6-DoF SE(3)) {1.0/t_pg6:.2f} GN iters/s", record=True)
     return nodes, edges, N_pg
 
 
@@ -605,23 +672,24 @@ def main():
     match_fn = jax.jit(hamming.hamming_matrix)
     t_match = time_fn(match_fn, da, db)
 
+    global _HEADLINE
     t_frame = t_opt + t_match
-    print(
-        json.dumps(
-            {
-                "metric": "window_matching_plus_optimize_latency",
-                "value": round(t_frame * 1e3, 3),
-                "unit": "ms",
-                "vs_baseline": round(REFERENCE_BUDGET_S / t_frame, 3),
-            }
-        )
-    )
+    headline = _HEADLINE = {
+        "metric": "window_matching_plus_optimize_latency",
+        "value": round(t_frame * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_BUDGET_S / t_frame, 3),
+    }
+    # printed FIRST as the safety net against a later-section stall, and
+    # AGAIN as the very last stdout line (the driver parses the tail)
+    print(json.dumps(headline))
     sys.stdout.flush()
     emit(
         f"optimize(512lm/4096obs) {t_opt*1e3:.3f} ms, "
         f"matching {t_match*1e3:.3f} ms "
         f"[headline after {time.monotonic() - T_START:.0f} s, device "
-        f"{jax.devices()[0].platform}]"
+        f"{jax.devices()[0].platform}]",
+        record=True,
     )
     # speed-of-light anchors for two of the three flagship kernels (the
     # third, the tracks GN step, is anchored in its own section)
@@ -639,15 +707,22 @@ def main():
     # last, it was skipped in every prior round); with the persistent
     # compile cache warm (tools/prewarm populated it) this section runs in
     # well under its estimate
-    engine = section("engine add_frame", 120, detail_engine_frame)
+    state = {}
+    engine = section(
+        "engine add_frame", 150, lambda: detail_engine_frame(state)
+    )
     if engine is not None:
-        section("engine async", 40, lambda: detail_engine_async(engine))
+        section("engine async", 60, lambda: detail_engine_async(engine, state))
+    for key in ("serial_line", "attr_line", "async_line"):
+        if state.get(key):
+            _RECORD.append(state[key])
     t_front2 = section("frontend", 45, detail_frontend)
     if t_front2 is not None:
         t_e2e = t_front2 + t_match + t_opt
         emit(
             f"stereo-frame kernel-sum {t_e2e*1e3:.3f} ms ({1.0/t_e2e:.0f} fps "
-            "estimate; see MEASURED add_frame for the real engine step)"
+            "estimate; see MEASURED add_frame for the real engine step)",
+            record=True,
         )
     # cheap warm sections first so they always land; the Cave-scale BA
     # programs are the expensive tail (r4: the tracks compile overran the
@@ -659,7 +734,14 @@ def main():
     section("BA PCG Cave-scale", 90, detail_ba_pcg)
     section("BA dense-Schur", 40, detail_ba_dense)
     signal.alarm(0)
+    # --- self-contained record tail: the driver keeps only the tail of
+    # the output, so the headline + rooflines + engine lines repeat here
+    emit("===== RECORD TAIL (re-emitted key lines) =====")
+    for line in _RECORD:
+        emit(f"RECAP {line}")
     emit(f"done in {time.monotonic() - T_START:.0f} s (budget {BUDGET_S:.0f} s)")
+    print(json.dumps(headline))  # the LAST stdout line is the parsed metric
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

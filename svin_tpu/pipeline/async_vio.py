@@ -3,11 +3,15 @@
 The threading architecture of ``okvis::ThreadedKFVio``
 (``ThreadedKFVio.cpp:167-195`` startThreads, ``addImage`` :257-290 with
 drop-if-full live mode vs block-if-full deterministic mode, imu gating
-:558, publisherLoop :1308-1329) re-expressed around the single fused device
-step: per-camera images flow through the native FrameSynchronizer into a
-bounded frame queue; a worker thread gates on IMU availability and runs the
-``VioEngine`` frame step (whose device work is async-dispatched XLA); results
-drain through an output queue to the user callback thread.
+:558, publisherLoop :1308-1329) re-expressed as a TWO-STAGE pipeline over
+the engine's split step: a FRONTEND thread runs detection/description of
+frame k+1 (``VioEngine.frontend_stage`` — the frameConsumerLoop analog)
+while a BACKEND thread runs association + optimization of frame k
+(``VioEngine.backend_step``, which additionally keeps one optimize program
+in flight on the device and chains the next frame's association behind
+it). Stages of consecutive frames genuinely overlap — the reference's
+defining runtime property — and results drain through an output queue to
+the user callback thread with a one-frame latency.
 
 ``blocking=True`` reproduces the reference's deterministic dataset mode
 (backpressure all the way to the caller); ``blocking=False`` sheds load by
@@ -42,19 +46,29 @@ class AsyncVioEngine:
             engine.rig.num_cameras, tolerance_s=engine.cfg.timestamp_tolerance
         )
         self._frames = ThreadSafeQueue(frame_queue_size)
+        # detected frames staged between the frontend and backend threads
+        # (depth 1: at most one frame detected-ahead, like the reference's
+        # size-1 keypointMeasurements_ queue, ThreadedKFVio.cpp:627)
+        self._staged = ThreadSafeQueue(1)
         self._results = ThreadSafeQueue(result_queue_size)
         self._gate = ImuGate()
-        self._imu_lock = threading.Lock()
+        self._imu_lock = threading.Lock()  # guards dead-reckon state only
         self.state_callback: Optional[Callable[[FrameResult], None]] = None
         self.keyframe_callback = None
         self.propagated_state_callback = None  # (t, r, q, v) at IMU rate
         self._prop_t = None
         self._prop_r = self._prop_q = self._prop_v = None
         self._prop_bias = np.zeros(6)
-        self._worker = threading.Thread(target=self._frame_loop, daemon=True)
+        self._fe_worker = threading.Thread(
+            target=self._frontend_loop, daemon=True
+        )
+        self._be_worker = threading.Thread(
+            target=self._backend_loop, daemon=True
+        )
         self._publisher = threading.Thread(target=self._publish_loop, daemon=True)
         self._running = True
-        self._worker.start()
+        self._fe_worker.start()
+        self._be_worker.start()
         self._publisher.start()
         self.dropped_frames = 0
         self._last_image_t = -np.inf
@@ -65,8 +79,7 @@ class AsyncVioEngine:
         self.blocking = blocking
 
     def add_imu_measurement(self, t: float, gyro, acc) -> None:
-        with self._imu_lock:
-            self.engine.add_imu_measurement(t, gyro, acc)
+        self.engine.add_imu_measurement(t, gyro, acc)  # engine-internal lock
         self._gate.announce(int(t * 1e9))
         # optional IMU-rate propagated state (publishImuPropagatedState /
         # imuConsumerLoop realtime propagation, ThreadedKFVio.cpp:774-833):
@@ -92,7 +105,11 @@ class AsyncVioEngine:
                 self._prop_bias = sb[3:9].copy()
                 self._prop_t = t0
         dt = t - self._prop_t
-        if dt <= 0 or dt > 1.0:
+        # staleness cap: the reference's imuConsumerLoop propagates from
+        # lastOptimized however old it is (ThreadedKFVio.cpp:774-833); we
+        # cut off at 3 s only to avoid publishing nonsense after a long
+        # tracking outage (warmup compiles can lag the feed by ~1 s)
+        if dt <= 0 or dt > 3.0:
             return None
         # simple Euler step (publishing-rate prediction, not estimation) —
         # host numpy: this runs per IMU sample (100 Hz), a device dispatch
@@ -124,12 +141,10 @@ class AsyncVioEngine:
             del self.position_measurements[:5000]
 
     def add_depth_measurement(self, t: float, depth: float) -> None:
-        with self._imu_lock:
-            self.engine.add_depth_measurement(t, depth)
+        self.engine.add_depth_measurement(t, depth)
 
     def add_sonar_measurement(self, t: float, range_m: float, heading: float) -> None:
-        with self._imu_lock:
-            self.engine.add_sonar_measurement(t, range_m, heading)
+        self.engine.add_sonar_measurement(t, range_m, heading)
 
     def add_image(self, t: float, cam: int, image: np.ndarray) -> bool:
         """Feed one camera image. Returns False if it was rejected/dropped."""
@@ -141,6 +156,15 @@ class AsyncVioEngine:
         if group is None:
             return True
         t_g, images = group
+        # pre-upload: quantize to uint8 and START the host→device transfer
+        # from the feeding thread (jax transfers are async) — by the time
+        # the frontend stage dispatches detection the pixels are already
+        # on (or in flight to) the device, hiding the tunnel upload
+        import jax as _jax
+
+        from .vio import _as_upload
+
+        images = [_jax.device_put(_as_upload(im)) for im in images]
         if self.blocking:
             return self._frames.push_blocking((t_g, images))
         dropped = self._frames.push_dropping((t_g, images))
@@ -149,19 +173,58 @@ class AsyncVioEngine:
         return dropped is None
 
     # ------------------------------------------------------------- loops
-    def _frame_loop(self) -> None:
-        while True:
-            item = self._frames.pop_blocking()  # None ⇔ shut down and drained
-            if item is None:
-                break
-            t, images = item
-            # wait for IMU coverage of the frame time (+overlap)
-            self._gate.wait_for(int((t + 0.005) * 1e9), timeout_s=2.0)
-            with Timer("2.0 frame_total"):
-                with self._imu_lock:
-                    result = self.engine.add_frame(t, images)
-            if result is not None:
-                self._results.push_blocking(result)
+    def _frontend_loop(self) -> None:
+        """Detection/description of frame k+1 concurrent with the backend's
+        optimization of frame k (frameConsumerLoop analog). A stage
+        exception shuts the pipeline down loudly instead of deadlocking
+        the (blocking-mode) feeder against a dead thread."""
+        try:
+            can_split = hasattr(self.engine, "frontend_stage")
+            while True:
+                item = self._frames.pop_blocking()  # None ⇔ shut down+drained
+                if item is None:
+                    break
+                t, images = item
+                # wait for IMU coverage of the frame time (+overlap)
+                self._gate.wait_for(int((t + 0.005) * 1e9), timeout_s=2.0)
+                if not can_split or getattr(self.engine, "n_states", 0) == 0:
+                    # first frame initializes whole in the backend (needs
+                    # the IMU-derived attitude); duck-typed engines without
+                    # the split API run their add_frame there too
+                    self._staged.push_blocking((t, images, None))
+                    continue
+                with Timer("1.1 frontend_stage"):
+                    t_s, fd = self.engine.frontend_stage(t, images)
+                self._staged.push_blocking((t_s, images, fd))
+        except Exception:  # pragma: no cover - defensive
+            import logging
+
+            logging.getLogger("svin_tpu").exception("frontend stage died")
+            self._frames.shutdown()
+            self._staged.shutdown()
+
+    def _backend_loop(self) -> None:
+        """Association + solve (matchingLoop + optimizationLoop analog);
+        keeps one optimize program in flight across frames."""
+        try:
+            while True:
+                item = self._staged.pop_blocking()
+                if item is None:
+                    break
+                t, images, fd = item
+                with Timer("2.0 frame_total"):
+                    if fd is None:
+                        result = self.engine.add_frame(t, images)
+                    else:
+                        result = self.engine.backend_step(t, images, fd)
+                if result is not None:
+                    self._results.push_blocking(result)
+        except Exception:  # pragma: no cover - defensive
+            import logging
+
+            logging.getLogger("svin_tpu").exception("backend stage died")
+            self._frames.shutdown()
+            self._staged.shutdown()
 
     def _publish_loop(self) -> None:
         while True:
@@ -185,8 +248,14 @@ class AsyncVioEngine:
         """
         self._running = False
         self._gate.shutdown()
-        self._frames.shutdown()  # pop returns None once drained → worker exits
-        self._worker.join()
+        self._frames.shutdown()  # pop returns None once drained → FE exits
+        self._fe_worker.join()
+        self._staged.shutdown()  # backend drains staged frames and exits
+        self._be_worker.join()
+        flush = getattr(self.engine, "backend_flush", None)
+        tail = flush() if flush is not None else None  # last in-flight opt
+        if tail is not None:
+            self._results.push_blocking(tail)
         self._results.shutdown()
         self._publisher.join()
 

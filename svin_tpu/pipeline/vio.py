@@ -17,13 +17,20 @@ the stages are fused device programs and the host only sequences them:
     7. marginalization policy (RSS'13 analog)  (device fold + shift)
     8. outputs: state callback, keyframe export (the pose_graph ABI)
 
-Asynchronous execution (double-buffered H2D, detection of frame k+1
-overlapping optimization of frame k) layers on top via jax async dispatch —
-every device call here is non-blocking until results are read.
+Pipelined execution layers on top via the split ``frontend_stage`` /
+``backend_step`` API (driven by ``AsyncVioEngine``): detection of frame
+k+1 runs in its own thread overlapping the backend of frame k, images
+pre-upload from the feeding thread, and the backend keeps one
+optimize(+marginalize) program in flight — the next frame's
+preintegration/association chain behind it on the device, consuming its
+un-fetched window output, so each backend step pays ONE blocking fetch.
+Measured through the remote-TPU tunnel: serial ``add_frame`` 132 ms
+median vs 15.2 fps (66 ms/frame) pipelined sustained — see bench.py.
 """
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
@@ -158,11 +165,18 @@ def _make_stereo_match_tri(cam_a, cam_b, ray_sigma_base: float,
     device program (Frontend::matchStereo + triangulateFast): descriptor
     matching, per-octave ray sigmas, world-frame midpoint triangulation
     with covariance, depth sanity, and dedup against the existing map —
-    the host fetches once and only allocates slots."""
+    the host fetches once and only allocates slots. Camera poses compose
+    ON DEVICE from (T_WS, extrinsics) so the un-fetched IMU-propagated
+    prediction (and an un-fetched optimize output's landmark table) can
+    chain straight in without a host round trip."""
 
     @jax.jit
     def fn(descA, descB, valA, valB, uvA, uvB, octA, octB,
-           rA, qA, rB, qB, hp_W, lm_valid):
+           T_WS_r, T_WS_q, eAr, eAq, eBr, eBq, hp_W, lm_valid):
+        T_WS = Transformation(r=T_WS_r, q=T_WS_q)
+        TA = compose(T_WS, Transformation(r=eAr, q=eAq))
+        TB = compose(T_WS, Transformation(r=eBr, q=eBq))
+        rA, qA, rB, qB = TA.r, TA.q, TB.r, TB.q
         res = hamming.match_descriptors(
             descA, descB, valA, valB, max_distance=60, mutual=True
         )
@@ -306,6 +320,26 @@ class FrameResult:
 
 
 @dataclass
+class _PendingOpt:
+    """An in-flight optimize(+marginalize) program (pipelined backend):
+    device handles + the host context needed to finalize the frame once
+    the next backend step (or flush) fetches it."""
+
+    opt_out: tuple  # device handles of _optimize_fn / _opt_marg_fn output
+    win_dev: object  # device WindowState (post-marg) for chaining
+    victim: Optional[int]
+    lm_valid_before: Optional[np.ndarray]
+    slot_post: int  # the frame's slot AFTER the fused marginalization
+    t: float
+    images: list
+    is_kf: bool
+    n_tracked: int
+    n_new: int
+    t_dispatch: float
+    static_iters: int = 0
+
+
+@dataclass
 class _FrameData:
     """Host-side per-frame record for matching (per camera arrays)."""
 
@@ -407,33 +441,60 @@ class VioEngine:
             err = jnp.linalg.norm(ev.res, axis=-1) / (VioEngine._KP_SQRT_INFO * wt)
             return ev.valid, err
 
-        def _opt_prune(w, f, n_it):
-            res = optimize(w, f, rig_p, imu_p, wcfg, n_iters=n_it)
-            pv, pe = _reproj_px_err(res.window, f)
-            return res.window, res.cost, res.iterations, res.lm_cov, pv, pe
+        def _make_opt_program(static_iters: int, with_marg: bool):
+            """Build one compiled optimize(+marginalize)+prune program.
 
-        self._optimize_fn = jax.jit(_opt_prune)
+            ``with_marg`` fuses the marginalization of the host-chosen
+            victim (the RSS'13 policy over is_keyframe flags, never the
+            newest slot) into the SAME device program: in steady state
+            every frame both optimizes and marginalizes, so fusing removes
+            a full tunnel round trip plus a duplicate window+factors
+            upload per frame (artifacts/FRAME_ATTRIBUTION.json: the
+            separate marginalization step cost ~64 ms/frame of the 215 ms
+            median). Marginalization at the post-optimize estimates is
+            identical to running it at the start of the next frame
+            (nothing touches the window in between).
 
-        def _opt_prune_marg(w, f, n_it, victim):
-            """optimize + marginalize-the-known-victim + prune metrics as
-            ONE device program: in steady state every frame both optimizes
-            and marginalizes, and the victim choice (the RSS'13 policy over
-            is_keyframe flags, never the newest slot) is host-known BEFORE
-            the solve — so fusing removes a full tunnel round trip plus a
-            duplicate window+factors upload per frame
-            (artifacts/FRAME_ATTRIBUTION.json: the separate
-            marginalization step cost ~64 ms/frame of the 215 ms median).
-            Marginalization at the post-optimize estimates is identical to
-            running it at the start of the next frame (nothing touches the
-            window in between)."""
-            res = optimize(w, f, rig_p, imu_p, wcfg, n_iters=n_it)
-            w2, f2 = marginalize_slot(
-                res.window, f, victim, rig_p, imu_p, wcfg
-            )
-            pv, pe = _reproj_px_err(w2, f2)
-            return w2, f2, res.cost, res.iterations, res.lm_cov, pv, pe
+            ``static_iters`` is the compiled LM scan length. Iterations
+            past the traced ``n_it`` budget are masked and change NOTHING,
+            so a program compiled at a shorter static bound returns
+            bit-identical results for any ``n_it ≤ static_iters`` while
+            paying proportionally less device compute — the engine picks
+            the shortest compiled bound covering the frame's budget (the
+            CeresIterationCallback real-time envelope with the FLOPs
+            actually truncated, not just masked)."""
+            cfg_k = wcfg._replace(max_iterations=static_iters)
 
-        self._opt_marg_fn = jax.jit(_opt_prune_marg)
+            if with_marg:
+                def prog(w, f, n_it, victim):
+                    res = optimize(w, f, rig_p, imu_p, cfg_k, n_iters=n_it)
+                    w2, f2 = marginalize_slot(
+                        res.window, f, victim, rig_p, imu_p, cfg_k
+                    )
+                    pv, pe = _reproj_px_err(w2, f2)
+                    return (
+                        w2, f2, res.cost, res.iterations, res.lm_cov, pv, pe
+                    )
+            else:
+                def prog(w, f, n_it):
+                    res = optimize(w, f, rig_p, imu_p, cfg_k, n_iters=n_it)
+                    pv, pe = _reproj_px_err(res.window, f)
+                    return (
+                        res.window, res.cost, res.iterations, res.lm_cov,
+                        pv, pe,
+                    )
+
+            return jax.jit(prog)
+
+        self._opt_programs: Dict[tuple, Callable] = {}
+        self._make_opt_program = _make_opt_program
+        # the two static LM bounds: the full config bound and a short
+        # variant at half (≥ minIterations) for budget-limited frames
+        self._opt_bounds = sorted({
+            max(self.cfg.min_iterations, 1,
+                (config.max_iterations + 1) // 2),
+            config.max_iterations,
+        })
         # real-time iteration governor (CeresIterationCallback analog,
         # ThreadedKFVio.cpp:760-764): rolling per-LM-iteration wall time;
         # the per-frame budget ``timeLimit`` caps iterations at
@@ -443,6 +504,23 @@ class VioEngine:
         self._marginalize_fn = jax.jit(
             lambda w, f, s: marginalize_slot(w, f, s, rig_p, imu_p, wcfg)
         )
+
+        def _opt_program_for(n_it: int, with_marg: bool):
+            """The compiled optimize program with the SHORTEST static LM
+            bound covering this frame's iteration budget (built lazily,
+            cached per (bound, with_marg))."""
+            bound = next(
+                (b for b in self._opt_bounds if b >= n_it),
+                self._opt_bounds[-1],
+            )
+            key = (bound, with_marg)
+            if key not in self._opt_programs:
+                self._opt_programs[key] = self._make_opt_program(
+                    bound, with_marg
+                )
+            return self._opt_programs[key], bound
+
+        self._opt_program_for = _opt_program_for
 
         def _preint_prop(ts, gy, ac, mask, t0, t1, r, q, sb):
             pre = preintegrate(ts, gy, ac, mask, t0, t1, sb[3:9], imu_p)
@@ -609,6 +687,11 @@ class VioEngine:
         self.imu_t: List[float] = []
         self.imu_gyro: List[np.ndarray] = []
         self.imu_acc: List[np.ndarray] = []
+        # pipelined-backend state: the in-flight optimize of the previous
+        # frame, and the lock serializing IMU-buffer access between the
+        # feeding thread and the frontend/backend stages
+        self._pending: Optional[_PendingOpt] = None
+        self._imu_mutex = threading.Lock()
         self.depth_buffer: List[tuple] = []  # (t, depth)
         self.sonar_buffer: List[tuple] = []  # (t, range, heading)
         self.first_depth: Optional[float] = None
@@ -654,12 +737,13 @@ class VioEngine:
 
     # ------------------------------------------------------------------ IMU
     def add_imu_measurement(self, t: float, gyro, acc) -> None:
-        self.imu_t.append(float(t))
-        self.imu_gyro.append(np.asarray(gyro, float))
-        self.imu_acc.append(np.asarray(acc, float))
-        # trim very old IMU (deleteImuMeasurements analog)
-        if len(self.imu_t) > 10000:
-            del self.imu_t[:2000], self.imu_gyro[:2000], self.imu_acc[:2000]
+        with self._imu_mutex:
+            self.imu_t.append(float(t))
+            self.imu_gyro.append(np.asarray(gyro, float))
+            self.imu_acc.append(np.asarray(acc, float))
+            # trim very old IMU (deleteImuMeasurements analog)
+            if len(self.imu_t) > 10000:
+                del self.imu_t[:2000], self.imu_gyro[:2000], self.imu_acc[:2000]
 
     def add_depth_measurement(self, t: float, depth: float) -> None:
         if self.first_depth is None:
@@ -675,22 +759,26 @@ class VioEngine:
     _IMU_SLICE_QUANTUM = 64
 
     def _imu_slice(self, t0: float, t1: float):
-        t = np.asarray(self.imu_t)
-        m = (t >= t0 - TEMPORAL_IMU_OVERLAP) & (t <= t1 + TEMPORAL_IMU_OVERLAP)
-        idx = np.nonzero(m)[0]
-        if len(idx) < 2:
-            return None
-        n = len(idx)
-        cap = -(-n // self._IMU_SLICE_QUANTUM) * self._IMU_SLICE_QUANTUM
-        ts = np.full(cap, t[idx[-1]])
-        gy = np.zeros((cap, 3))
-        ac = np.zeros((cap, 3))
-        mask = np.zeros(cap, bool)
-        ts[:n] = t[idx]
-        gy[:n] = np.stack([self.imu_gyro[i] for i in idx])
-        ac[:n] = np.stack([self.imu_acc[i] for i in idx])
-        mask[:n] = True
-        return ts, gy, ac, mask
+        with self._imu_mutex:
+            t = np.asarray(self.imu_t)
+            m = (
+                (t >= t0 - TEMPORAL_IMU_OVERLAP)
+                & (t <= t1 + TEMPORAL_IMU_OVERLAP)
+            )
+            idx = np.nonzero(m)[0]
+            if len(idx) < 2:
+                return None
+            n = len(idx)
+            cap = -(-n // self._IMU_SLICE_QUANTUM) * self._IMU_SLICE_QUANTUM
+            ts = np.full(cap, t[idx[-1]])
+            gy = np.zeros((cap, 3))
+            ac = np.zeros((cap, 3))
+            mask = np.zeros(cap, bool)
+            ts[:n] = t[idx]
+            gy[:n] = np.stack([self.imu_gyro[i] for i in idx])
+            ac[:n] = np.stack([self.imu_acc[i] for i in idx])
+            mask[:n] = True
+            return ts, gy, ac, mask
 
     def _preintegrate(self, t0: float, t1: float, bias):
         """Returns a host-numpy Preintegral (or None without IMU data)."""
@@ -914,6 +1002,230 @@ class VioEngine:
         with Timer("2.0 frame_total"):
             return self._track(t, images)
 
+    # ------------------------------------------------- pipelined backend
+    def frontend_stage(self, t: float, images: List[np.ndarray]):
+        """Stage 1 of the PIPELINED engine (the frameConsumerLoop analog,
+        ThreadedKFVio.cpp:421-633): preprocess + detect + describe, with
+        the gravity-aligned extraction direction from a host dead-reckoned
+        attitude (the reference likewise detects off the last optimized
+        state propagated through the IMU while the optimizer still runs).
+        Touches NO mutable engine state — safe to run concurrently with
+        ``backend_step`` in another thread. Returns (shifted t, fd)."""
+        t = float(t) - self.cfg.image_delay
+        T_att = self._attitude_prediction(t)
+        uvs, descs, valids, scores, octs, img0 = self._detect_describe(
+            images, T_att
+        )
+        fd = _FrameData(
+            timestamp=t, kp_uv=uvs, kp_desc=descs, kp_valid=valids,
+            kp_landmark=[
+                np.full(self.cfg.max_keypoints, -1, np.int64) for _ in images
+            ],
+            kp_score=scores,
+            kp_octave=[np.asarray(o) for o in octs],
+            image0=img0,
+        )
+        return t, fd
+
+    def _attitude_prediction(self, t: float) -> Transformation:
+        """Attitude at ``t`` by integrating buffered gyro from the newest
+        window state — degree-level accuracy is plenty for the descriptor
+        gravity direction, and it needs no device round trip and no
+        backend synchronization."""
+        slot = max(self.n_states - 1, 0)
+        w = self.window  # local ref: rebinding by the backend is atomic
+        r = w.r[slot].copy()
+        q = w.q[slot].copy()
+        bg = w.speed_bias[slot][3:6].copy()
+        t0 = float(w.timestamp[slot])
+        with self._imu_mutex:
+            tt = np.asarray(self.imu_t)
+            sel = np.nonzero((tt > t0) & (tt <= t))[0]
+            ts = tt[sel]
+            gy = [self.imu_gyro[i] for i in sel]
+        t_prev = t0
+        for ti, wg in zip(ts, gy):
+            dt = float(ti) - t_prev
+            if dt <= 0:
+                continue
+            phi = (wg - bg) * dt
+            ang = float(np.linalg.norm(phi))
+            half = 0.5 * ang
+            fac = 0.5 if ang < 1e-12 else np.sin(half) / ang
+            dq = np.concatenate([phi * fac, [np.cos(half)]])
+            q = npq.normalize(npq.multiply(q, dq))
+            t_prev = float(ti)
+        return Transformation(r=r, q=q)
+
+    def backend_step(
+        self, t: float, images, fd: _FrameData
+    ) -> Optional[FrameResult]:
+        """Stages 2–7 for one detected frame in PIPELINED mode.
+
+        The previous frame's optimize(+marginalize) program is still in
+        flight on the device; this frame's IMU preintegration, projection-
+        gated association, and speculative stereo dispatch BEHIND it —
+        chaining the un-fetched post-optimize window (poses, landmark
+        table) as their inputs — and ONE blocking ``device_get`` then
+        retrieves everything. While the next frame's solve runs, the host
+        finalizes THIS fetch's frame (export, callbacks) — the pipelining
+        the reference gets from its matching/optimization threads
+        (ThreadedKFVio.cpp:167-195), re-expressed as device-program
+        chaining + a one-frame-deep result latency.
+
+        Returns the PREVIOUS frame's FrameResult (or None on the first
+        pipelined frame); ``backend_flush`` drains the last one."""
+        if self.n_states == 0:
+            return self._initialize(t, images)
+        if self._pending is None and self.n_states >= self.wcfg.num_states:
+            # restored/handover sessions only — steady state marginalizes
+            # inside the fused program
+            self._apply_marginalization_policy()
+
+        p = self._pending
+        if p is not None:
+            prev_slot = p.slot_post
+            t_prev = p.t
+            w_dev = p.win_dev
+            base_r = w_dev.r[prev_slot]
+            base_q = w_dev.q[prev_slot]
+            base_sb = w_dev.speed_bias[prev_slot]
+            hp_dev, lmv_dev = w_dev.hp_W, w_dev.lm_valid
+        else:
+            prev_slot = self.n_states - 1
+            t_prev = float(self.window.timestamp[prev_slot])
+            base_r = self.window.r[prev_slot]
+            base_q = self.window.q[prev_slot]
+            base_sb = self.window.speed_bias[prev_slot]
+            hp_dev = lmv_dev = None
+
+        sl = self._imu_slice(t_prev, t)
+        preint_out = None
+        if sl is not None:
+            ts, gy, ac, mask = sl
+            cast = (
+                (lambda a: a) if isinstance(base_r, jax.Array)
+                else (lambda a: jnp.asarray(a, self.dtype))
+            )
+            preint_out = self._preint_prop_fn(
+                jnp.asarray(ts, self.dtype), jnp.asarray(gy, self.dtype),
+                jnp.asarray(ac, self.dtype), mask,
+                jnp.asarray(t_prev, self.dtype), jnp.asarray(t, self.dtype),
+                cast(base_r), cast(base_q), cast(base_sb),
+            )
+            _, T_d, _, _ = preint_out
+            T_r_m, T_q_m = T_d.r, T_d.q
+        else:
+            T_r_m, T_q_m = base_r, base_q
+
+        # association + speculative stereo chained behind the in-flight
+        # solve (device executes programs in dispatch order)
+        m_out = self._dispatch_match(
+            fd, T_r_m, T_q_m, hp_W=hp_dev, lm_valid=lmv_dev
+        )
+        s_out = self._dispatch_stereo(
+            fd, T_r_m, T_q_m, hp_W=hp_dev, lm_valid=lmv_dev
+        )
+
+        with Timer("2.4.2 match_fetch"):
+            opt_f, pre_f, m_f, s_f = jax.device_get(
+                (None if p is None else p.opt_out, preint_out, m_out, s_out)
+            )
+        prev_result = None
+        if p is not None:
+            prev_result = self._finalize_pending(opt_f)
+
+        # ---- frame k+1 host stages on the now-consistent window ----
+        slot = self.n_states
+        if pre_f is not None:
+            pre, T_h, sb_pred, W_imu = pre_f
+            T_pred = Transformation(r=np.array(T_h.r), q=np.array(T_h.q))
+            sb_pred = np.array(sb_pred)
+        else:
+            pre = W_imu = None
+            T_pred = Transformation(
+                r=np.array(jax.device_get(base_r)),
+                q=np.array(jax.device_get(base_q)),
+            )
+            sb_pred = np.array(jax.device_get(base_sb))
+        self._create_state(slot, t, t_prev, T_pred, sb_pred, fd, pre, W_imu)
+        n_tracked = self._apply_match(m_f, slot, fd) if m_f is not None else 0
+        is_kf, n_new = self._keyframe_decision(slot, t, fd, T_pred, s_f)
+
+        # ---- dispatch this frame's solve; finalize on the NEXT step ----
+        n_it = self._iteration_budget()
+        victim = (
+            self._choose_marg_victim()
+            if self.n_states >= self.wcfg.num_states else None
+        )
+        lm_valid_before = (
+            self.window.lm_valid.copy() if victim is not None else None
+        )
+        prog, bound = self._opt_program_for(n_it, victim is not None)
+        with Timer("3.1.1 opt_dispatch"):
+            if victim is None:
+                opt_out = prog(self.window, self.factors, jnp.int32(n_it))
+            else:
+                opt_out = prog(
+                    self.window, self.factors, jnp.int32(n_it),
+                    jnp.int32(victim),
+                )
+        self._pending = _PendingOpt(
+            opt_out=opt_out, win_dev=opt_out[0], victim=victim,
+            lm_valid_before=lm_valid_before,
+            slot_post=slot - (1 if victim is not None else 0),
+            t=t, images=images, is_kf=is_kf, n_tracked=n_tracked,
+            n_new=n_new, t_dispatch=time.perf_counter(),
+            static_iters=bound,
+        )
+        return prev_result
+
+    def _finalize_pending(self, opt_f) -> FrameResult:
+        """Apply a fetched in-flight optimize and emit its FrameResult."""
+        p = self._pending
+        self._pending = None
+        if p.victim is None:
+            win_h, cost_h, iters_h, lm_cov_h, pr_valid, pr_err = opt_f
+            fac_h = None
+        else:
+            (win_h, fac_h, cost_h, iters_h, lm_cov_h, pr_valid,
+             pr_err) = opt_f
+        self._apply_opt_results(
+            win_h, fac_h, cost_h, iters_h, lm_cov_h, pr_valid, pr_err,
+            p.victim, p.lm_valid_before,
+            time.perf_counter() - p.t_dispatch,
+            static_iters=p.static_iters,
+        )
+        slot = p.slot_post
+        self.frame_count += 1
+        T_WS = self.window.pose(slot)
+        result = FrameResult(
+            timestamp=p.t,
+            T_WS=Transformation(r=T_WS.r.copy(), q=T_WS.q.copy()),
+            speed_bias=self.window.speed_bias[slot].copy(),
+            is_keyframe=p.is_kf,
+            num_tracked=p.n_tracked,
+            num_new_landmarks=p.n_new,
+            cost=self._cost_last,
+            keyframe_export=(
+                self._timed_export(slot, p.images) if p.is_kf else None
+            ),
+            lm_iterations=self._lm_iterations_last,
+        )
+        self.trajectory.append((p.t, result.T_WS.r, result.T_WS.q))
+        if self.state_callback:
+            self.state_callback(result)
+        if result.keyframe_export is not None and self.keyframe_callback:
+            self.keyframe_callback(result.keyframe_export)
+        return result
+
+    def backend_flush(self) -> Optional[FrameResult]:
+        """Fetch + finalize the last in-flight frame (end of stream)."""
+        if self._pending is None:
+            return None
+        opt_f = jax.device_get(self._pending.opt_out)
+        return self._finalize_pending(opt_f)
+
     def _iteration_budget(self) -> int:
         """Per-frame LM iteration budget from the config's real-time
         envelope (``ceres_options: timeLimit/minIterations``) and the
@@ -1054,39 +1366,60 @@ class VioEngine:
         so.target_W[slot] = target
         so.valid[slot] = True
 
-    def _stereo_initialize_landmarks(
-        self, slot: int, fd: _FrameData, T_WS: Transformation
-    ) -> int:
-        """Stereo intra-frame matching + triangulation → new landmarks
-        (Frontend::matchStereo analog). Only keypoints not already associated
-        to a landmark participate."""
+    def _dispatch_stereo(
+        self, fd: _FrameData, T_r, T_q, hp_W=None, lm_valid=None,
+    ):
+        """Dispatch the fused stereo match+triangulate program. ``T_r/T_q``
+        may be device handles (un-fetched IMU prediction); ``hp_W``/
+        ``lm_valid`` likewise (un-fetched optimize output) — defaults are
+        the host window tables. The candidate masks are the RAW detection
+        masks: this dispatch is SPECULATIVE (before the frame's map
+        associations are known); ``_apply_stereo`` drops pairs that the
+        match stage associated in the meantime, and the in-program map
+        dedup kills near-duplicates of existing landmarks."""
         if self.rig.num_cameras < 2:
-            return 0
-        un_a = fd.kp_landmark[0] < 0
-        un_b = fd.kp_landmark[1] < 0
-        # match + triangulate + gates + map dedup in ONE device program
-        # (one fetch; host only allocates slots)
+            return None
         if (0, 1) not in self._stereo_fns:
             self._stereo_fns[(0, 1)] = _make_stereo_match_tri(
                 self.rig.cameras[0], self.rig.cameras[1],
                 self._RAY_SIGMA_BASE, self._POSE_VAR_STEREO,
             )
-        rA, qA = self._T_WC_np(T_WS, 0)
-        rB, qB = self._T_WC_np(T_WS, 1)
-        ib_all, pts_all, good, cov_all = jax.device_get(
-            self._stereo_fns[(0, 1)](
-                fd.kp_desc[0], fd.kp_desc[1],
-                fd.kp_valid[0] & un_a, fd.kp_valid[1] & un_b,
-                jnp.asarray(fd.kp_uv[0], self.dtype),
-                jnp.asarray(fd.kp_uv[1], self.dtype),
-                fd.kp_octave[0], fd.kp_octave[1],
-                jnp.asarray(rA, self.dtype), jnp.asarray(qA, self.dtype),
-                jnp.asarray(rB, self.dtype), jnp.asarray(qB, self.dtype),
-                jnp.asarray(self.window.hp_W, self.dtype),
-                self.window.lm_valid,
-            )
+        un_a = fd.kp_landmark[0] < 0
+        un_b = fd.kp_landmark[1] < 0
+        if hp_W is None:
+            hp_W = jnp.asarray(self.window.hp_W, self.dtype)
+        if lm_valid is None:
+            lm_valid = self.window.lm_valid
+        cast = (
+            (lambda a: a) if isinstance(T_r, jax.Array)
+            else (lambda a: jnp.asarray(a, self.dtype))
         )
+        return self._stereo_fns[(0, 1)](
+            fd.kp_desc[0], fd.kp_desc[1],
+            fd.kp_valid[0] & un_a, fd.kp_valid[1] & un_b,
+            jnp.asarray(fd.kp_uv[0], self.dtype),
+            jnp.asarray(fd.kp_uv[1], self.dtype),
+            fd.kp_octave[0], fd.kp_octave[1],
+            cast(T_r), cast(T_q),
+            jnp.asarray(self.window.ext_r[0], self.dtype),
+            jnp.asarray(self.window.ext_q[0], self.dtype),
+            jnp.asarray(self.window.ext_r[1], self.dtype),
+            jnp.asarray(self.window.ext_q[1], self.dtype),
+            hp_W, lm_valid,
+        )
+
+    def _apply_stereo(self, fetched, slot: int, fd: _FrameData) -> int:
+        """Allocate landmarks + observations from a fetched stereo dispatch
+        (host side of Frontend::matchStereo)."""
+        if fetched is None:
+            return 0
+        ib_all, pts_all, good, cov_all = fetched
         ia = np.nonzero(good)[0]
+        if len(ia) == 0:
+            return 0
+        # drop pairs associated to the map since the (speculative) dispatch
+        keep = (fd.kp_landmark[0][ia] < 0) & (fd.kp_landmark[1][ib_all[ia]] < 0)
+        ia = ia[keep]
         if len(ia) == 0:
             return 0
         ib = ib_all[ia]
@@ -1105,6 +1438,18 @@ class VioEngine:
                          self._kp_info(fd, 1, b_)))
         self._add_observations(rows)
         return int((slots >= 0).sum())
+
+    def _stereo_initialize_landmarks(
+        self, slot: int, fd: _FrameData, T_WS: Transformation
+    ) -> int:
+        """Stereo intra-frame matching + triangulation → new landmarks
+        (Frontend::matchStereo analog): standalone dispatch+fetch."""
+        out = self._dispatch_stereo(
+            fd, np.asarray(T_WS.r), np.asarray(T_WS.q)
+        )
+        if out is None:
+            return 0
+        return self._apply_stereo(jax.device_get(out), slot, fd)
 
     def _temporal_initialize_landmarks(
         self, slot: int, fd: _FrameData, T_WS: Transformation
@@ -1188,23 +1533,26 @@ class VioEngine:
         self._add_observations(rows)
         return total
 
-    def _match_to_map(
-        self, slot: int, fd: _FrameData, T_WS_pred: Transformation
-    ) -> int:
-        """Match current keypoints to window landmarks with projection gating
-        (VioKeyframeWindowMatchingAlgorithm::doSetup + 3D2D matching), then
-        reject association outliers with 3D-2D RANSAC
-        (Frontend::runRansac3d2d, 50 hypotheses, 3 px)."""
-        lm_valid = self.window.lm_valid
-        if lm_valid.sum() == 0:
-            return 0
-        n_tracked = 0
-        # uncertainty-propagated gating (the reference's velocity-scaled
-        # UOplus + projected landmark covariance,
-        # VioKeyframeWindowMatchingAlgorithm::doSetup:133-206): the pose
-        # translation variance is velocity-scaled and inflated by the
-        # tracking-miss streak (a drifting IMU-only prediction widens every
-        # gate), and each landmark contributes its own 3×3 covariance
+    def _dispatch_match(
+        self, fd: _FrameData, T_r, T_q,
+        hp_W=None, lm_valid=None, lm_cov=None,
+    ):
+        """Dispatch the fused association stage (projection-gated matching
+        + 3D-2D RANSAC + reprojection acceptance — one device program,
+        VioKeyframeWindowMatchingAlgorithm::doSetup + runRansac3d2d).
+
+        ``T_r/T_q`` (predicted pose) and ``hp_W/lm_valid/lm_cov`` (landmark
+        tables) may be DEVICE handles — un-fetched outputs of the IMU
+        propagation and of the previous frame's optimize program — so the
+        pipelined backend chains frame k+1's association behind frame k's
+        solve without a host round trip in between.
+
+        Uncertainty-propagated gating (the reference's velocity-scaled
+        UOplus + projected landmark covariance,
+        VioKeyframeWindowMatchingAlgorithm::doSetup:133-206): the pose
+        translation variance is velocity-scaled and inflated by the
+        tracking-miss streak, and each landmark contributes its own 3×3
+        covariance."""
         slot_prev = self.last_kf_slot if self.last_kf_slot is not None else 0
         pos_var = self._pose_var_temporal(slot_prev) * (
             4.0 ** min(self._track_miss_streak, 2)
@@ -1212,28 +1560,36 @@ class VioEngine:
         kp_sigma = 0.8 * np.stack(
             [np.ldexp(1.0, fd.kp_octave[ci]) for ci in range(len(fd.kp_uv))]
         )
-        # the WHOLE association stage (gate + RANSAC + reprojection accept)
-        # is one device program and ONE fetch (each device_get is a full
-        # network round trip on tunneled backends)
         free = np.stack(
             [fd.kp_landmark[ci] < 0 for ci in range(len(fd.kp_uv))]
         )
+        cast = (
+            (lambda a: a) if isinstance(T_r, jax.Array)
+            else (lambda a: jnp.asarray(np.asarray(a), self.dtype))
+        )
         with Timer("2.4.1 match_dispatch"):
-            out = self._match_stage_fn(
-                np.stack(fd.kp_uv), np.stack(fd.kp_desc), np.stack(fd.kp_valid),
-                free,
-                self.window.hp_W, self.window.lm_valid, self._lm_desc,
-                jnp.asarray(self._lm_cov, self.dtype),
-                jnp.asarray(np.asarray(T_WS_pred.r), self.dtype),
-                jnp.asarray(np.asarray(T_WS_pred.q), self.dtype),
+            return self._match_stage_fn(
+                np.stack(fd.kp_uv), np.stack(fd.kp_desc),
+                np.stack(fd.kp_valid), free,
+                self.window.hp_W if hp_W is None else hp_W,
+                self.window.lm_valid if lm_valid is None else lm_valid,
+                self._lm_desc,
+                (
+                    jnp.asarray(self._lm_cov, self.dtype)
+                    if lm_cov is None else lm_cov
+                ),
+                cast(T_r), cast(T_q),
                 jnp.asarray(self.window.ext_r, self.dtype),
                 jnp.asarray(self.window.ext_q, self.dtype),
                 jnp.asarray(kp_sigma, self.dtype),
                 jnp.asarray(pos_var, self.dtype),
                 jax.random.PRNGKey(self._rng.randint(0, 2**31)),
             )
-        with Timer("2.4.2 match_fetch"):
-            accept, midx, n_cand, success, fit_r, fit_q = jax.device_get(out)
+
+    def _apply_match(self, fetched, slot: int, fd: _FrameData) -> int:
+        """Host side of the association stage: landmark bookkeeping +
+        observation-row insertion from the fetched match outputs."""
+        accept, midx, n_cand, success, fit_r, fit_q = fetched
         if int(n_cand) < 6:
             self._track_miss_streak += 1
             return 0
@@ -1241,6 +1597,7 @@ class VioEngine:
             Transformation(r=np.array(fit_r), q=np.array(fit_q))
             if bool(success) else None
         )
+        n_tracked = 0
         rows = []
         refresh_l, refresh_d = [], []
         for ci in range(self.rig.num_cameras):
@@ -1258,6 +1615,17 @@ class VioEngine:
         self._add_observations(rows)
         self._track_miss_streak = 0 if n_tracked >= 6 else self._track_miss_streak + 1
         return n_tracked
+
+    def _match_to_map(
+        self, slot: int, fd: _FrameData, T_WS_pred: Transformation
+    ) -> int:
+        """Standalone dispatch+fetch association (the serial engine path)."""
+        if self.window.lm_valid.sum() == 0:
+            return 0
+        out = self._dispatch_match(fd, T_WS_pred.r, T_WS_pred.q)
+        with Timer("2.4.2 match_fetch"):
+            fetched = jax.device_get(out)
+        return self._apply_match(fetched, slot, fd)
 
     def _decay_extrinsics_prior(self, dt: float) -> None:
         """Extrinsics random walk (reference sigma_c_relative_*: per-state
@@ -1315,6 +1683,71 @@ class VioEngine:
                 "scale refinement: s=%.4f |g|=%.3f over %d keyframes",
                 est.scale, est.gravity_norm, est.n_states,
             )
+
+    def _keyframe_decision(
+        self, slot: int, t: float, fd: _FrameData,
+        T_pred: Transformation, s_f,
+    ):
+        """Hull-overlap keyframe decision + (on keyframes) new-landmark
+        creation from the speculatively fetched stereo candidates, with the
+        temporal 2D-2D bootstrap fallback (the only landmark source for
+        mono rigs; for stereo it adds long-baseline landmarks when the
+        stereo pass left keypoints unassociated)."""
+        is_kf = self._need_new_keyframe(fd)
+        n_new = 0
+        if is_kf:
+            with Timer("2.5 stereo_init"):
+                n_new = self._apply_stereo(s_f, slot, fd)
+            if self.rig.num_cameras < 2 or n_new == 0:
+                with Timer("2.6 temporal_init"):
+                    n_new += self._temporal_initialize_landmarks(
+                        slot, fd, T_pred
+                    )
+            self.window.is_keyframe[slot] = True
+            self.last_kf_slot = slot
+            self.kf_count += 1
+            self._kf_index_by_state_id[int(self.window.state_id[slot])] = (
+                self.kf_count
+            )
+            self._accumulate_scale_state(t)
+        return is_kf, n_new
+
+    def _create_state(
+        self, slot: int, t: float, t_prev: float,
+        T_pred: Transformation, sb_pred, fd: _FrameData, pre, W_imu,
+    ) -> None:
+        """New window state at the IMU-predicted pose + its factors
+        (Estimator::addStates analog: pose/speed-bias blocks, the bridging
+        ImuError, SVIn depth/sonar factors, extrinsics random walk)."""
+        w = self.window
+        w.r[slot] = np.asarray(T_pred.r)
+        w.q[slot] = np.asarray(T_pred.q)
+        w.speed_bias[slot] = sb_pred
+        w.state_valid[slot] = True
+        w.timestamp[slot] = t
+        w.state_id[slot] = self.next_state_id
+        w.is_keyframe[slot] = False
+        self.next_state_id += 1
+        self.frames[slot] = fd
+        self.n_states += 1
+
+        # IMU factor prev_slot -> slot
+        if pre is not None:
+            imf = self.factors.imu
+            k = slot - 1
+            for full, new in zip(
+                jax.tree_util.tree_leaves(imf.pre),
+                jax.tree_util.tree_leaves(pre),
+            ):
+                full[k] = new
+            imf.sqrt_info[k] = W_imu
+            # guard against degenerate preintegrals (IMU dropout /
+            # non-positive segment): a zero-Δt factor has no information
+            imf.valid[k] = float(np.asarray(pre.Delta_t)) > 0.0
+
+        self._attach_depth_factor(slot, t)
+        self._attach_sonar_factor(slot, t, T_pred)
+        self._decay_extrinsics_prior(t - t_prev)
 
     def _need_new_keyframe(self, fd: _FrameData) -> bool:
         """Convex-hull overlap/matching-ratio heuristic, exact reference
@@ -1387,57 +1820,28 @@ class VioEngine:
         slot = self.n_states
 
         # ---- state creation ----
-        w = self.window
-        w.r[slot] = np.asarray(T_pred.r)
-        w.q[slot] = np.asarray(T_pred.q)
-        w.speed_bias[slot] = sb_pred
-        w.state_valid[slot] = True
-        w.timestamp[slot] = t
-        w.state_id[slot] = self.next_state_id
-        w.is_keyframe[slot] = False
-        self.next_state_id += 1
-        self.frames[slot] = fd
-        self.n_states += 1
+        self._create_state(slot, t, t_prev, T_pred, sb_pred, fd, pre, W_imu)
 
-        # IMU factor prev_slot -> slot
-        if pre is not None:
-            imf = self.factors.imu
-            k = slot - 1
-            for full, new in zip(
-                jax.tree_util.tree_leaves(imf.pre),
-                jax.tree_util.tree_leaves(pre),
-            ):
-                full[k] = new
-            imf.sqrt_info[k] = W_imu
-            # guard against degenerate preintegrals (IMU dropout /
-            # non-positive segment): a zero-Δt factor has no information
-            imf.valid[k] = float(np.asarray(pre.Delta_t)) > 0.0
-
-        self._attach_depth_factor(slot, t)
-        self._attach_sonar_factor(slot, t, T_pred)
-        self._decay_extrinsics_prior(t - t_prev)
-
-        # ---- 3. data association ----
+        # ---- 3. data association + SPECULATIVE stereo, ONE fetch ----
+        # the stereo match+triangulate program runs every frame (its
+        # device cost is a few ms) so that on keyframes the new-landmark
+        # candidates are already in hand — the separate keyframe-only
+        # stereo round trip is gone; _apply_stereo drops pairs the match
+        # stage claimed
         with Timer("2.4 matching"):
-            n_tracked = self._match_to_map(slot, fd, T_pred)
-        is_kf = self._need_new_keyframe(fd)
-        n_new = 0
-        if is_kf:
-            with Timer("2.5 stereo_init"):
-                n_new = self._stereo_initialize_landmarks(slot, fd, T_pred)
-            # temporal 2D-2D bootstrap: the only landmark source for mono
-            # rigs; for stereo it adds long-baseline landmarks when the
-            # stereo pass left keypoints unassociated
-            if self.rig.num_cameras < 2 or n_new == 0:
-                with Timer("2.6 temporal_init"):
-                    n_new += self._temporal_initialize_landmarks(slot, fd, T_pred)
-            self.window.is_keyframe[slot] = True
-            self.last_kf_slot = slot
-            self.kf_count += 1
-            self._kf_index_by_state_id[int(self.window.state_id[slot])] = (
-                self.kf_count
+            m_out = (
+                self._dispatch_match(fd, T_pred.r, T_pred.q)
+                if self.window.lm_valid.sum() > 0 else None
             )
-            self._accumulate_scale_state(t)
+            s_out = self._dispatch_stereo(
+                fd, np.asarray(T_pred.r), np.asarray(T_pred.q)
+            )
+            with Timer("2.4.2 match_fetch"):
+                m_f, s_f = jax.device_get((m_out, s_out))
+            n_tracked = (
+                self._apply_match(m_f, slot, fd) if m_f is not None else 0
+            )
+        is_kf, n_new = self._keyframe_decision(slot, t, fd, T_pred, s_f)
 
         # ---- 6. optimize (+ fused marginalization in steady state) ----
         n_it = self._iteration_budget()
@@ -1446,11 +1850,12 @@ class VioEngine:
             if self.n_states >= self.wcfg.num_states
             else None
         )
+        prog, bound = self._opt_program_for(n_it, victim is not None)
         with Timer("3.1 optimization"):
             t_opt0 = time.perf_counter()
             if victim is None:
                 with Timer("3.1.1 opt_dispatch"):
-                    opt_out = self._optimize_fn(
+                    opt_out = prog(
                         self.window, self.factors, jnp.int32(n_it)
                     )
                 with Timer("3.1.2 opt_fetch"):
@@ -1461,7 +1866,7 @@ class VioEngine:
             else:
                 lm_valid_before = self.window.lm_valid.copy()
                 with Timer("3.1.1 opt_dispatch"):
-                    opt_out = self._opt_marg_fn(
+                    opt_out = prog(
                         self.window, self.factors, jnp.int32(n_it),
                         jnp.int32(victim),
                     )
@@ -1469,39 +1874,12 @@ class VioEngine:
                     (win_h, fac_h, cost_h, iters_h, lm_cov_h, pr_valid,
                      pr_err) = jax.device_get(opt_out)
             dt_opt = time.perf_counter() - t_opt0
-        # rolling per-iteration estimate: the compiled program always
-        # executes max_iterations of FLOPs (masked past the budget), so
-        # wall / max_iterations is the honest per-iteration cost (slightly
-        # conservative on fused frames, which also pay the marginalization
-        # compute). The very first call is compile-dominated — skip it, and
-        # reject >10x outliers (host hiccups) once an estimate exists.
-        per_it = dt_opt / max(self.wcfg.max_iterations, 1)
-        if self._opt_calls > 0 and (
-            self._opt_iter_ema is None or per_it < 10.0 * self._opt_iter_ema
-        ):
-            self._opt_iter_ema = (
-                per_it if self._opt_iter_ema is None
-                else 0.8 * self._opt_iter_ema + 0.2 * per_it
-            )
-        self._opt_calls += 1
-        self.window = jax.tree_util.tree_map(np.array, win_h)
-        if fac_h is not None:
-            self.factors = jax.tree_util.tree_map(np.array, fac_h)
-        self._cost_last = float(cost_h)
-        self._lm_iterations_last = int(iters_h)
-        # refresh landmark covariances (pose-conditioned inv(Hll)) for the
-        # projected-covariance matching gate; landmarks without enough
-        # observations keep their creation-time triangulation covariance
-        lv = self.window.lm_valid & (self.window.lm_quality > 1e-6)
-        if lv.any():
-            self._lm_cov[lv] = np.asarray(lm_cov_h)[lv]
-        bad = pr_valid & (pr_err > self._PRUNE_PX)
-        if bad.any():
-            self.factors.reproj.valid[bad] = False
+        self._apply_opt_results(
+            win_h, fac_h, cost_h, iters_h, lm_cov_h, pr_valid, pr_err,
+            victim, lm_valid_before if victim is not None else None, dt_opt,
+            static_iters=bound,
+        )
         if victim is not None:
-            # host bookkeeping for the fused marginalization (the device
-            # shift already happened inside the program)
-            self._post_marginalize_bookkeeping(victim, lm_valid_before)
             slot -= 1  # the newest slot shifted down by one
 
         self.frame_count += 1
@@ -1529,6 +1907,48 @@ class VioEngine:
         return result
 
     _PRUNE_PX = 3.0
+
+    def _apply_opt_results(
+        self, win_h, fac_h, cost_h, iters_h, lm_cov_h, pr_valid, pr_err,
+        victim, lm_valid_before, dt_opt, static_iters: int = 0,
+    ) -> None:
+        """Host side of a fetched optimize(+marginalize) program: window/
+        factor writeback, iteration-budget EMA, landmark-covariance refresh,
+        observation pruning, marginalization bookkeeping.
+
+        The per-iteration EMA: the compiled program always executes
+        max_iterations of FLOPs (masked past the budget), so
+        wall / max_iterations is the honest per-iteration cost (slightly
+        conservative on fused frames, which also pay the marginalization
+        compute). The very first call is compile-dominated — skip it, and
+        reject >10x outliers (host hiccups) once an estimate exists."""
+        per_it = dt_opt / max(static_iters or self.wcfg.max_iterations, 1)
+        if self._opt_calls > 0 and (
+            self._opt_iter_ema is None or per_it < 10.0 * self._opt_iter_ema
+        ):
+            self._opt_iter_ema = (
+                per_it if self._opt_iter_ema is None
+                else 0.8 * self._opt_iter_ema + 0.2 * per_it
+            )
+        self._opt_calls += 1
+        self.window = jax.tree_util.tree_map(np.array, win_h)
+        if fac_h is not None:
+            self.factors = jax.tree_util.tree_map(np.array, fac_h)
+        self._cost_last = float(cost_h)
+        self._lm_iterations_last = int(iters_h)
+        # refresh landmark covariances (pose-conditioned inv(Hll)) for the
+        # projected-covariance matching gate; landmarks without enough
+        # observations keep their creation-time triangulation covariance
+        lv = self.window.lm_valid & (self.window.lm_quality > 1e-6)
+        if lv.any():
+            self._lm_cov[lv] = np.asarray(lm_cov_h)[lv]
+        bad = pr_valid & (pr_err > self._PRUNE_PX)
+        if bad.any():
+            self.factors.reproj.valid[bad] = False
+        if victim is not None:
+            # host bookkeeping for the fused marginalization (the device
+            # shift already happened inside the program)
+            self._post_marginalize_bookkeeping(victim, lm_valid_before)
 
     # --------------------------------------------------- marginalization
     def _choose_marg_victim(self) -> int:

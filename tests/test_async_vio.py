@@ -80,12 +80,26 @@ def test_async_propagated_state_publishing():
     prop = []
     ae.propagated_state_callback = lambda t, r, q, v: prop.append((t, r))
     traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
+    # PACED feed (accelerated live mode): the dead-reckoning publisher
+    # correctly refuses to extrapolate >1 s past the newest state, so an
+    # unpaced burst feed — where all IMU lands while the first frames are
+    # still queued in the two-stage pipeline — legitimately produces no
+    # propagated states. Live operation is wall-clock paced; emulate it.
+    import time as _time
+
     events, renderer = synthetic_sequence(
-        rig, duration=1.0, cam_rate=5.0, imu_rate=100.0, imu_params=cfg.imu,
+        rig, duration=2.4, cam_rate=5.0, imu_rate=100.0, imu_params=cfg.imu,
         seed=3, n_points=250, traj=traj, spread=6.0, depth_offset=3.0,
         t_first_frame=0.12,
     )
+    t_wall0, t_seq0 = _time.perf_counter(), None
     for ev in events:
+        if t_seq0 is None:
+            t_seq0 = ev.t
+        # 3x-accelerated real-time pacing
+        lag = (ev.t - t_seq0) / 3.0 - (_time.perf_counter() - t_wall0)
+        if lag > 0:
+            _time.sleep(lag)
         if ev.kind == "imu":
             ae.add_imu_measurement(ev.t, *ev.imu)
         elif ev.kind == "frame":
