@@ -33,11 +33,26 @@ __version__ = "0.1.0"
 # normal equations are formed — make float32 the library-wide default (the
 # MXU runs f32 via 3-pass bf16; the big one-hot reductions already requested
 # HIGHEST explicitly). Perf-insensitive override: SVIN_MATMUL_PRECISION.
+#
+# NOTE this is a PROCESS-GLOBAL side effect: importing svin_tpu raises the
+# default matmul precision for any other JAX code in the host application
+# (trading MXU throughput for accumulation accuracy). Embedders who need a
+# different default can set SVIN_MATMUL_PRECISION or scope precision with
+# jax.default_matmul_precision(...) context managers around their own code.
+import logging as _logging
 import os as _os
 
 import jax as _jax
 
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("SVIN_MATMUL_PRECISION", "float32"),
+_ALLOWED_PRECISIONS = (
+    "default", "bfloat16", "bfloat16_3x", "tensorfloat32", "float32",
+    "highest",
 )
+_prec = _os.environ.get("SVIN_MATMUL_PRECISION", "float32")
+if _prec not in _ALLOWED_PRECISIONS:
+    _logging.getLogger("svin_tpu").warning(
+        "invalid SVIN_MATMUL_PRECISION=%r (allowed: %s); using float32",
+        _prec, ", ".join(_ALLOWED_PRECISIONS),
+    )
+    _prec = "float32"
+_jax.config.update("jax_default_matmul_precision", _prec)

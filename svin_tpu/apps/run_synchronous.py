@@ -104,6 +104,7 @@ def main(argv=None) -> int:
         if os.path.exists(resume_prefix + ".loop.npz"):
             load_loop_closer(closer, resume_prefix + ".loop.npz")
         engine.sequence = closer.sequence_cnt + 1
+    n_restored_kf = len(closer.keyframes)
     gmap = GlobalMap(min_quality=cfg.global_map.min_landmark_quality)
     n_loops = [0]
     # debug-artifact tree (pose_graph_node.cpp:12-92) when
@@ -233,6 +234,23 @@ def main(argv=None) -> int:
         closer.corrected_keyframe_poses(),
         [(lp.query_index, lp.match_index) for lp in closer.loops],
     )
+
+    # loop-closure funnel counters + per-solve PGO log (the reference's
+    # 10-second utils::Statistics printouts, persisted for artifacts)
+    import json as _json
+
+    with open(os.path.join(out_dir, "loop_stats.json"), "w") as f:
+        _json.dump(
+            {
+                "stats": closer.stats,
+                "pgo_log": closer.pgo_log,
+                "n_keyframes": len(closer.keyframes),
+                "n_restored": n_restored_kf,
+                "n_loops": n_loops[0],
+                "earliest_loop_index": int(closer.earliest_loop_index),
+            },
+            f, indent=1,
+        )
 
     if dbg is not None:
         dbg.close()

@@ -66,7 +66,13 @@ def _pinv_sym(A: jnp.ndarray, tol: float = None) -> jnp.ndarray:
     # rows whose diagonal is ~zero (or negative from f32 cancellation in an
     # upstream Schur step) carry no information: mask them out instead of
     # dividing by a tiny floor (which overflows the scaled matrix)
-    good = dg > 1e-13 * jnp.maximum(jnp.max(jnp.maximum(dg, 0.0)), 1e-30)
+    # empty-row cut at 1e-15 RELATIVE: with bias-walk information reaching
+    # ~1e11 the old 1e-13 cut was ~1e-2 absolute — only ~10x below the
+    # smallest realistic information scale (~1e-1), so a slightly wider
+    # real spread could zero a live coordinate out of the prior
+    # (ADVICE r4 #4). 1e-15 keeps three orders of margin and the
+    # equilibration divisors stay far above f32 denormals.
+    good = dg > 1e-15 * jnp.maximum(jnp.max(jnp.maximum(dg, 0.0)), 1e-30)
     d = jnp.where(good, jnp.sqrt(jnp.where(good, dg, 1.0)), 1.0)
     gmask = good[:, None] & good[None, :]
     # PSD-consistent equilibrated entries satisfy |Ân| ≤ 1; the clamp only
@@ -104,7 +110,13 @@ def _project_to_range(H: jnp.ndarray, b: jnp.ndarray):
     scales) along which 0.5·dmᵀHdm itself is a descent funnel.
     """
     dg = jnp.diagonal(H)
-    good = dg > 1e-13 * jnp.maximum(jnp.max(jnp.maximum(dg, 0.0)), 1e-30)
+    # empty-row cut at 1e-15 RELATIVE: with bias-walk information reaching
+    # ~1e11 the old 1e-13 cut was ~1e-2 absolute — only ~10x below the
+    # smallest realistic information scale (~1e-1), so a slightly wider
+    # real spread could zero a live coordinate out of the prior
+    # (ADVICE r4 #4). 1e-15 keeps three orders of margin and the
+    # equilibration divisors stay far above f32 denormals.
+    good = dg > 1e-15 * jnp.maximum(jnp.max(jnp.maximum(dg, 0.0)), 1e-30)
     d = jnp.where(good, jnp.sqrt(jnp.where(good, dg, 1.0)), 1.0)
     gmask = good[:, None] & good[None, :]
     Hn = jnp.where(

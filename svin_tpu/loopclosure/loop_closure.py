@@ -193,6 +193,16 @@ class LoopCloser:
         self.pgo_gn_iters = 30
         self.pgo_cg_iters = 96
         self._banded_jit = None
+        # pipeline observability (VERDICT r5 task #2): stage counters for
+        # every detection/verification funnel step plus a per-solve PGO
+        # log — the reference prints utils::Statistics every 10 s
+        # (pose_graph_node.cpp:175-178); these feed the Cave-run artifact
+        self.stats = {
+            "queries": 0, "candidates": 0, "floor_reject": 0,
+            "desc_reject": 0, "pnp_reject": 0, "ratio_reject": 0,
+            "gate_reject": 0, "accepted": 0,
+        }
+        self.pgo_log: List[dict] = []
         # export kf_index → internal index (reference kfMapper_,
         # LoopClosure.cpp:103-130: per-point covisibility lists reference
         # export indices; unhealthy keyframes never enter, so the two
@@ -567,13 +577,17 @@ class LoopCloser:
             s_nb = self.db.scores_range(v, lo, self.db.count)
             # the WEAKEST covisible link sets the bar (reference semantics)
             neighbor_floor = 0.6 * float(np.min(s_nb))
+        self.stats["queries"] += 1
         for cand, score in zip(idxs, scores):
             if score < max(MIN_LOOP_SCORE, neighbor_floor):
+                self.stats["floor_reject"] += 1
                 continue
+            self.stats["candidates"] += 1
             old = self.keyframes[int(cand)]
             self._debug_stage_candidate(kf, old)
             loop = self._verify(kf, old)
             if loop is not None:
+                self.stats["accepted"] += 1
                 return loop
         return None
 
@@ -637,6 +651,7 @@ class LoopCloser:
         )
         m, idx_b = jax.device_get((res.valid, res.idx_b))
         if m.sum() < lc.min_correspondences:
+            self.stats["desc_reject"] += 1
             return None
         sel = np.nonzero(m)[0]
         old_idx = idx_b[sel]
@@ -672,6 +687,7 @@ class LoopCloser:
         )
         rr = jax.device_get(rr)
         if not bool(rr.success) or int(rr.num_inliers) < lc.min_correspondences:
+            self.stats["pnp_reject"] += 1
             return None
         inl_dbg = np.asarray(rr.inliers)[:n].astype(bool)
         self._debug_stage_matches(
@@ -688,6 +704,7 @@ class LoopCloser:
         # same protection from min_correspondences=25 against its typical
         # match counts, Parameters.cpp:24-27)
         if int(rr.num_inliers) < 0.5 * int(n):
+            self.stats["ratio_reject"] += 1
             return None
         T_old_fit = Transformation(
             r=rr.T.r, q=rr.T.q
@@ -701,8 +718,10 @@ class LoopCloser:
         rel_yaw = float(normalize_angle_np(yaw_c - yaw_o))
         # sanity gates (reference Keyframe.cpp:501: |yaw|<25°, ‖t‖<15 m)
         if abs(np.degrees(rel_yaw)) > lc.max_yaw_diff:
+            self.stats["gate_reject"] += 1
             return None
         if np.linalg.norm(rel_t) > lc.max_position_diff:
+            self.stats["gate_reject"] += 1
             return None
         inl = np.asarray(rr.inliers)[:n].astype(bool)
         return LoopInfo(
@@ -747,7 +766,36 @@ class LoopCloser:
         self.R_drift = Rz
         self.t_drift = w_P_cur - Rz @ np.asarray(kf.T_WC_vio.r)
 
+    def _pg_cost_np(self) -> Tuple[float, float]:
+        """Host 4-DoF edge cost (sum of squared residuals over valid edges,
+        split sequential/loop, robust-loss-free) — the per-solve
+        convergence diagnostic recorded into ``pgo_log``."""
+        import time as _time
+
+        c_seq = c_loop = 0.0
+        for k in range(self.n_edges):
+            if not self.edges.valid[k]:
+                continue
+            i, j = int(self.edges.i[k]), int(self.edges.j[k])
+            Ri = ypr_to_matrix_np(
+                self.nodes.yaw[i], self.nodes.pitch[i], self.nodes.roll[i]
+            )
+            rt = Ri.T @ (self.nodes.p[j] - self.nodes.p[i]) - self.edges.t_ij[k]
+            ry = normalize_angle_np(
+                self.nodes.yaw[j] - self.nodes.yaw[i] - self.edges.yaw_ij[k]
+            )
+            r2 = float(rt @ rt) + float(ry * ry)
+            if self.edges.is_loop[k]:
+                c_loop += r2
+            else:
+                c_seq += r2
+        return c_seq, c_loop
+
     def _optimize_and_update_drift(self):
+        import time as _time
+
+        t_solve0 = _time.perf_counter()
+        cost0 = self._pg_cost_np()
         # fix everything up to and including the earliest looped keyframe
         # (the reference holds poses before earliest_loop_index constant and
         # anchors the first looped keyframe)
@@ -816,6 +864,21 @@ class LoopCloser:
         self.t_drift = (
             self.nodes.p[last] - self.R_drift @ np.asarray(kf.T_WC_vio.r)
         )
+        cost1 = self._pg_cost_np()
+        n_used = len(self.keyframes)
+        self.pgo_log.append({
+            "n_nodes": n_used,
+            "n_edges": int(self.n_edges),
+            "mode": self.cfg.loop_closure.pgo_mode,
+            "branch": "scalable" if n_used > 512 else "dense",
+            "cost_seq_before": round(cost0[0], 5),
+            "cost_loop_before": round(cost0[1], 5),
+            "cost_seq_after": round(cost1[0], 5),
+            "cost_loop_after": round(cost1[1], 5),
+            "t_drift_norm": round(float(np.linalg.norm(self.t_drift)), 4),
+            "yaw_drift_deg": round(float(np.degrees(self.yaw_drift)), 3),
+            "wall_s": round(__import__("time").perf_counter() - t_solve0, 3),
+        })
 
     def _solve_banded(self, nodes_s, edges_s, fix_before):
         """Banded 4-DoF solve for the Cave-scale branch: host-side banding

@@ -370,6 +370,9 @@ def events_from_source(data: str, cfg, rig):
             rig, duration=duration, cam_rate=cfg.camera_rate,
             imu_rate=float(cfg.imu.rate), imu_params=sim_imu,
             traj=traj,
+            # SVIN_SYNTH_SEED: landmark field + noise realizations (the
+            # accuracy A/B runs multiple seeds per leg)
+            seed=int(os.environ.get("SVIN_SYNTH_SEED", "0")),
             spread=6.0, depth_offset=3.0, t_first_frame=0.12,
             depth_enabled=cfg.is_depth_used,
             sonar_enabled=cfg.is_sonar_used,

@@ -27,11 +27,21 @@ import pytest
 
 from vio_fixtures import IMG_W, IMG_H
 
-with open(
-    os.path.join(os.path.dirname(__file__), "..", "artifacts",
-                 "ACCURACY_TREND.json")
-) as _f:
-    _TREND = json.load(_f)
+# round-over-round ATE calibration: absent artifact (sdist / sparse
+# checkout / packaging filter) degrades to a module skip with a reason
+# instead of a collection error (ADVICE r4 #3)
+_TREND_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "artifacts", "ACCURACY_TREND.json"
+)
+try:
+    with open(_TREND_PATH) as _f:
+        _TREND = json.load(_f)
+except FileNotFoundError:  # pragma: no cover - packaging dependent
+    pytest.skip(
+        f"accuracy-trend calibration missing ({_TREND_PATH}); "
+        "run tools/accuracy_ab.py to regenerate",
+        allow_module_level=True,
+    )
 CAL = _TREND["calibrated_cpu_f64"]
 TOL = float(_TREND["tolerance_factor"])
 

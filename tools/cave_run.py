@@ -88,6 +88,18 @@ def evaluate(out_dir: str):
     traj = sim.default_trajectory(scale=0.4, ramp_tau=0.8)
     traj = traj._replace(r_lin=traj.r_lin * 0.0)
     out = {}
+    n_restored = 0
+    stats_path = os.path.join(out_dir, "loop_stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            ls = json.load(f)
+        n_restored = int(ls.get("n_restored", 0))
+        out["loop_stats"] = ls["stats"]
+        out["n_loops"] = ls["n_loops"]
+        pg = ls.get("pgo_log", [])
+        out["pgo_solves"] = len(pg)
+        if pg:
+            out["pgo_last"] = pg[-1]
     for name in ("svin_vio", "svin_loop"):
         path = os.path.join(out_dir, f"{name}.txt")
         if not os.path.exists(path):
@@ -96,6 +108,15 @@ def evaluate(out_dir: str):
         gt_p = np.stack([np.asarray(sim.position(traj, tt)) for tt in t])
         rmse, _ = ate_rmse(p, gt_p, with_scale=True)
         out[name] = {"n_poses": int(len(p)), "ate_rmse_m": round(float(rmse), 4)}
+        if name == "svin_loop" and 0 < n_restored < len(p):
+            # the RESUMED session's own keyframes, evaluated separately —
+            # round 4's combined number hid a 6.7x gap between the
+            # restored map and the new session's nodes
+            rmse_new, _ = ate_rmse(
+                p[n_restored:], gt_p[n_restored:], with_scale=True
+            )
+            out[name]["ate_rmse_new_session_m"] = round(float(rmse_new), 4)
+            out[name]["n_new_session"] = int(len(p) - n_restored)
     return out
 
 
@@ -182,7 +203,7 @@ def main():
         "total_frames": frames_a + frames_b,
     }
     os.makedirs(os.path.join(REPO, "artifacts"), exist_ok=True)
-    path = os.path.join(REPO, "artifacts", "CAVE_RUN_r04.json")
+    path = os.path.join(REPO, "artifacts", "CAVE_RUN_r05.json")
     with open(path, "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps(art, indent=1))
