@@ -328,11 +328,23 @@ class LoopCloser:
             k for k, w in kf_counter.items() if w > COVIS_WEIGHT_TH
         ]
 
+        # the base-frame shift must move the keyframe's 3D points WITH its
+        # pose: after a cross-sequence alignment every later intake of the
+        # sequence arrives pre-shifted (T_WC above), and PnP verification
+        # fits candidate poses against THESE points — points left in the
+        # raw VIO frame made every post-alignment relative garbage (the
+        # r4 Cave resume: 1120/1237 candidates gate-rejected, pose graph
+        # poisoned to 271 m drift; the reference has the same invariant
+        # implicitly because its w_t_svin shift is applied to the
+        # pointcloud payload too, PoseGraph.cpp:95-119)
+        pts_W = np.asarray(kf_export["points_W"], float)
+        if pts_W.size:
+            pts_W = pts_W @ self._w_svin_R.T + self._w_svin_t
         kf = LoopKeyframe(
             index=idx,
             timestamp=float(kf_export["timestamp"]),
             T_WC_vio=T_WC,
-            points_W=np.asarray(kf_export["points_W"], float),
+            points_W=pts_W,
             point_uv=np.asarray(kf_export["keypoints_uv"], float),
             window_desc=desc_w,
             window_valid=valid_w,
