@@ -248,6 +248,19 @@ def main(argv=None) -> int:
                 "n_restored": n_restored_kf,
                 "n_loops": n_loops[0],
                 "earliest_loop_index": int(closer.earliest_loop_index),
+                # per-accepted-loop record: lets offline tools grade the
+                # PnP relatives against ground truth
+                "loops": [
+                    {
+                        "i": lp.match_index, "j": lp.query_index,
+                        "t_i": closer.keyframes[lp.match_index].timestamp,
+                        "t_j": closer.keyframes[lp.query_index].timestamp,
+                        "rel_t": [round(float(x), 5) for x in lp.rel_t],
+                        "rel_yaw": round(float(lp.rel_yaw), 5),
+                        "inliers": int(lp.num_inliers),
+                    }
+                    for lp in closer.loops
+                ],
             },
             f, indent=1,
         )

@@ -495,6 +495,33 @@ def absolute_pose_ransac_p3p(
     )
     inl = jnp.where(better, inl, inl_b)
     n = jnp.where(better, n, counts[best])
+    # SECOND, TIGHTENED refinement: the acceptance threshold is loose by
+    # design (the reference runs cv::solvePnPRansac at 20 px,
+    # Parameters.cpp:24-27 — at loop-closure focal lengths that is
+    # several degrees), so the inlier set can contain near-miss
+    # mismatches that bias the refit by 0.1–0.3 m; pose-graph edges built
+    # from such poses plateau the 4-DoF solve at ~0.2 m per loop edge
+    # (measured in the Cave-scale diagnostic). Re-select support at a
+    # quarter of the threshold (floored at 3 px) and refit; keep the
+    # tight pose only when it retains majority support. Inlier COUNT and
+    # set stay at the original threshold — gate semantics unchanged.
+    thr2 = jnp.maximum(thr * 0.25, 3.0 / focal_px)
+    inl_t = inl & (err < thr2)
+    n_t = jnp.sum(inl_t)
+    T_tight = _gn_pose_fit(
+        T_out, p_W, bearings, inl_t.astype(dtype), iters=refine_iters
+    )
+    err_t = jnp.linalg.norm(
+        _bearing_residual(T_tight, p_W, bearings).reshape(N, 3), axis=-1
+    )
+    inl_chk = valid & (err_t < thr)
+    use_tight = (n_t >= jnp.maximum(6, n // 2)) & (jnp.sum(inl_chk) >= n)
+    T_out = Transformation(
+        r=jnp.where(use_tight, T_tight.r, T_out.r),
+        q=jnp.where(use_tight, T_tight.q, T_out.q),
+    )
+    inl = jnp.where(use_tight, inl_chk, inl)
+    n = jnp.where(use_tight, jnp.sum(inl_chk), n)
     return RansacResult(
         T=T_out, inliers=inl, num_inliers=n, success=n >= min_inliers
     )

@@ -778,30 +778,75 @@ class LoopCloser:
         self.R_drift = Rz
         self.t_drift = w_P_cur - Rz @ np.asarray(kf.T_WC_vio.r)
 
-    def _pg_cost_np(self) -> Tuple[float, float]:
-        """Host 4-DoF edge cost (sum of squared residuals over valid edges,
-        split sequential/loop, robust-loss-free) — the per-solve
-        convergence diagnostic recorded into ``pgo_log``."""
-        import time as _time
+    def _pg_edge_residuals(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-valid-edge 4-DoF residuals at the current node estimates:
+        (edge_index, translation-residual norm, is_loop) — vectorized."""
+        n = self.n_edges
+        e, nd = self.edges, self.nodes
+        kk = np.nonzero(e.valid[:n])[0]
+        if len(kk) == 0:
+            return kk, np.zeros(0), np.zeros(0, bool)
+        i, j = e.i[kk], e.j[kk]
+        cy, sy = np.cos(nd.yaw[i]), np.sin(nd.yaw[i])
+        cp, sp = np.cos(nd.pitch[i]), np.sin(nd.pitch[i])
+        cr, sr = np.cos(nd.roll[i]), np.sin(nd.roll[i])
+        # R = Rz(yaw) Ry(pitch) Rx(roll), rows of R^T = columns of R
+        R = np.empty((len(kk), 3, 3))
+        R[:, 0, 0] = cy * cp
+        R[:, 0, 1] = cy * sp * sr - sy * cr
+        R[:, 0, 2] = cy * sp * cr + sy * sr
+        R[:, 1, 0] = sy * cp
+        R[:, 1, 1] = sy * sp * sr + cy * cr
+        R[:, 1, 2] = sy * sp * cr - cy * sr
+        R[:, 2, 0] = -sp
+        R[:, 2, 1] = cp * sr
+        R[:, 2, 2] = cp * cr
+        d = nd.p[j] - nd.p[i]
+        rt = np.einsum("kab,ka->kb", R, d) - e.t_ij[kk]
+        ry = np.asarray(normalize_angle_np(
+            nd.yaw[j] - nd.yaw[i] - e.yaw_ij[kk]
+        ))
+        rn = np.sqrt(np.sum(rt * rt, axis=1) + ry * ry)
+        return kk, rn, np.asarray(e.is_loop[kk], bool)
 
-        c_seq = c_loop = 0.0
-        for k in range(self.n_edges):
-            if not self.edges.valid[k]:
-                continue
-            i, j = int(self.edges.i[k]), int(self.edges.j[k])
-            Ri = ypr_to_matrix_np(
-                self.nodes.yaw[i], self.nodes.pitch[i], self.nodes.roll[i]
-            )
-            rt = Ri.T @ (self.nodes.p[j] - self.nodes.p[i]) - self.edges.t_ij[k]
-            ry = normalize_angle_np(
-                self.nodes.yaw[j] - self.nodes.yaw[i] - self.edges.yaw_ij[k]
-            )
-            r2 = float(rt @ rt) + float(ry * ry)
-            if self.edges.is_loop[k]:
-                c_loop += r2
-            else:
-                c_seq += r2
-        return c_seq, c_loop
+    def _pg_cost_np(self) -> Tuple[float, float]:
+        """Host 4-DoF edge cost (sum of squared residual norms over valid
+        edges, split sequential/loop, robust-loss-free) — the per-solve
+        convergence diagnostic recorded into ``pgo_log``."""
+        kk, rn, il = self._pg_edge_residuals()
+        r2 = rn * rn
+        return float(r2[~il].sum()), float(r2[il].sum())
+
+    def _prune_outlier_loops(self) -> int:
+        """Disable loop edges grossly inconsistent with the solved graph.
+
+        The reference's acceptance gates are ABSOLUTE (|yaw|<25°, ‖t‖<15 m
+        — Keyframe.cpp:501, scaled for cave-size scenes) and its Huber
+        loss has a LINEAR tail, so one aliased place-recognition match
+        that slips the gates keeps tugging the whole graph forever
+        (measured: a single 3.4 m-error loop edge in an 0.8 m-box run
+        held the solve at a cost plateau and bent the map to 0.27 m ATE
+        where clean edges give ~0.04). Post-solve residual thresholding is
+        SCALE-FREE: after optimization a consistent loop — including the
+        first large drift-closing one — has near-zero residual, while a
+        wrong-association edge retains its disagreement. Kill valid loop
+        edges whose residual exceeds max(10x median loop residual, 0.5 m);
+        returns how many were disabled."""
+        kk, rn, il = self._pg_edge_residuals()
+        loops = kk[il]
+        if len(loops) < 3:
+            return 0
+        r_loop = rn[il]
+        med = float(np.median(r_loop))
+        thr = max(10.0 * med, 0.5)
+        bad = loops[r_loop > thr]
+        if len(bad) == 0:
+            return 0
+        self.edges.valid[bad] = False
+        self.stats["pruned_edges"] = (
+            self.stats.get("pruned_edges", 0) + int(len(bad))
+        )
+        return int(len(bad))
 
     def _optimize_and_update_drift(self):
         import time as _time
@@ -812,6 +857,14 @@ class LoopCloser:
         # (the reference holds poses before earliest_loop_index constant and
         # anchors the first looped keyframe)
         fix_before = jnp.int32(max(self.earliest_loop_index + 1, 1))
+        self._solve_once(fix_before)
+        # post-solve loop-edge outlier rejection + one re-solve without
+        # the rejected edges (see _prune_outlier_loops)
+        if self._prune_outlier_loops() > 0:
+            self._solve_once(fix_before)
+        self._update_drift_and_log(cost0, t_solve0)
+
+    def _solve_once(self, fix_before) -> None:
         if self.cfg.loop_closure.pgo_mode == "6dof":
             self._optimize_6dof(fix_before)
         else:
@@ -855,6 +908,8 @@ class LoopCloser:
                 )
             self.nodes.p[:Np] = out.p
             self.nodes.yaw[:Np] = out.yaw
+
+    def _update_drift_and_log(self, cost0, t_solve0) -> None:
         # drift: newest node's optimized pose vs its raw VIO pose
         last = len(self.keyframes) - 1
         kf = self.keyframes[last]

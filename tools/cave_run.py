@@ -100,6 +100,31 @@ def evaluate(out_dir: str):
         out["pgo_solves"] = len(pg)
         if pg:
             out["pgo_last"] = pg[-1]
+        # grade every accepted loop's PnP relative against the simulator
+        # ground truth (in the OLD keyframe's true camera frame; camera ==
+        # body in this rig): edge quality is the pose graph's food
+        loops = ls.get("loops", [])
+        if loops:
+            from svin_tpu.kinematics import npq
+
+            errs_t, errs_y = [], []
+            for lp in loops:
+                Ti = sim.pose(traj, lp["t_i"])
+                Tj = sim.pose(traj, lp["t_j"])
+                Ri = np.asarray(
+                    npq.to_rotation_matrix(np.asarray(Ti.q))
+                )
+                t_true = Ri.T @ (np.asarray(Tj.r) - np.asarray(Ti.r))
+                errs_t.append(
+                    float(np.linalg.norm(np.asarray(lp["rel_t"]) - t_true))
+                )
+            errs_t = np.asarray(errs_t)
+            out["loop_edge_error_m"] = {
+                "median": round(float(np.median(errs_t)), 4),
+                "p90": round(float(np.percentile(errs_t, 90)), 4),
+                "max": round(float(errs_t.max()), 4),
+                "n": int(len(errs_t)),
+            }
     for name in ("svin_vio", "svin_loop"):
         path = os.path.join(out_dir, f"{name}.txt")
         if not os.path.exists(path):
