@@ -54,6 +54,9 @@ DESC_DIST_LOOP = 80  # Hamming acceptance for loop matching (Keyframe.cpp:290-30
 WINDOW_CAP = 512  # fixed window-keypoint capacity (static shapes → one jit)
 COVIS_WEIGHT_TH = 20  # shared-landmark covisibility edge threshold
 # (Keyframe::updateConnections th_weight, Keyframe.cpp:146-162)
+SOLVE_BATCH_KF = 8  # past the scalable-branch cutoff, full pose-graph
+# solves batch every N keyframes (fast-relocalization drift applies
+# immediately per loop — the reference's 500 ms optimization-thread poll)
 
 
 @dataclass
@@ -203,6 +206,7 @@ class LoopCloser:
             "gate_reject": 0, "accepted": 0,
         }
         self.pgo_log: List[dict] = []
+        self._last_solve_kf = 0
         # export kf_index → internal index (reference kfMapper_,
         # LoopClosure.cpp:103-130: per-point covisibility lists reference
         # export indices; unhealthy keyframes never enter, so the two
@@ -227,13 +231,23 @@ class LoopCloser:
         if idx >= self.capacity:
             self._grow_capacity()  # unbounded keyframe list, like the
             # reference's PoseGraph keyframelist
-        # deferred pose-graph optimization from a fast-relocalized loop on
-        # the previous keyframe (reference: updateKeyFrameLoop applies the
-        # immediate drift while the optimization thread lags; here the
-        # "lag" is exactly one keyframe)
+        # deferred pose-graph optimization from fast-relocalized loops
+        # (reference: updateKeyFrameLoop applies the immediate drift while
+        # the optimization thread lags — its 500 ms poll means MULTIPLE
+        # loops share one solve, PoseGraph.cpp:382-384). Below the
+        # scalable-branch cutoff the lag is one keyframe; past it, solves
+        # batch every SOLVE_BATCH_KF keyframes (each full solve at >512
+        # nodes costs ~1 s, and the revisit-rich Cave profile accepts a
+        # loop on nearly every keyframe)
         if self._pending_optimize:
-            self._pending_optimize = False
-            self._optimize_and_update_drift()
+            due = (
+                len(self.keyframes) <= 512
+                or len(self.keyframes) - self._last_solve_kf
+                >= SOLVE_BATCH_KF
+            )
+            if due:
+                self._pending_optimize = False
+                self._optimize_and_update_drift()
         # sequence boundary: VIO restarted — zero the drift and the base
         # shift; the new sequence lives in its own frame until a
         # cross-sequence loop aligns it (PoseGraph.cpp:50-61)
@@ -399,10 +413,11 @@ class LoopCloser:
             ):
                 self._align_sequence(kf, loop)
             self._add_loop_edge(loop)
-            if self.cfg.fast_relocalization:
+            if self.cfg.fast_relocalization or len(self.keyframes) > 512:
                 # immediate single-constraint re-anchor NOW; the full
-                # pose-graph solve runs at the next keyframe (the
-                # reference's decoupled optimization thread)
+                # pose-graph solve runs deferred (the reference's
+                # decoupled optimization thread; forced at scale where a
+                # full solve per keyframe would dominate the pipeline)
                 self._fast_relocalize(loop)
                 self._pending_optimize = True
             else:
@@ -933,6 +948,7 @@ class LoopCloser:
         )
         cost1 = self._pg_cost_np()
         n_used = len(self.keyframes)
+        self._last_solve_kf = n_used
         self.pgo_log.append({
             "n_nodes": n_used,
             "n_edges": int(self.n_edges),

@@ -112,7 +112,13 @@ def band_posegraph(
     lo = be_i[np.arange(NB) * block]
     hi_i = be_i[np.minimum(np.arange(1, NB + 1) * block - 1, n - 1)] if n else lo
     S = int((hi_i - lo).max() if NB else 0) + wmax + 1
-    S = min(-(-S // 8) * 8, N)
+    # quantize S to a power of two (≥64): S is data-dependent (the widest
+    # block's node span), and an 8-rounded S changed every few keyframes
+    # on a growing graph — each change recompiled the banded solver
+    # (~10-30 s through the tunnel), which crawled the full Cave run to
+    # ~6 s/frame. Pow2 quantization costs ≤2x matvec work and makes the
+    # compiled shape stable for long stretches.
+    S = min(1 << max(6, (max(S, 1) - 1).bit_length()), N)
     lo = np.minimum(lo, N - S)
 
     co_rows = np.nonzero(ok & ~banded)[0]
